@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, fround}
+
+/** North-star deduplication family (E14/E22): exact hash dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard. SURVEY.md §2.2.
+  *
+  * 100 TB design notes:
+  *  - exact dedup groups on md5(text) — the hash, not the payload, is the
+  *    shuffle key, so the exchange carries 16 bytes/row however big the doc.
+  *  - MinHash candidate generation explodes each doc into `bands` rows keyed
+  *    by (band_id, band_hash) and self-joins on that key: co-partitioned
+  *    equi-join, no cross product anywhere. Candidate verification (exact
+  *    shingle Jaccard) touches only the collided pairs.
+  *  - SimHash blocking uses the pigeonhole principle: a pair within Hamming
+  *    distance 3 must agree on one of 4 16-bit blocks, so the join key is a
+  *    16-bit block value — again a co-partitioned equi-join.
+  */
+object DedupQueries {
+  import CoreQueries.Q
+
+  /** Tokens → 3-token shingle strings (order-sensitive, unlike token sets —
+    * the synthetic corpus has near-total token-set overlap, shingles are what
+    * discriminate). */
+  def shingles3(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    ).otherwise(array(text))
+  }
+
+  /** x40 — exact dedup via content-hash groupBy (md5 matches DuckDB's md5,
+    * so this one IS oracle-checkable). */
+  val x40: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+      .orderBy(col("keeper"))
+
+  /** MinHash signature: minhash_j = min over shingles of xxhash64(shingle, j). */
+  private def minhashBands(text: Column, bands: Int, rowsPerBand: Int): Column = {
+    val sh = array_distinct(shingles3(text))
+    val bandHashes = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map { r =>
+        val seed = b * rowsPerBand + r
+        array_min(transform(sh, x => xxhash64(x, lit(seed))))
+      }
+      struct(lit(b).as("band_id"), xxhash64(rows: _*).as("band_hash"))
+    }
+    array(bandHashes: _*)
+  }
+
+  /** x41 — MinHash+LSH near-dup candidates, verified with exact shingle
+    * Jaccard. bands=8 × rows=4 (32 hashes): catches pairs from J≈0.5 up.
+    * xxhash64 has no DuckDB twin → rows-only contract + ScalaTest. */
+  val x41: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("text"), array_distinct(shingles3(col("text"))).as("sh"))
+    val banded = docs
+      .select(col("doc_id"), explode(minhashBands(col("text"), 8, 4)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val a = banded.select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band_id"), col("band_hash"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        fround(size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column): Column = {
+    val toks = split(text, " ")
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, w) => acc + when(shiftright(xxhash64(w), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** x42 — SimHash near-dup pairs: block on 4×16-bit sub-keys (pigeonhole for
+    * Hamming≤3), verify with bit_count(a XOR b). Rows-only contract. */
+  val x42: Q = (s, d) => {
+    val sh = t(s, d, "documents").select(col("doc_id"), simhash64(col("text")).as("sim"))
+    val blocked = sh.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("blk"), shiftright(col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.blk"), col("b.key"))
+    val a = blocked.select(col("doc_id").as("a_id"), col("sim").as("sim_a"), col("blk"), col("key"))
+    val b = blocked.select(col("doc_id").as("b_id"), col("sim").as("sim_b"), col("blk"), col("key"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 16)
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  /** x43 — exact n-gram Jaccard for consecutive doc pairs (deterministic,
+    * SQL-expressible → oracle-checkable). */
+  val x43: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = docs.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    a.join(b, "a_id")
+      .select(col("a_id"), col("b_id"),
+        // jaccard is rational -> floor-form half-up (see Tables.fround)
+        fround(size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+      .orderBy(col("a_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x40_dedup_exact" -> x40,
+    "x41_minhash_lsh" -> x41,
+    "x42_simhash" -> x42,
+    "x43_ngram_jaccard" -> x43)
+
+  val oracles: Map[String, String] = Map(
+    "x40_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    "x43_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+        |    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+        |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+        |    ELSE [text] END) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a_id""".stripMargin)
+}

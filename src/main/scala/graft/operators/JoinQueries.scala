@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, dsum}
+
+/** SURVEY.md §2.4 Q10–Q15 — the join surface (E1–E5).
+  *
+  * The reference itself never joins (SURVEY §2.3); these are the north-star
+  * extension operators, planned the way they must run at 100 TB:
+  *  - fact⋈fact (orders⋈customer, lineitem⋈orders) shuffles on the join key —
+  *    at scale both sides hash-partition; AQE handles skew splitting.
+  *  - dimension joins (nation/region, ≤ a few thousand rows at any SF) are
+  *    explicitly `broadcast()` so no shuffle of the big side ever happens.
+  */
+object JoinQueries {
+  import CoreQueries.Q
+
+  /** Q10 — inner equi join + grouped agg (E1). Exact-decimal sum so the
+    * result is reduction-order independent (oracle parity at any scale). */
+  val q10: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"), round(dsum(col("o_totalprice")), 2).as("s"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q11 — broadcast dimension chain customer→nation→region (E2). */
+  val q11: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Q12 — left outer join with null-side accounting (E3). */
+  val q12: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("n_no_order"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q13 — left semi ⇔ EXISTS (E4): customers with ≥1 order. */
+  val q13: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Q14 — left anti ⇔ NOT EXISTS (E4): parts never ordered. */
+  val q14: Q = (s, d) => {
+    val p = t(s, d, "part")
+    val li = t(s, d, "lineitem")
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Q15 — equi + range predicate join (E5). The equi key carries the
+    * shuffle; the inequality is evaluated as a post-join filter inside the
+    * sort-merge join — never a nested-loop cross product. */
+  val q15: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("l_shipdate") > o("o_orderdate"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q10_inner_join" -> q10,
+    "q11_broadcast_chain" -> q11,
+    "q12_left_outer" -> q12,
+    "q13_semi_join" -> q13,
+    "q14_anti_join" -> q14,
+    "q15_range_join" -> q15)
+
+  val oracles: Map[String, String] = Map(
+    "q10_inner_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS c,
+        |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE),2) AS s
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q11_broadcast_chain" ->
+      """SELECT r_name, COUNT(*) AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q12_left_outer" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders,
+        |CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT COUNT(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT COUNT(*) AS n FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin,
+    "q15_range_join" ->
+      """SELECT COUNT(*) AS n FROM lineitem l JOIN orders o
+        |ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate""".stripMargin)
+}

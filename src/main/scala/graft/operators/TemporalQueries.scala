@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, dsum, tsStr}
+
+/** SURVEY.md §2.4 Q31–Q32 + E6 (as-of join) + E25 (session window), batch
+  * forms. The same window()/session_window() expressions run unchanged under
+  * readStream (streaming package) — these batch twins are what the DuckDB
+  * oracle can check.
+  */
+object TemporalQueries {
+  import CoreQueries.Q
+
+  /** Q31 — tumbling 1h event-time window (E23). window().start ≡
+    * date_trunc('hour') for a 1h/epoch-aligned window. */
+  val q31: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("sv"))
+      .select(tsStr(col("window.start")).as("h"), col("event_type"), col("n"), col("sv"))
+      .orderBy(col("h"), col("event_type"))
+
+  /** Q32 — sliding 1h/15m window (E24): each event lands in 4 windows. */
+  val q32: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(tsStr(col("window.start")).as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Q33 — as-of join (E6): for each purchase, the nearest-earlier error
+    * event of the same user. Spark has no native as-of join; the idiomatic
+    * distributed form is the union trick: tag both sides, sort within the
+    * user partition by (ts, tag), and carry the last-seen error id forward
+    * with a running `last(ignoreNulls)` window. One shuffle on user_id, state
+    * bounded per key — the same shape DuckDB's ASOF JOIN (the oracle)
+    * computes with a sort-merge.
+    * Reference note: the reference has no as-of (SURVEY §2.3); this is the
+    * north-star extension implemented per SURVEY §2.2 E6. */
+  val q33: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"), lit(0).as("tag"),
+        lit(null).cast("long").as("p_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("err_id"), lit(1).as("tag"),
+        col("event_id").as("p_id"))
+    // (ts, tag) order puts an error before a purchase at the same instant —
+    // matching ASOF's inclusive p.ts >= e.ts; err_id tiebreak makes the
+    // carried value deterministic if two errors share a timestamp.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"), col("err_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errors.unionAll(purchases)
+      .withColumn("prev_error_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("p_id").as("event_id"), col("prev_error_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q34 — session window, batch form (E25): 30-minute-gap sessions per user.
+    * session_window() merges windows that overlap under the gap; the oracle
+    * is the classic gaps-and-islands SQL. */
+  val q34: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        tsStr(col("session_window.start")).as("s_start"),
+        tsStr(col("session_window.end")).as("s_end"),
+        col("n"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  val queries: Map[String, Q] = Map(
+    "q31_tumbling_window" -> q31,
+    "q32_sliding_window" -> q32,
+    "q33_asof_join" -> q33,
+    "q34_session_window" -> q34)
+
+  val oracles: Map[String, String] = Map(
+    "q31_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS n,
+        |ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE),2) AS sv
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "q32_sliding_window" ->
+      """WITH w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT)*900 - i*900) * 1000000) AS ws,
+        |         event_type
+        |  FROM events, (SELECT UNNEST([0,1,2,3]) AS i))
+        |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, COUNT(*) AS n
+        |FROM w GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
+    "q33_asof_join" ->
+      """SELECT p.event_id, e.event_id AS prev_error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q34_session_window" ->
+      """WITH marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks)
+        |SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS s_start,
+        |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS s_end, COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY.md §2.4 Q30 + north-star text-analysis operators (E21): quality
+  * scoring, token counting, language-ID heuristic. All per-row expression
+  * pipelines (codegen'd, no UDFs, no shuffle except the final aggregation) —
+  * embarrassingly parallel at 100 TB.
+  */
+object TextQueries {
+  import CoreQueries.Q
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Q30 — per-language corpus stats: docs, chars, whitespace tokens (E21). */
+  val q30: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .orderBy(col("lang"))
+
+  /** x30 — document quality scoring: stopword ratio, average token length,
+    * length saturation — the heuristics an LLM-corpus filter runs per doc.
+    * Rounding is floor(x*1e4+0.5)/1e4 rather than round(): these ratios are
+    * rational and DO land on exact .00005 ties, where Spark (BigDecimal
+    * HALF_UP on the shortest decimal repr) and DuckDB (std::round on the raw
+    * double) disagree; the floor form is the same IEEE ops in both engines. */
+  val x30: Q = (s, d) => {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val nToks = size(split(col("text"), " "))
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
+    val avgTokLen = (length(col("text")) - (nToks - lit(1))) / nToks
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        nToks.cast("long").as("n_tokens"),
+        r4(nStop / nToks).as("stop_ratio"),
+        r4(avgTokLen).as("avg_tok_len"),
+        r4(
+          nStop / nToks * 0.4
+            + least(avgTokLen / 10.0, lit(1.0)) * 0.3
+            + least(nToks / 100.0, lit(1.0)) * 0.3).as("quality"))
+      .orderBy(col("doc_id"))
+      .limit(200)
+  }
+
+  /** x31 — BPE-ish token counting: word / number / punctuation token classes
+    * via one regex pass (regexp_extract_all is codegen'd). */
+  val x31: Q = (s, d) => {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_bpe")).cast("long").as("bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** x32 — language-ID heuristic: score text against per-language character
+    * bigram profiles (deterministic, pure column expressions). The synthetic
+    * corpus's `lang` labels are random, so this measures the *operator*
+    * (profile scoring + argmax via greatest/when), not label recovery. */
+  val x32: Q = (s, d) => {
+    // tiny bigram profiles per language (public-knowledge frequent bigrams)
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("th", "he", "in", "er", "an"),
+      "es" -> Seq("de", "en", "la", "el", "os"),
+      "fr" -> Seq("es", "le", "de", "en", "re"),
+      "de" -> Seq("en", "er", "ch", "de", "ei"),
+      "zh" -> Seq("zh", "sh", "ng", "ia", "uo"))
+    def score(lang: String): Column =
+      profiles(lang).map(bg =>
+        (length(col("text")) - length(regexp_replace(col("text"), bg, ""))) / 2
+      ).reduce(_ + _).cast("double").as(s"s_$lang")
+    val scored = t(s, d, "documents")
+      .select(col("doc_id") +: col("lang").as("label") +: profiles.keys.toSeq.sorted.map(score): _*)
+    val langs = profiles.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"s_$l").as("sc"), lit(l).as("lg")))
+      .reduce((a, b) => when(b.getField("sc") > a.getField("sc"), b).otherwise(a))
+    scored
+      .select(col("doc_id"), col("label"), best.getField("lg").as("guess"))
+      .groupBy(col("label"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("guess"))
+  }
+
+  /** x33 — document fingerprinting: winnowing-style — min/max of rolling
+    * 64-bit hashes over token 3-shingles (xxhash64 is Spark-native; no DuckDB
+    * twin, so this is a rows-only contract + ScalaTest properties). */
+  val x33: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val shingles = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    ).otherwise(array(col("text")))
+    val hashes = transform(shingles, sh => xxhash64(sh))
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        array_min(hashes).as("fp_min"),
+        array_max(hashes).as("fp_max"),
+        size(array_distinct(hashes)).cast("long").as("n_distinct_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_text_stats" -> q30,
+    "x30_quality_score" -> x30,
+    "x31_token_count" -> x31,
+    "x32_lang_id" -> x32,
+    "x33_fingerprint" -> x33)
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS toks
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x30_quality_score" ->
+      s"""SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |floor(CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+         |  / len(string_split(text,' ')) * 10000 + 0.5) / 10000 AS stop_ratio,
+         |floor(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |  / len(string_split(text,' ')) * 10000 + 0.5) / 10000 AS avg_tok_len,
+         |floor((CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+         |    / len(string_split(text,' ')) * 0.4
+         |  + least((CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text,' '))) / 10.0, 1.0) * 0.3
+         |  + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "x31_token_count" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}

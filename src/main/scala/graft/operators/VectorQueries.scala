@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** SURVEY.md §2.4 Q29 + north-star similarity search (E20).
+  *
+  * Cosine kernels are built from codegen'd higher-order functions
+  * (`zip_with`/`transform`/`aggregate`) in double precision.
+  *
+  * 100 TB design: query vectors are always the broadcast side, so the corpus
+  * (the 100 TB side) is scanned exactly once with no shuffle; top-k goes
+  * through TakeOrderedAndProject (per-partition heap + k-row driver merge).
+  * The LSH variant buckets the corpus by random-hyperplane signature so a
+  * query probes only matching buckets — corpus-side work drops from O(N) to
+  * O(N / 2^bits) per query at the cost of recall (measured in the spec).
+  */
+object VectorQueries {
+  import CoreQueries.Q
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Double-precision L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Q29 — brute-force cosine top-k against vec_id=0's vector (E20 baseline). */
+  val q29: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** x20 — cosine near-duplicate pairs over embeddings (E20/dedup bridge):
+    * all pairs (a < b) with cosine > 0.3, both sides from the same table.
+    * Orderable oracle via the same double-precision formula in DuckDB. */
+  val x20: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("a_emb"), col("b_emb")), 4).as("sim"))
+      .filter(col("sim") > 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** x21 — LSH-bucketed approximate NN (the scale path for E20).
+    * Random-hyperplane signatures: `nBits` fixed pseudo-random hyperplanes
+    * (deterministic, seeded by index) hash each vector to a bit signature;
+    * candidates = same-bucket pairs only. At 100 TB the bucket id is the
+    * shuffle key, so candidate generation is a co-partitioned self-join
+    * instead of a cross join. Not oracle-checkable (approximate): the spec
+    * asserts recall vs x20 instead; driver records rows>0. */
+  val x21: Q = (s, d) => {
+    val dim = 64
+    val nBits = 8
+    // Deterministic hyperplanes from a splitmix-style integer mix (no RNG
+    // object: reproducible across JVMs/executors).
+    def mix(z0: Long): Double = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    val planes: Seq[Seq[Double]] =
+      (0 until nBits).map(b => (0 until dim).map(i => mix((b * dim + i + 1).toLong)))
+    def signature(emb: Column): Column = {
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val pc = array(p.map(lit): _*)
+        when(dot(emb, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("bucket"))
+    a.join(b, Seq("bucket")) // co-partitioned equi-join on bucket id
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("a_emb"), col("b_emb")), 4).as("sim"))
+      .filter(col("sim") > 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q29_cosine_topk" -> q29,
+    "x20_cosine_neardup" -> x20,
+    "x21_ann_lsh" -> x21)
+
+  private val cosSql =
+    """list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+      |/ (sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q29_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${cosSql.format("e.embedding", "q.qe", "e.embedding", "q.qe")}, 4) AS sim
+         |FROM embeddings e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x20_cosine_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |ROUND(${cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding")}, 4) AS sim
+         |FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         |AND ROUND(${cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding")}, 4) > 0.3
+         |ORDER BY a_id, b_id""".stripMargin)
+}
