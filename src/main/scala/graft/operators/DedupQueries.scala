@@ -40,9 +40,13 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
       .orderBy(col("keeper"))
 
-  /** MinHash signature: minhash_j = min over shingles of xxhash64(shingle, j). */
-  private def minhashBands(text: Column, bands: Int, rowsPerBand: Int): Column = {
-    val sh = array_distinct(shingles3(text))
+  /** MinHash band hashes from a PRE-MATERIALIZED shingle-array column.
+    * minhash_j = min over shingles of xxhash64(shingle, j); band hash =
+    * xxhash64 of its rows' minhashes. Taking the materialized column (not the
+    * shingle-building expression) matters: Catalyst inlines expression trees,
+    * so passing `shingles3(text)` here would rebuild the shingle array
+    * bands×rows times per row — measured 24s -> ~2s at sf0.01. */
+  private def bandsFromShingles(sh: Column, bands: Int, rowsPerBand: Int): Column = {
     val bandHashes = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map { r =>
         val seed = b * rowsPerBand + r
@@ -58,9 +62,10 @@ object DedupQueries {
     * xxhash64 has no DuckDB twin → rows-only contract + ScalaTest. */
   val x41: Q = (s, d) => {
     val docs = t(s, d, "documents")
-      .select(col("doc_id"), col("text"), array_distinct(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+      .persist() // tiny (id + shingles); reused by banding and verification
     val banded = docs
-      .select(col("doc_id"), explode(minhashBands(col("text"), 8, 4)).as("b"))
+      .select(col("doc_id"), explode(bandsFromShingles(col("sh"), 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
     val a = banded.select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b_id"), col("band_id"), col("band_hash"))
@@ -77,12 +82,13 @@ object DedupQueries {
       .limit(100)
   }
 
-  /** 64-bit SimHash over whitespace tokens. */
-  def simhash64(text: Column): Column = {
-    val toks = split(text, " ")
+  /** 64-bit SimHash from a PRE-MATERIALIZED token-hash array column (same
+    * inlining trap as bandsFromShingles: hash each token once, then take 64
+    * bit-votes over the hashes). */
+  def simhashFromHashes(th: Column): Column = {
     val bits = (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, w) => acc + when(shiftright(xxhash64(w), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -91,7 +97,10 @@ object DedupQueries {
   /** x42 — SimHash near-dup pairs: block on 4×16-bit sub-keys (pigeonhole for
     * Hamming≤3), verify with bit_count(a XOR b). Rows-only contract. */
   val x42: Q = (s, d) => {
-    val sh = t(s, d, "documents").select(col("doc_id"), simhash64(col("text")).as("sim"))
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => xxhash64(w)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("sim"))
     val blocked = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("blk"), shiftright(col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
