@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.{AnalyticsPipeline, IngestJob}
+
+/** Runnable form of the reference's e2e flow (validation/e2e.sh): produce N
+  * trades → topic → streaming ingest → table → canonical analytics → second
+  * topic → ingest → re-query. Usage: runMain graft.PipelineDemo [workDir] [n]
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
+    val n = args.lift(1).map(_.toLong).getOrElse(20000L) // e2e.sh:109-116
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val analytics = AnalyticsPipeline.runCycle(spark, workDir, n)
+    analytics.orderBy(org.apache.spark.sql.functions.desc("total_volume")).show(20, truncate = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[pipeline] $n trades through the bidirectional cycle in $secs%.1f s; workDir=$workDir")
+    println("[pipeline] trades snapshots: " +
+      IngestJob.committedBatches(s"$workDir/tables/trades").toSeq.sorted.mkString(","))
+    spark.stop()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** A3 — the continuous JSON→columnar ingest operator (the role Redpanda's
+  * datalake translator plays in the reference: validate against the topic
+  * schema, flatten to columns, write parquet, commit a snapshot every
+  * `iceberg_target_lag_ms` — `redpanda/redpanda.yaml:1-12`, `CLAUDE.md:160-177`).
+  *
+  * Spark-first shape: readStream(topic) → from_json → required-field filter →
+  * foreachBatch { date-partitioned parquet append + snapshot-log commit }.
+  *
+  *  - Exactly-once: foreachBatch is wrapped in a batchId check against the
+  *    snapshot log (the reference gets this from Iceberg's atomic commit,
+  *    `README.md:752-757`); a replayed batch after restart is skipped.
+  *  - Schema enforcement (A7): rows whose JSON fails to parse or misses a
+  *    required field are diverted to a reject count, not dropped silently
+  *    (the registry's "schema must exist before data" contract,
+  *    `CLAUDE.md:350-351`).
+  *  - 100 TB design: the table is partitioned by event date so downstream
+  *    time-range queries prune partitions; within a micro-batch we do NOT
+  *    coalesce — file count per trigger = shuffle parallelism, compaction is
+  *    a separate concern.
+  */
+object IngestJob {
+  /** Snapshot-log line: our mini-Iceberg commit record. */
+  private def commitSnapshot(tableDir: String, batchId: Long, rows: Long, rejects: Long): Unit = {
+    val log = Paths.get(tableDir, "_snapshots.jsonl")
+    Files.createDirectories(log.getParent)
+    val line = s"""{"batch":$batchId,"rows":$rows,"rejects":$rejects,"committed":true}""" + "\n"
+    Files.write(log, line.getBytes, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def committedBatches(tableDir: String): Set[Long] = {
+    val log = Paths.get(tableDir, "_snapshots.jsonl")
+    if (!Files.exists(log)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(log).asScala
+        .flatMap(l => "\"batch\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toLong)).toSet
+    }
+  }
+
+  /** Start the ingest stream: topic → parquet table at tableDir.
+    * @param required names that must be non-null post-parse (A7 enforcement)
+    * @param tsCol event-time column used for date partitioning
+    */
+  def start(
+      spark: SparkSession,
+      source: TopicSource,
+      tableDir: String,
+      schema: StructType,
+      required: Seq[String],
+      tsCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")) = {
+    val parsed = source.readStream(spark)
+      .select(col("key"), from_json(col("value"), schema).as("data"))
+      .select(col("key"), col("data.*"))
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committedBatches(tableDir).contains(batchId)) {
+          val ok = required.foldLeft(batch)((df, c) => df.filter(col(c).isNotNull))
+          val good = ok.withColumn("p_date", to_date(col(tsCol))).cache()
+          val nGood = good.count()
+          val nAll = batch.count()
+          good.drop("key")
+            .write.mode("append").partitionBy("p_date").parquet(s"$tableDir/data")
+          commitSnapshot(tableDir, batchId, nGood, nAll - nGood)
+          good.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read the ingested table (A4 scan stand-in — resolves through the data
+    * dir; real Iceberg REST catalog swaps in behind this call). p_date stays
+    * available for partition-pruned reads via readPartitioned. */
+  def readTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(s"$tableDir/data").drop("p_date")
+
+  /** Partition-pruning read: filters on p_date prune directories. */
+  def readPartitioned(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(s"$tableDir/data")
+}

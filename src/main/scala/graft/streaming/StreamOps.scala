@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for streaming ops (mirrors testdata `events`). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+case class UserRunningCount(user_id: Long, n: Long, total_value: Double)
+
+/** E23–E28 — streaming semantics (SURVEY §2.2). Each op takes a streaming
+  * (or batch — same expressions work in both: that equivalence is the test)
+  * DataFrame/Dataset and returns the transformed one; the caller owns
+  * writeStream/trigger/checkpoint.
+  *
+  * Watermark-bounded state (SURVEY §7 risk 6): every stateful op here bounds
+  * its state by watermark (windows, dedup) or explicit timeout (running
+  * counts) — at 100 TB, unbounded keyed state is what kills a streaming job.
+  */
+object StreamOps {
+
+  /** E23 — tumbling event-time window with watermark-dropped late data. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+
+  /** E24 — sliding window. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** E25 — session window (30-minute gap). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** E27 — streaming dedup on event_id; watermark bounds the dedup state to
+    * the lateness horizon (without it, state grows forever). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** E28 — custom keyed state: running count + value total per user.
+    * `idleTimeout` evicts state for keys gone quiet (the 100 TB guard:
+    * unbounded keyed state is what kills a long-running job). Note
+    * ProcessingTimeTimeout keeps the query scheduling timeout-check batches,
+    * so processAllAvailable()-style synchronous tests should pass None. */
+  def runningUserCounts(events: Dataset[Event], idleTimeout: Option[String] = None)(
+      implicit enc: org.apache.spark.sql.Encoder[UserRunningCount],
+      longEnc: org.apache.spark.sql.Encoder[Long]): Dataset[UserRunningCount] = {
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningCount, UserRunningCount](timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunningCount]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunningCount(userId, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserRunningCount(userId,
+              prev.n + batch.size, prev.total_value + batch.map(_.value).sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+}

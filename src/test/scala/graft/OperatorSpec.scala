@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Tier-1 unit tests for batch operators + plan-shape assertions (the 100 TB
+  * design checks: broadcasts are broadcast, prunes prune, top-k never sorts
+  * globally). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle key has a query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("q11 dimension joins plan as BroadcastHashJoin (no shuffle of the fact side)") {
+    val p = plan(JoinQueries.q11(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("q05 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(CoreQueries.q05(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x51 metadata query prunes the text column from the scan") {
+    val p = plan(MultimodalQueries.x51(spark, sfDir))
+    assert(p.contains("ReadSchema") && !p.contains("text"), p)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = graft.Tables.t(spark, sfDir, "orders").filter($"o_custkey" === 7L).select($"o_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)"), p)
+  }
+
+  test("q01 aggregates partially before the exchange (two-phase agg)") {
+    val p = plan(CoreQueries.q01(spark, sfDir))
+    // partial agg appears below the shuffle: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("MinHash LSH finds planted near-duplicates with high similarity") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // doc 2 = doc 1 with one token changed; doc 3 unrelated
+    val near = ((1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i")).mkString(" ")
+    val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", array_distinct(DedupQueries.shingles3($"text")).as("sh"))
+    val pairs = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        (size(array_intersect($"a.sh", $"b.sh")) / size(array_union($"a.sh", $"b.sh"))
+          .cast("double")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) > 0.85) // 3 shingles affected out of 58
+    assert(pairs((1L, 3L)) == 0.0)
+    assert(pairs((2L, 3L)) == 0.0)
+  }
+
+  test("x41 candidates at sf0.001 include every consecutive pair with jaccard >= 0.5") {
+    // ground truth from the oracle-checked exact query
+    val truth = DedupQueries.x43(spark, sfDir)
+      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val found = DedupQueries.x41(spark, sfDir)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val missed = truth.diff(found)
+    assert(missed.isEmpty, s"minhash missed high-jaccard pairs: $missed")
+  }
+
+  test("SimHash of identical texts is identical; hamming small for near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i")).mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near)).toDF("doc_id", "text")
+      .select($"doc_id",
+        transform(split($"text", " "), w => xxhash64(w)).as("th"))
+      .select($"doc_id", DedupQueries.simhashFromHashes($"th").as("s"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 16)
+  }
+
+  test("cosine: self-similarity 1, symmetry, and LSH recall vs brute force") {
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    val self = e.limit(1).select(
+      round(VectorQueries.cosine($"embedding", $"embedding"), 6).as("c"))
+      .as[Double].head()
+    assert(self == 1.0)
+    val brute = VectorQueries.x20(spark, sfDir).select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = VectorQueries.x21(spark, sfDir).select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs")
+    // 8-bit single-table LSH on near-orthogonal vectors: recall is partial by
+    // design; just require it finds something when brute force does
+    if (brute.nonEmpty) assert(lsh.nonEmpty)
+  }
+
+  test("dedup is idempotent (E14)") {
+    val d1 = WindowQueries.q23(spark, sfDir).collect().toSeq
+    val d2 = WindowQueries.q23(spark, sfDir).collect().toSeq
+    assert(d1 == d2)
+  }
+
+  test("union-all count additivity (B15)") {
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+    assert(li.unionAll(li).count() == 2 * li.count())
+  }
+
+  test("as-of join: every purchase appears exactly once, prev error is earlier") {
+    val res = TemporalQueries.q33(spark, sfDir)
+    val purchases = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(res.count() == purchases)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming._
+
+/** Tier-4 pipeline e2e (SURVEY §5.2): the reference's bidirectional cycle —
+  * producer → topic → ingest → table → analytics → topic → ingest → table →
+  * re-query (validation/e2e.sh re-expressed in Spark). */
+class PipelineSpec extends SparkSpec {
+
+  test("bidirectional cycle: 2000 trades -> 8 analytics rows -> re-ingested table") {
+    val work = tmpDir("graft-pipeline")
+    val n = 2000L
+    val result = AnalyticsPipeline.runCycle(spark, work, n)
+
+    // e2e.sh:147-148 — one analytics row per symbol
+    assert(result.count() == 8L)
+    val rows = result.collect()
+    assert(rows.map(_.getAs[String]("symbol")).sorted.toSeq == TradeGen.symbols.sorted)
+
+    // counts add back to the produced total (e2e.sh:161)
+    assert(rows.map(_.getAs[Long]("trade_count")).sum == n)
+    // buy+sell = total per group (B8 conditional counts)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("buy_count") + r.getAs[Long]("sell_count") == r.getAs[Long]("trade_count"))
+      assert(r.getAs[Double]("min_price") >= 50.0 && r.getAs[Double]("max_price") <= 500.0)
+    }
+
+    // the re-ingested analytics table round-trips the published query result
+    val direct = AnalyticsPipeline.tradeStats(
+      IngestJob.readTable(spark, s"$work/tables/trades"))
+    val a = direct.orderBy("symbol").collect().map(_.toSeq)
+    val b = result.select(direct.columns.map(col).toIndexedSeq: _*)
+      .orderBy("symbol").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+
+    // snapshot log committed exactly once per batch (exactly-once ingest)
+    val batches = IngestJob.committedBatches(s"$work/tables/trades")
+    assert(batches.nonEmpty)
+  }
+
+  test("ingest is idempotent: a replayed batch id is skipped") {
+    val work = tmpDir("graft-idem")
+    val topic = FileTopic(s"$work/topic")
+    TradeGen.produce(spark, topic, 100L)
+    val q = IngestJob.start(spark, topic, s"$work/table",
+      AnalyticsPipeline.tradeSchema,
+      Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val n1 = IngestJob.readTable(spark, s"$work/table").count()
+    // wipe the checkpoint (simulated lost offset state) and re-run: the
+    // snapshot log must reject the replayed batch ids
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$work/ckpt"))
+    val q2 = IngestJob.start(spark, topic, s"$work/table",
+      AnalyticsPipeline.tradeSchema,
+      Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(IngestJob.readTable(spark, s"$work/table").count() == n1)
+  }
+
+  test("schema enforcement: rows missing required fields are rejected, not ingested") {
+    val work = tmpDir("graft-reject")
+    val topic = FileTopic(s"$work/topic")
+    import spark.implicits._
+    // 2 valid + 1 junk (unparseable) + 1 missing required symbol
+    val good = TradeGen.trades(spark, 2L)
+    topic.publish(Topics.envelope(good, "trade_id"))
+    topic.publish(Seq(
+      ("k3", "{not json at all"),
+      ("k4", """{"trade_id":"t4","price":1.0}""")).toDF("key", "value"))
+    val q = IngestJob.start(spark, topic, s"$work/table",
+      AnalyticsPipeline.tradeSchema,
+      Seq("trade_id", "symbol", "price"), "ts_event", s"$work/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(IngestJob.readTable(spark, s"$work/table").count() == 2L)
+    // reject count recorded in the snapshot log
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/table/_snapshots.jsonl"))
+    assert(log.contains("\"rejects\":2"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming._
+import org.apache.spark.sql.SQLContext
+
+/** Tier-1 streaming semantics tests (SURVEY §5.2): E23 batch/stream
+  * equivalence, E26 watermark late-data drop, E27 streaming dedup, E28
+  * custom keyed state — all through MemoryStream + processAllAvailable. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Event(id, ts(minute), user, typ, v)
+
+  test("E23: tumbling-window counts — streaming equals batch on same data") {
+    val events = (0 until 120).map(i => ev(i.toLong, i))
+    val input = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(input.toDF(), "1 hour", "0 minutes")
+      .writeStream.format("memory").queryName("tumble").outputMode("complete").start()
+    input.addData(events)
+    q.processAllAvailable()
+    val streamed = spark.table("tumble").select("ws", "event_type", "n", "sv")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    val batch = StreamOps.tumblingCounts(events.toDF(), "1 hour", "0 minutes")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.toSeq.map(_._3).sum == 120)
+  }
+
+  test("E26: watermark drops late data in append mode") {
+    val input = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    // batch 1: events up to minute 40 -> watermark advances to 35
+    input.addData((0 until 40).map(i => ev(i.toLong, i)))
+    q.processAllAvailable()
+    // batch 2: a late event at minute 2 (window [0,10) is far behind the
+    // watermark) and an on-time one at 41
+    input.addData(Seq(ev(100L, 2), ev(101L, 41)))
+    q.processAllAvailable()
+    // batch 3: push watermark forward so all on-time windows emit
+    input.addData(Seq(ev(102L, 90)))
+    q.processAllAvailable()
+    val rows = spark.table("late").as[(Timestamp, String, Long, Double)].collect()
+    q.stop()
+    val byWindow = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // window [00:00,00:10) emitted exactly 10 — the late event at minute 2
+    // was dropped, not double-counted
+    assert(byWindow(ts(0)) == 10L)
+    // the on-time event at minute 41 IS counted (sole member of [40,50))
+    assert(byWindow(ts(40)) == 1L)
+  }
+
+  test("E27: streaming dedup emits each event_id once across batches") {
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupEvents(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    input.addData(Seq(ev(1, 0), ev(2, 1), ev(1, 0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(2, 1), ev(3, 2)))
+    q.processAllAvailable()
+    val got = spark.table("dedup").as[Event].collect().map(_.event_id).sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
+    val input = MemoryStream[Event]
+    val q = StreamOps.runningUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    input.addData(Seq(ev(1, 0, user = 7, v = 2.0), ev(2, 1, user = 7, v = 3.0), ev(3, 1, user = 8, v = 1.0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(4, 2, user = 7, v = 5.0)))
+    q.processAllAvailable()
+    val byUser = spark.table("running").as[UserRunningCount].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n)).toMap
+    q.stop()
+    assert(byUser(7L).n == 3 && byUser(7L).total_value == 10.0)
+    assert(byUser(8L).n == 1)
+  }
+
+  test("E25: session-window streaming matches batch sessionization") {
+    // user 1: events at 0,10,20 (one session), then 60,65 (second session)
+    val events = Seq(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 60), ev(5, 65))
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionCounts(input.toDF(), "30 minutes", "0 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    input.addData(events)
+    q.processAllAvailable()
+    val streamed = spark.table("sess").as[(Timestamp, Timestamp, Long, Long)].collect().toSet
+    q.stop()
+    val batch = StreamOps.sessionCounts(events.toDF(), "30 minutes", "0 minutes")
+      .as[(Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._4).toSeq.sorted == Seq(2L, 3L))
+  }
+}
