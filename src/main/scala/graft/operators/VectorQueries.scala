@@ -19,24 +19,28 @@ import graft.Tables.t
 object VectorQueries {
   import CoreQueries.Q
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Double-precision dot product — custom codegen Expression (the HOF
+    * zip_with/aggregate form is interpreted per element and allocates an
+    * intermediate array per pair; same op sequence, ~20× faster). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.floatDot(a, b)
 
   /** Double-precision L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Q29 — brute-force cosine top-k against vec_id=0's vector (E20 baseline). */
+  /** Q29 — brute-force cosine top-k against vec_id=0's vector (E20 baseline).
+    * Corpus norms are computed once per row BEFORE the join (norm(b) inside
+    * the pair expression would recompute per pair — at 100 TB that triples
+    * the flops of the whole sweep). */
   val q29: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
     e.crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("sim"))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(10)
   }
@@ -46,11 +50,13 @@ object VectorQueries {
     * Orderable oracle via the same double-precision formula in DuckDB. */
   val x20: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.crossJoin(broadcast(b))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine(col("a_emb"), col("b_emb")), 4).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
       .filter(col("sim") > 0.3)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -74,11 +80,11 @@ object VectorQueries {
       z = z ^ (z >>> 31)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    val planes: Seq[Seq[Double]] =
-      (0 until nBits).map(b => (0 until dim).map(i => mix((b * dim + i + 1).toLong)))
+    val planes: Seq[Seq[Float]] =
+      (0 until nBits).map(b => (0 until dim).map(i => mix((b * dim + i + 1).toLong).toFloat))
     def signature(emb: Column): Column = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
-        val pc = array(p.map(lit): _*)
+        val pc = array(p.map(lit): _*) // float literals -> array<float> for FloatDot
         when(dot(emb, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)

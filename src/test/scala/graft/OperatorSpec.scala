@@ -56,7 +56,8 @@ class OperatorSpec extends SparkSpec {
     val near = ((1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i")).mkString(" ")
     val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
     val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
-    val sh = docs.select($"doc_id", array_distinct(DedupQueries.shingles3($"text")).as("sh"))
+    val sh = docs.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", array_distinct(DedupQueries.shingles3($"toks")).as("sh"))
     val pairs = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
         (size(array_intersect($"a.sh", $"b.sh")) / size(array_union($"a.sh", $"b.sh"))
