@@ -27,7 +27,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       TemporalQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      UdfQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -39,5 +40,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       TemporalQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      UdfQueries.oracles
 }

@@ -72,7 +72,11 @@ object IngestJob {
           val nGood = good.count()
           val nAll = batch.count()
           good.drop("key")
-            .write.mode("append").partitionBy("p_date").parquet(s"$tableDir/data")
+            .write.mode("append").partitionBy("p_date")
+            // D2 flush-threshold analog (redpanda.yaml:31-32 caps Parquet
+            // file size by bytes; Spark's file sink caps by records)
+            .option("maxRecordsPerFile", sys.env.getOrElse("GRAFT_MAX_RECORDS_PER_FILE", "1000000"))
+            .parquet(s"$tableDir/data")
           commitSnapshot(tableDir, batchId, nGood, nAll - nGood)
           good.unpersist()
         }

@@ -116,6 +116,27 @@ class OperatorSpec extends SparkSpec {
     assert(li.unionAll(li).count() == 2 * li.count())
   }
 
+  test("E30: approx_count_distinct within 5% of exact") {
+    val r = UdfQueries.x63(spark, sfDir).collect().head
+    val approx = r.getAs[Long]("approx_custs").toDouble
+    val exact = r.getAs[Long]("exact_custs").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("E29: UDAF bounded top-k equals the window-function top-k") {
+    val viaUdaf = UdfQueries.x61(spark, sfDir)
+      .select("c_mktsegment", "rn", "o_orderkey").as[(String, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val o = graft.Tables.t(spark, sfDir, "orders")
+    val c = graft.Tables.t(spark, sfDir, "customer")
+    val viaWindow = o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn".cast("long"), $"o_orderkey")
+      .orderBy($"c_mktsegment", $"rn").as[(String, Long, Long)].collect().toSeq
+    assert(viaUdaf == viaWindow)
+  }
+
   test("as-of join: every purchase appears exactly once, prev error is earlier") {
     val res = TemporalQueries.q33(spark, sfDir)
     val purchases = graft.Tables.t(spark, sfDir, "events")
