@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{FloatDot, MinHashSigs, SimHash64}
+
+/** SparkSessionExtensions entry point (SURVEY §4's reserved extension seam):
+  * registers the engine's custom Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT float_dot(a, b) ...")` works next to the Column API.
+  *
+  * Wire up with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or config: spark.sql.extensions=graft.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot",
+        "float_dot(a, b) - double-precision dot product of two float arrays"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64",
+        "simhash64(hashes) - 64-bit SimHash of an array<long> of token hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs",
+        "minhash_sigs(shingles, n) - n MinHash signature values of an array<string>"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs: numHashes must be a literal, got $other")
+        }
+        MinHashSigs(children(0), n)
+      }))
+  }
+}
