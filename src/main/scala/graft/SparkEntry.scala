@@ -28,7 +28,8 @@ object SparkEntry {
       DedupQueries.queries ++
       TemporalQueries.queries ++
       MultimodalQueries.queries ++
-      UdfQueries.queries
+      UdfQueries.queries ++
+      AdvancedQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -41,5 +42,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       TemporalQueries.oracles ++
       MultimodalQueries.oracles ++
-      UdfQueries.oracles
+      UdfQueries.oracles ++
+      AdvancedQueries.oracles
 }

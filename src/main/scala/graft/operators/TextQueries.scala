@@ -81,8 +81,12 @@ object TextQueries {
     val scored = t(s, d, "documents")
       .select(col("doc_id") +: col("lang").as("label") +: profiles.keys.toSeq.sorted.map(score): _*)
     val langs = profiles.keys.toSeq.sorted
-    val best = langs.map(l => struct(col(s"s_$l").as("sc"), lit(l).as("lg")))
-      .reduce((a, b) => when(b.getField("sc") > a.getField("sc"), b).otherwise(a))
+    // argmax via array_max on (score, -index, lang) structs: linear tree,
+    // earlier language wins ties (the when-reduce form doubles the tree per
+    // step — see AdvancedQueries.x22)
+    val best = array_max(array(langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"s_$l").as("sc"), lit(-i).as("nidx"), lit(l).as("lg"))
+    }: _*))
     scored
       .select(col("doc_id"), col("label"), best.getField("lg").as("guess"))
       .groupBy(col("label"), col("guess"))

@@ -48,6 +48,33 @@ object AnalyticsPipeline {
         tsStr(max(col("ts_event"))).as("last_trade_time"))
       .orderBy(desc("total_volume"))
 
+  /** Continuous form of the analytics stage (the reference's
+    * query_and_publish loop, `duckdb/query_and_publish.py`, as a Structured
+    * Streaming job): per trigger, recompute the per-symbol stats over the
+    * stream's running state and republish the full snapshot — the
+    * reference's republish-per-cycle behavior, 8 messages per trigger. */
+  def startContinuousAnalytics(
+      spark: SparkSession,
+      source: graft.streaming.TopicSource,
+      sink: graft.streaming.TopicSink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")) = {
+    val parsed = source.readStream(spark)
+      .select(from_json(col("value"), tradeSchema).as("data"))
+      .select(col("data.*"))
+      .filter(col("trade_id").isNotNull && col("symbol").isNotNull)
+    tradeStats(parsed)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.publish(Topics.envelope(batch, "symbol"))
+        ()
+      }
+      .start()
+  }
+
   /** Run the whole cycle synchronously (Trigger.AvailableNow ≈ "catch up to
     * the 10 s snapshot lag, then stop" — the e2e's bounded waits,
     * `validation/e2e.sh:120-121`). Returns the re-queried analytics table. */

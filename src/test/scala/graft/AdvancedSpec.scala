@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Salting
+import graft.operators.{AdvancedQueries, VectorQueries}
+import graft.streaming._
+
+/** Salting equivalence, IVF recall, continuous streaming analytics. */
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join result equals plain join on skewed data") {
+    // 10k rows, 90% on one hot key
+    val big = spark.range(0, 10000)
+      .select((when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L))).as("k"), $"id".as("v"))
+    val small = Seq((42L, "hot"), (1L, "a"), (3L, "b"), (99L, "miss")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Salting.saltedJoin(big, small, "k", 8).select("k", "v", "name")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.nonEmpty)
+  }
+
+  test("salted count equals plain count per key") {
+    val big = spark.range(0, 5000)
+      .select(when($"id" % 5 === 0, $"id" % 3).otherwise(lit(7L)).as("k"))
+    val plain = big.groupBy("k").count().as[(Long, Long)].collect().toMap
+    val salted = Salting.saltedCount(big, "k", 8).as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("IVF ANN: top-10 is a plausible subset with bounded recall loss") {
+    val brute = operators.VectorQueries.q29(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = AdvancedQueries.x22(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    assert(ivf.contains(0L), "query vector must match itself")
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // 6/16 buckets probed on near-orthogonal vectors: expect at least the
+    // probe fraction's worth of the true top-10
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("continuous analytics stream republisher: 8 rows per snapshot, matches batch") {
+    val work = tmpDir("graft-cont")
+    val topic = FileTopic(s"$work/topic")
+    val out = FileTopic(s"$work/analytics")
+    TradeGen.produce(spark, topic, 1000L)
+    val q = AnalyticsPipeline.startContinuousAnalytics(spark, topic, out,
+      s"$work/ckpt", org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val msgs = out.readBatch(spark)
+    assert(msgs.count() == 8L)
+    val parsed = msgs.select(from_json($"value", AnalyticsPipeline.analyticsSchema).as("d"))
+      .select($"d.*").orderBy($"symbol")
+    val direct = AnalyticsPipeline.tradeStats(
+      topic.readBatch(spark)
+        .select(from_json($"value", AnalyticsPipeline.tradeSchema).as("d")).select($"d.*"))
+      .orderBy($"symbol")
+    assert(parsed.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+}
