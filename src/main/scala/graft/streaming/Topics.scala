@@ -28,8 +28,16 @@ trait TopicSink {
 }
 
 /** JSON-lines-directory topic. One JSON object per line: {"key":…,"value":…},
-  * matching the Kafka message envelope. */
-final case class FileTopic(dir: String) extends TopicSource with TopicSink {
+  * matching the Kafka message envelope.
+  *
+  * `numPartitions > 1` mimics the Kafka key-partitioner's placement (D5,
+  * `producer.py:98-99`): publish hash-partitions rows by key, so a key's
+  * records land co-located in one file per publish call. (Placement only —
+  * no cross-publish or intra-file ordering guarantee; a real Kafka sink
+  * additionally orders within a partition.) Default 1 keeps the writer's
+  * natural parallelism with no shuffle. */
+final case class FileTopic(dir: String, numPartitions: Int = 1)
+    extends TopicSource with TopicSink {
   val schema: StructType = StructType(Seq(
     StructField("key", StringType), StructField("value", StringType)))
 
@@ -39,9 +47,11 @@ final case class FileTopic(dir: String) extends TopicSource with TopicSink {
   override def readBatch(spark: SparkSession): DataFrame =
     spark.read.schema(schema).json(dir)
 
-  override def publish(df: DataFrame): Unit =
-    df.select(col("key").cast("string"), col("value").cast("string"))
-      .write.mode("append").json(dir)
+  override def publish(df: DataFrame): Unit = {
+    val out = df.select(col("key").cast("string"), col("value").cast("string"))
+    val placed = if (numPartitions > 1) out.repartition(numPartitions, col("key")) else out
+    placed.write.mode("append").json(dir)
+  }
 }
 
 object Topics {
