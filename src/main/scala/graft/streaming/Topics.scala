@@ -30,14 +30,16 @@ trait TopicSink {
 /** JSON-lines-directory topic. One JSON object per line: {"key":…,"value":…},
   * matching the Kafka message envelope.
   *
-  * `numPartitions > 1` mimics the Kafka key-partitioner's placement (D5,
-  * `producer.py:98-99`): publish hash-partitions rows by key, so a key's
-  * records land co-located in one file per publish call. (Placement only —
-  * no cross-publish or intra-file ordering guarantee; a real Kafka sink
-  * additionally orders within a partition.) Default 1 keeps the writer's
-  * natural parallelism with no shuffle. */
-final case class FileTopic(dir: String, numPartitions: Int = 1)
+  * `numPartitions = Some(n)` mimics the Kafka key-partitioner's placement
+  * (D5, `producer.py:98-99`): publish hash-partitions rows by key into n
+  * partitions, so a key's records land co-located in one file per publish
+  * call (Some(1) = the e2e's single-partition topic, `e2e.sh:52-53`).
+  * Placement only — no cross-publish or intra-file ordering guarantee; a
+  * real Kafka sink additionally orders within a partition. None (default)
+  * keeps the writer's natural parallelism with no shuffle. */
+final case class FileTopic(dir: String, numPartitions: Option[Int] = None)
     extends TopicSource with TopicSink {
+  numPartitions.foreach(n => require(n >= 1, s"numPartitions must be >= 1, got $n"))
   val schema: StructType = StructType(Seq(
     StructField("key", StringType), StructField("value", StringType)))
 
@@ -49,7 +51,7 @@ final case class FileTopic(dir: String, numPartitions: Int = 1)
 
   override def publish(df: DataFrame): Unit = {
     val out = df.select(col("key").cast("string"), col("value").cast("string"))
-    val placed = if (numPartitions > 1) out.repartition(numPartitions, col("key")) else out
+    val placed = numPartitions.map(n => out.repartition(n, col("key"))).getOrElse(out)
     placed.write.mode("append").json(dir)
   }
 }
