@@ -20,6 +20,9 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int,
       joinType: String = "inner"): DataFrame = {
     require(n > 0)
+    // right/full would duplicate unmatched small-side rows n× (the explode)
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     // deterministic spread: hash all big-side columns (any distribution
     // works for correctness; hashing the row avoids a second pass/rand())
     val bigS = big.withColumn("_salt",
