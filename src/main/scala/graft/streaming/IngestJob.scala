@@ -76,7 +76,9 @@ object IngestJob {
             // D2 flush-threshold analog (redpanda.yaml:31-32 caps Parquet
             // file size by bytes; Spark's file sink caps by records)
             .option("maxRecordsPerFile", sys.env.getOrElse("GRAFT_MAX_RECORDS_PER_FILE", "1000000"))
-            .parquet(s"$tableDir/data")
+            // batch=<id> directory = the snapshot boundary: time-travel
+            // reads prune on it (Iceberg's VERSION AS OF equivalent)
+            .parquet(s"$tableDir/data/batch=$batchId")
           commitSnapshot(tableDir, batchId, nGood, nAll - nGood)
           good.unpersist()
         }
@@ -85,13 +87,26 @@ object IngestJob {
       .start()
   }
 
-  /** Read the ingested table (A4 scan stand-in — resolves through the data
-    * dir; real Iceberg REST catalog swaps in behind this call). p_date stays
-    * available for partition-pruned reads via readPartitioned. */
+  /** Read the ingested table at its current snapshot (A4 scan stand-in —
+    * resolves through the data dir; real Iceberg REST catalog swaps in
+    * behind this call). batch/p_date stay available for pruned reads via
+    * readPartitioned. */
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(s"$tableDir/data").drop("p_date")
+    spark.read.parquet(s"$tableDir/data").drop("p_date").drop("batch")
 
-  /** Partition-pruning read: filters on p_date prune directories. */
+  /** Partition-pruning read: filters on batch / p_date prune directories. */
   def readPartitioned(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(s"$tableDir/data")
+
+  /** Time travel (A5: "snapshot-id ≈ our snapshot-log head"; Iceberg
+    * `VERSION AS OF` equivalent): the table as of snapshot `batchId` —
+    * directory-level partition pruning on batch=<id>, no data read beyond
+    * the requested snapshots. */
+  def readTableAsOf(spark: SparkSession, tableDir: String, batchId: Long): DataFrame = {
+    require(committedBatches(tableDir).contains(batchId),
+      s"snapshot $batchId not in the commit log of $tableDir")
+    readPartitioned(spark, tableDir)
+      .filter(col("batch") <= batchId)
+      .drop("p_date").drop("batch")
+  }
 }

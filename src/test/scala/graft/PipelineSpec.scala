@@ -60,6 +60,30 @@ class PipelineSpec extends SparkSpec {
     assert(IngestJob.readTable(spark, s"$work/table").count() == n1)
   }
 
+  test("time travel: readTableAsOf(snapshot) sees only that snapshot's data") {
+    val work = tmpDir("graft-tt")
+    val topic = FileTopic(s"$work/topic")
+    def ingest(): Unit = {
+      val q = IngestJob.start(spark, topic, s"$work/table",
+        AnalyticsPipeline.tradeSchema,
+        Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    TradeGen.produce(spark, topic, 100L, seed = 1L)
+    ingest() // snapshot 0
+    TradeGen.produce(spark, topic, 50L, seed = 2L)
+    ingest() // snapshot 1
+    assert(IngestJob.committedBatches(s"$work/table") == Set(0L, 1L))
+    assert(IngestJob.readTableAsOf(spark, s"$work/table", 0L).count() == 100L)
+    assert(IngestJob.readTableAsOf(spark, s"$work/table", 1L).count() == 150L)
+    assert(IngestJob.readTable(spark, s"$work/table").count() == 150L)
+    // unknown snapshot id is rejected
+    intercept[IllegalArgumentException] {
+      IngestJob.readTableAsOf(spark, s"$work/table", 99L)
+    }
+  }
+
   test("schema enforcement: rows missing required fields are rejected, not ingested") {
     val work = tmpDir("graft-reject")
     val topic = FileTopic(s"$work/topic")
