@@ -23,10 +23,13 @@ object Salting {
     // right/full would duplicate unmatched small-side rows n× (the explode)
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    // deterministic spread: hash all big-side columns (any distribution
-    // works for correctness; hashing the row avoids a second pass/rand())
+    // per-row spread: hash a unique per-row id, NOT the row's columns —
+    // identical rows (deduped facts, key-only projections) would otherwise
+    // share one salt and re-hot-spot the very key being salted. Any salt
+    // distribution is correctness-neutral (the small side carries all of
+    // them), so the partition-dependent id is fine.
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(n)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(n)).cast("int"))
     val smallS = small
       .withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
@@ -36,7 +39,7 @@ object Salting {
     * key, then final agg on the key. Use for algebraic aggregates (sum/count/
     * min/max). */
   def saltedCount(df: DataFrame, key: String, n: Int): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n)))
+    df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(n)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col(key))

@@ -62,12 +62,17 @@ object DedupQueries {
     * Jaccard. bands=8 × rows=4 (32 hashes): catches pairs from J≈0.5 up.
     * xxhash64 has no DuckDB twin → rows-only contract + ScalaTest. */
   val x41: Q = (s, d) => {
+    // NOT persisted: a lazily-returned DataFrame can't unpersist safely, and
+    // leaked cache entries accumulate in long-lived sessions (Verify runs 54
+    // queries in one). The three consumers each recompute the projection —
+    // one cheap scan of the 500-doc table apiece; multi-references within a
+    // consumer still evaluate once (materialized columns, CollapseProject
+    // spares multi-referenced non-cheap exprs).
     val docs = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_distinct(shingles3(col("toks"))).as("sh"))
       .select(col("doc_id"), col("sh"),
         graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
-      .persist() // tiny (id + shingles + sigs); reused by banding and verification
     val banded = docs
       .select(col("doc_id"), explode(bandsFromSigs(col("sigs"), 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))

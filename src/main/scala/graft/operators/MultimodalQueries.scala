@@ -25,18 +25,29 @@ object MultimodalQueries {
     StructField("n_bytes", LongType),
     StructField("width", LongType),
     StructField("height", LongType),
-    StructField("mean_byte", DoubleType)))
+    StructField("mean_cp", DoubleType)))
 
   /** STUB decoder: stands in for an image codec. Deterministic function of
-    * the payload bytes so results are stable and oracle-checkable. */
+    * the payload so results are stable and oracle-checkable. The "pixel
+    * mean" averages the decoded string's code points over the CHARACTER
+    * count (not bytes) so the DuckDB twin (ascii(text[i]) over length(text))
+    * computes the identical value for non-ASCII payloads too; dims derive
+    * from the byte length. Empty payloads decode to 0.0. */
   private def fakeDecode(bytes: Array[Byte]): (Long, Long, Double) = {
     val n = bytes.length.toLong
     val width = 64L + (n % 577L)       // fake dims derived from payload size
     val height = 64L + (n % 331L)
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     var sum = 0L
+    var count = 0L
     var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
-    val mean = if (n == 0) 0.0 else sum.toDouble / n.toDouble
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += cp
+      count += 1
+      i += Character.charCount(cp)
+    }
+    val mean = if (count == 0) 0.0 else sum.toDouble / count.toDouble
     (width, height, mean)
   }
 
@@ -83,8 +94,9 @@ object MultimodalQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
         |CAST(64 + strlen(text) % 331 AS BIGINT) AS height,
+        |CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |floor(CAST(list_aggregate(list_transform(range(1, length(text)+1),
-        |  i -> ascii(text[i])), 'sum') AS DOUBLE) / strlen(text) * 100 + 0.5) / 100 AS mean_byte
+        |  i -> ascii(text[i])), 'sum') AS DOUBLE) / length(text) * 100 + 0.5) / 100 END AS mean_cp
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
     "x51_media_metadata" ->
       """SELECT source, COUNT(*) AS n_media, CAST(SUM(n_chars) AS BIGINT) AS total_bytes

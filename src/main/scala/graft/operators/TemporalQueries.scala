@@ -90,12 +90,16 @@ object TemporalQueries {
         |  FROM events, (SELECT UNNEST([0,1,2,3]) AS i))
         |SELECT CAST(ws AS VARCHAR) AS window_start, event_type, COUNT(*) AS n
         |FROM w GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
+    // correlated LIMIT-1 form, not ASOF JOIN: among equal-ts error events
+    // ASOF's pick is unspecified, while this form's (ts DESC, event_id DESC)
+    // order matches our window's deterministic tie-break exactly. DuckDB
+    // decorrelates it to the same sort-merge shape (verified equal + fast).
     "q33_asof_join" ->
-      """SELECT p.event_id, e.event_id AS prev_error_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
-        |  ON p.user_id = e.user_id AND p.ts >= e.ts
-        |ORDER BY p.event_id""".stripMargin,
+      """SELECT p.event_id, (
+        |  SELECT e.event_id FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = p.user_id AND e.ts <= p.ts
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prev_error_id
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin,
     "q34_session_window" ->
       """WITH marks AS (
         |  SELECT user_id, ts,

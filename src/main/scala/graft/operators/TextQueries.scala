@@ -32,7 +32,7 @@ object TextQueries {
     * HALF_UP on the shortest decimal repr) and DuckDB (std::round on the raw
     * double) disagree; the floor form is the same IEEE ops in both engines. */
   val x30: Q = (s, d) => {
-    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    def r4(c: org.apache.spark.sql.Column) = graft.Tables.fround(c, 4)
     val nToks = size(split(col("text"), " "))
     val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
     val avgTokLen = (length(col("text")) - (nToks - lit(1))) / nToks

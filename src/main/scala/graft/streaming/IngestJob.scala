@@ -72,7 +72,13 @@ object IngestJob {
           val nGood = good.count()
           val nAll = batch.count()
           good.drop("key")
-            .write.mode("append").partitionBy("p_date")
+            // OVERWRITE of this batch's directory, not append: a replay
+            // after a crash between data write and snapshot commit rewrites
+            // the same files instead of duplicating them — the write is
+            // idempotent per batch id, the commit-log check makes it
+            // exactly-once, and readTable filters to committed batches so
+            // a torn write is never visible
+            .write.mode("overwrite").partitionBy("p_date")
             // D2 flush-threshold analog (redpanda.yaml:31-32 caps Parquet
             // file size by bytes; Spark's file sink caps by records)
             .option("maxRecordsPerFile", sys.env.getOrElse("GRAFT_MAX_RECORDS_PER_FILE", "1000000"))
@@ -89,10 +95,17 @@ object IngestJob {
 
   /** Read the ingested table at its current snapshot (A4 scan stand-in —
     * resolves through the data dir; real Iceberg REST catalog swaps in
-    * behind this call). batch/p_date stay available for pruned reads via
+    * behind this call). Only COMMITTED batches are visible — a batch whose
+    * data landed but whose snapshot commit didn't is invisible until its
+    * replay completes (the snapshot log is the source of truth, as in
+    * Iceberg). batch/p_date stay available for pruned reads via
     * readPartitioned. */
-  def readTable(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(s"$tableDir/data").drop("p_date").drop("batch")
+  def readTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val committed = committedBatches(tableDir).toSeq
+    readPartitioned(spark, tableDir)
+      .filter(col("batch").isInCollection(committed))
+      .drop("p_date").drop("batch")
+  }
 
   /** Partition-pruning read: filters on batch / p_date prune directories. */
   def readPartitioned(spark: SparkSession, tableDir: String): DataFrame =
@@ -103,10 +116,11 @@ object IngestJob {
     * directory-level partition pruning on batch=<id>, no data read beyond
     * the requested snapshots. */
   def readTableAsOf(spark: SparkSession, tableDir: String, batchId: Long): DataFrame = {
-    require(committedBatches(tableDir).contains(batchId),
+    val committed = committedBatches(tableDir)
+    require(committed.contains(batchId),
       s"snapshot $batchId not in the commit log of $tableDir")
     readPartitioned(spark, tableDir)
-      .filter(col("batch") <= batchId)
+      .filter(col("batch").isInCollection(committed.filter(_ <= batchId).toSeq))
       .drop("p_date").drop("batch")
   }
 }

@@ -43,8 +43,9 @@ object TradeGen {
 
   def trades(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val id = col("id")
-    // one 64-bit hash per (row, field) pair; non-negative
-    def h(field: Int) = abs(xxhash64(id, lit(seed), lit(field)))
+    // one 64-bit hash per (row, field) pair; pmod (not abs) for
+    // non-negativity — abs(Long.MinValue) is negative
+    def h(field: Int) = pmod(xxhash64(id, lit(seed), lit(field)), lit(Long.MaxValue))
     val symbolArr = array(symbols.map(lit): _*)
     spark.range(0, n)
       .select(

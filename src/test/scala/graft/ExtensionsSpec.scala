@@ -16,11 +16,26 @@ class ExtensionsSpec extends SparkSpec {
       es => graft.functions.FloatDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => graft.functions.SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sigs", es => {
+      val n = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+        case other => throw new IllegalArgumentException(s"numHashes must be literal: $other")
+      }
+      graft.functions.MinHashSigs(es(0), n)
+    }, "built-in")
     val dot = spark.sql(
       "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
       .head().getDouble(0)
     assert(dot == 11.0)
     val sh = spark.sql("SELECT simhash64(array(CAST(5 AS BIGINT))) AS s").head().getLong(0)
     assert(sh == 5L) // single hash: simhash of one element is the element's bit pattern
+    val sigs = spark.sql("SELECT minhash_sigs(array('a b c', 'b c d'), 4) AS m")
+      .head().getSeq[Long](0)
+    assert(sigs.length == 4)
+    // parity with the Column-API form on the same input
+    import spark.implicits._
+    val viaCol = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(graft.functions.VectorExprs.minHashSigs($"sh", 4)).head().getSeq[Long](0)
+    assert(sigs == viaCol)
   }
 }
