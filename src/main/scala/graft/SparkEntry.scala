@@ -29,7 +29,8 @@ object SparkEntry {
       TemporalQueries.queries ++
       MultimodalQueries.queries ++
       UdfQueries.queries ++
-      AdvancedQueries.queries
+      AdvancedQueries.queries ++
+      PivotQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -43,5 +44,6 @@ object SparkEntry {
       TemporalQueries.oracles ++
       MultimodalQueries.oracles ++
       UdfQueries.oracles ++
-      AdvancedQueries.oracles
+      AdvancedQueries.oracles ++
+      PivotQueries.oracles
 }
