@@ -107,9 +107,13 @@ object IngestJob {
       .drop("p_date").drop("batch")
   }
 
-  /** Partition-pruning read: filters on batch / p_date prune directories. */
+  /** Partition-pruning read: filters on batch / p_date prune directories.
+    * mergeSchema unions column sets across snapshots — the schema-evolution
+    * contract of the reference's `value_schema_latest` mode (CLAUDE.md:
+    * 165-171): a column added in a later registered schema reads as null for
+    * rows ingested before it existed. */
   def readPartitioned(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(s"$tableDir/data")
+    spark.read.option("mergeSchema", "true").parquet(s"$tableDir/data")
 
   /** Time travel (A5: "snapshot-id ≈ our snapshot-log head"; Iceberg
     * `VERSION AS OF` equivalent): the table as of snapshot `batchId` —

@@ -84,6 +84,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: a column added in a later snapshot reads as null for older rows") {
+    val work = tmpDir("graft-evo")
+    val topic = FileTopic(s"$work/topic")
+    import org.apache.spark.sql.types._
+    val v2 = StructType(AnalyticsPipeline.tradeSchema.fields :+ StructField("venue", StringType))
+    def ingest(schema: StructType): Unit = {
+      val q = IngestJob.start(spark, topic, s"$work/table", schema,
+        Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    TradeGen.produce(spark, topic, 40L, seed = 1L)
+    ingest(AnalyticsPipeline.tradeSchema) // snapshot 0: v1 schema
+    // v2 producer includes a venue field
+    val withVenue = TradeGen.trades(spark, 20L, seed = 2L)
+      .withColumn("venue", org.apache.spark.sql.functions.lit("XNAS"))
+    topic.publish(Topics.envelope(withVenue, "trade_id"))
+    ingest(v2) // snapshot 1: v2 schema
+    val table = IngestJob.readTable(spark, s"$work/table")
+    assert(table.columns.contains("venue"))
+    assert(table.count() == 60L)
+    assert(table.filter(org.apache.spark.sql.functions.col("venue").isNull).count() == 40L)
+    assert(table.filter(org.apache.spark.sql.functions.col("venue") === "XNAS").count() == 20L)
+  }
+
   test("schema enforcement: rows missing required fields are rejected, not ingested") {
     val work = tmpDir("graft-reject")
     val topic = FileTopic(s"$work/topic")
