@@ -100,10 +100,41 @@ object VectorQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Multi-query cosine top-k — the E20 100 TB shape: query vectors are the
+    * broadcast side; per-query results come from the bounded top-k
+    * Aggregator, so partial aggregation caps each partition's contribution
+    * at k rows per query and ONLY k rows per query cross the shuffle (a
+    * window formulation would shuffle every (query, corpus) pair). */
+  def topKByCosine(corpus: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = queriesDf.select(col("q_id"), col("embedding").as("qe"), norm(col("embedding")).as("qnrm"))
+    val topk = udaf(new UdfQueries.TopK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("vec_id"), col("col._1").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** x23 — multi-query ANN search: top-3 neighbors for each of the first 5
+    * vectors, through the bounded-Aggregator path. Oracle: the ROW_NUMBER
+    * window twin. */
+  val x23: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val qs = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding"))
+    topKByCosine(e, qs, 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_cosine_topk" -> q29,
     "x20_cosine_neardup" -> x20,
-    "x21_ann_lsh" -> x21)
+    "x21_ann_lsh" -> x21,
+    "x23_multi_query_topk" -> x23)
 
   private val cosSql =
     """list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
@@ -115,6 +146,16 @@ object VectorQueries {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosSql.format("e.embedding", "q.qe", "e.embedding", "q.qe")}, 4) AS sim
          |FROM embeddings e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x23_multi_query_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ROUND(${cosSql.format("e.embedding", "q.qe", "e.embedding", "q.qe")}, 4) AS sim
+         |  FROM embeddings e, q),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim FROM ranked
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "x20_cosine_neardup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |ROUND(${cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding")}, 4) AS sim
