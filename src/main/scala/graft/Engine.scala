@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical engine session: local[cpus] with the engine defaults, the
+  * Graft extensions (custom expressions + optimizer rules), and
+  * `SPARK_GRAFT_CONF="k=v;k=v"` overrides for experiments.
+  *
+  * Engine defaults keep AQE on (coalescing, skew-join handling — the 100 TB
+  * posture); individual mains may layer a latency profile on top (see
+  * Bench). */
+object Engine {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** `defaults` apply after the engine base confs but BEFORE the
+    * `SPARK_GRAFT_CONF` env overrides, so experiments always win. */
+  def builder(defaults: (String, String)*): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.debug.maxToStringFields", "2000")
+      // static conf, default 100: a 58-query suite × several codegen units
+      // each evicts round-robin, so every warm query pays a janino recompile
+      // (~0.5–1 s). Sized to hold the whole suite's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+    defaults.foreach { case (k, v) => b.config(k, v) }
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    b
+  }
+
+  def session(defaults: (String, String)*): SparkSession = {
+    val s = builder(defaults: _*).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

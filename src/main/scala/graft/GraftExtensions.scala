@@ -15,6 +15,7 @@ import graft.functions.{FloatDot, MinHashSigs, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(graft.plans.PresentationSortRule.apply)
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot",

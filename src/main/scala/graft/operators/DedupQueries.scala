@@ -68,7 +68,7 @@ object DedupQueries {
     // one cheap scan of the 500-doc table apiece; multi-references within a
     // consumer still evaluate once (materialized columns, CollapseProject
     // spares multi-referenced non-cheap exprs).
-    val docs = t(s, d, "documents")
+    val docs = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_distinct(shingles3(col("toks"))).as("sh"))
       .select(col("doc_id"), col("sh"),
@@ -99,7 +99,7 @@ object DedupQueries {
   /** x42 — SimHash near-dup pairs: block on 4×16-bit sub-keys (pigeonhole for
     * Hamming≤3), verify with bit_count(a XOR b). Rows-only contract. */
   val x42: Q = (s, d) => {
-    val sh = t(s, d, "documents")
+    val sh = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"),
         transform(split(col("text"), " "), w => xxhash64(w)).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("sim"))
@@ -122,7 +122,7 @@ object DedupQueries {
   /** x43 — exact n-gram Jaccard for consecutive doc pairs (deterministic,
     * SQL-expressible → oracle-checkable). */
   val x43: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+    val docs = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_distinct(shingles3(col("toks"))).as("sh"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))

@@ -78,7 +78,7 @@ object TextQueries {
       profiles(lang).map(bg =>
         (length(col("text")) - length(regexp_replace(col("text"), bg, ""))) / 2
       ).reduce(_ + _).cast("double").as(s"s_$lang")
-    val scored = t(s, d, "documents")
+    val scored = graft.Tables.spread(t(s, d, "documents")) // 25 regex passes/row
       .select(col("doc_id") +: col("lang").as("label") +: profiles.keys.toSeq.sorted.map(score): _*)
     val langs = profiles.keys.toSeq.sorted
     // argmax via array_max on (score, -index, lang) structs: linear tree,
@@ -101,7 +101,7 @@ object TextQueries {
     // stepwise materialization: tokens, then shingle hashes, then the three
     // aggregates — inlining would re-split the text per shingle element and
     // re-hash the array once per aggregate (see DedupQueries.shingles3 note)
-    t(s, d, "documents")
+    graft.Tables.spread(t(s, d, "documents")) // shingle+hash is CPU-dense
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         transform(DedupQueries.shingles3(col("toks")), sh => xxhash64(sh)).as("hashes"))

@@ -49,7 +49,9 @@ object VectorQueries {
     * all pairs (a < b) with cosine > 0.3, both sides from the same table.
     * Orderable oracle via the same double-precision formula in DuckDB. */
   val x20: Q = (s, d) => {
-    val e = t(s, d, "embeddings")
+    // spread BEFORE the sweep: the embeddings table is one ~0.5 MiB scan
+    // split, which would run the O(N²) kernel on a single core.
+    val e = graft.Tables.spread(t(s, d, "embeddings"))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
