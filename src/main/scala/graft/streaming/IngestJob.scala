@@ -101,9 +101,11 @@ object IngestJob {
     * Iceberg). batch/p_date stay available for pruned reads via
     * readPartitioned. */
   def readTable(spark: SparkSession, tableDir: String): DataFrame = {
-    val committed = committedBatches(tableDir).toSeq
+    // visible = committed − compacted-away (Maintenance.compact rewrites
+    // small snapshots into one and records what it replaced)
+    val visible = Maintenance.visibleBatches(tableDir).toSeq
     readPartitioned(spark, tableDir)
-      .filter(col("batch").isInCollection(committed))
+      .filter(col("batch").isInCollection(visible))
       .drop("p_date").drop("batch")
   }
 
@@ -120,11 +122,20 @@ object IngestJob {
     * directory-level partition pruning on batch=<id>, no data read beyond
     * the requested snapshots. */
   def readTableAsOf(spark: SparkSession, tableDir: String, batchId: Long): DataFrame = {
-    val committed = committedBatches(tableDir)
-    require(committed.contains(batchId),
+    // Replay the snapshot log IN APPEND ORDER up to and including batchId's
+    // commit: each ingest line adds its batch, each compaction line adds its
+    // consolidated batch and retires the ones it replaced. Ids are not
+    // comparable across ingest/maintenance namespaces, so lineage position —
+    // not id order — defines "as of" (Iceberg's snapshot-lineage contract).
+    val lin = Maintenance.lineage(tableDir)
+    require(lin.exists(_._1 == batchId),
       s"snapshot $batchId not in the commit log of $tableDir")
+    val upTo = lin.take(lin.indexWhere(_._1 == batchId) + 1)
+    val asOf = upTo.foldLeft(Set.empty[Long]) { case (vis, (id, replaced)) =>
+      vis -- replaced + id
+    }.toSeq
     readPartitioned(spark, tableDir)
-      .filter(col("batch").isInCollection(committed.filter(_ <= batchId).toSeq))
+      .filter(col("batch").isInCollection(asOf))
       .drop("p_date").drop("batch")
   }
 }

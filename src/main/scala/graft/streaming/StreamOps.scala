@@ -49,6 +49,29 @@ object StreamOps {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** E26 — stream-stream interval join: pair each left event with right
+    * events for the same key within `[l.ts, l.ts + within]`.
+    *
+    * Both sides carry watermarks and the join condition bounds event time in
+    * BOTH directions — that is what lets Spark evict buffered state: a left
+    * row older than (right watermark − within) can never match again and is
+    * dropped. Without the time bound the state store grows with the full
+    * history of both streams — the 100 TB streaming killer. Keys shuffle
+    * both sides to the same partition, so the match is local per key.
+    *
+    * Output columns: key, l_ts, r_ts + renamed payloads (caller projects). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $within"))
+      .select(col(s"l.$key").as(key), col("l.ts").as("l_ts"), col("r.ts").as("r_ts"),
+        col("l.value").as("l_value"), col("r.value").as("r_value"))
+  }
+
   /** E27 — streaming dedup on event_id; watermark bounds the dedup state to
     * the lateness horizon (without it, state grows forever). */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

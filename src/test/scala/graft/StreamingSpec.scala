@@ -86,6 +86,72 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(8L).n == 1)
   }
 
+  test("E26b: stream-stream interval join matches the batch join") {
+    // left: user 1 at minutes 0 and 30; right: same user at 2, 5, 50.
+    // within=10m -> left(0) pairs with right(2) and right(5); nothing else.
+    val lEvents = Seq(ev(1, 0, user = 1), ev(2, 30, user = 1))
+    val rEvents = Seq(ev(10, 2, user = 1, v = 7.0), ev(11, 5, user = 1, v = 8.0),
+      ev(12, 50, user = 1, v = 9.0))
+    val (li, ri) = (MemoryStream[Event], MemoryStream[Event])
+    val q = StreamOps.intervalJoin(li.toDF(), ri.toDF(), "user_id", "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    li.addData(lEvents); ri.addData(rEvents)
+    q.processAllAvailable()
+    val streamed = spark.table("ssjoin")
+      .as[(Long, Timestamp, Timestamp, Double, Double)].collect().toSet
+    q.stop()
+    val batch = StreamOps.intervalJoin(lEvents.toDF(), rEvents.toDF(), "user_id", "10 minutes")
+      .as[(Long, Timestamp, Timestamp, Double, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._5).toSeq.sorted == Seq(7.0, 8.0))
+  }
+
+  test("E26c: interval-join state is bounded — far-past left rows never rematch") {
+    val (li, ri) = (MemoryStream[Event], MemoryStream[Event])
+    val q = StreamOps.intervalJoin(li.toDF(), ri.toDF(), "user_id", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ssjoin2").outputMode("append").start()
+    li.addData(Seq(ev(1, 0)))
+    ri.addData(Seq(ev(10, 2, v = 7.0)))
+    q.processAllAvailable()
+    // advance both watermarks far past the join horizon, then offer a right
+    // row inside left(0)'s interval: it arrives behind the watermark and the
+    // evicted left state must not resurrect the match
+    li.addData(Seq(ev(2, 600)))
+    ri.addData(Seq(ev(11, 600)))
+    q.processAllAvailable()
+    ri.addData(Seq(ev(12, 4, v = 8.0)))
+    q.processAllAvailable()
+    val vals = spark.table("ssjoin2").as[(Long, Timestamp, Timestamp, Double, Double)]
+      .collect().map(_._5).toSet
+    q.stop()
+    assert(vals.contains(7.0) && !vals.contains(8.0))
+  }
+
+  test("RocksDB state store provider: windowed agg runs and matches batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = (0 until 90).map(i => ev(i.toLong, i))
+      val input = MemoryStream[Event]
+      val q = StreamOps.tumblingCounts(input.toDF(), "1 hour", "0 minutes")
+        .writeStream.format("memory").queryName("rocks").outputMode("complete").start()
+      input.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("rocks").select("ws", "event_type", "n", "sv")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      q.stop()
+      val batch = StreamOps.tumblingCounts(events.toDF(), "1 hour", "0 minutes")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("E25: session-window streaming matches batch sessionization") {
     // user 1: events at 0,10,20 (one session), then 60,65 (second session)
     val events = Seq(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 60), ev(5, 65))
