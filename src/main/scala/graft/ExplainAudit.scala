@@ -11,7 +11,8 @@ object ExplainAudit {
   // queries where a BroadcastNestedLoopJoin/cartesian is the intended shape
   // (explicit all-pairs or scalar-broadcast crossJoin)
   private val intendedCross = Set(
-    "q29_cosine_topk", "x20_cosine_neardup", "x22_ann_ivf", "q37_in_subquery")
+    "q29_cosine_topk", "x20_cosine_neardup", "x22_ann_ivf", "q37_in_subquery",
+    "x23_multi_query_topk") // corpus × broadcast query-vector sweep, as q29
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
