@@ -113,6 +113,43 @@ object Maintenance {
     Some(CompactionStats(newId, candidates, n))
   }
 
+  /** Copy-on-write MERGE (Iceberg `MERGE INTO … WHEN MATCHED THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT` analog): upsert `updates` into the table
+    * by `key`. The new snapshot is (current rows whose key has no update) ∪
+    * updates, committed as a replacement of every previously visible
+    * snapshot — the same atomic log protocol as compaction, so readers flip
+    * in one commit and time travel to the pre-merge state keeps working.
+    *
+    * Scale note: this rewrites the whole visible table, which is COW
+    * semantics at its bluntest. At 100 TB an engine scopes the rewrite to
+    * the partitions that contain matched keys (file-level manifests) or
+    * defers it with merge-on-read delete files; the commit protocol here is
+    * identical either way, and the anti-join that computes surviving rows
+    * is the same distributed shape (update keys broadcast when small). */
+  def mergeInto(
+      spark: SparkSession,
+      tableDir: String,
+      updates: org.apache.spark.sql.DataFrame,
+      key: String,
+      tsCol: String): CompactionStats = {
+    val visible = visibleBatches(tableDir).toSeq.sorted
+    require(visible.nonEmpty, s"mergeInto: no visible snapshots in $tableDir")
+    val current = IngestJob.readTable(spark, tableDir)
+    val merged = current
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates.select(current.columns.map(col).toIndexedSeq: _*))
+    val newId = math.max(CompactionIdBase, IngestJob.committedBatches(tableDir).max + 1)
+    merged.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("p_date")
+      .parquet(s"$tableDir/data/batch=$newId")
+    val n = spark.read.parquet(s"$tableDir/data/batch=$newId").count()
+    val line = s"""{"batch":$newId,"rows":$n,"rejects":0,"committed":true,""" +
+      s""""compacts":[${visible.mkString(",")}]}""" + "\n"
+    Files.write(Paths.get(tableDir, "_snapshots.jsonl"), line.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    CompactionStats(newId, visible, n)
+  }
+
   /** Physically delete the data dirs of compacted-away snapshots (ends
     * time travel to them — run on a retention schedule, as with Iceberg's
     * expire_snapshots). Returns the deleted batch ids. */

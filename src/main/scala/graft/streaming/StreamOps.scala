@@ -63,11 +63,14 @@ object StreamOps {
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       within: String = "10 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r,
-      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $within"))
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $within"),
+      joinType) // leftOuter: unmatched left rows emit null-padded once the
+                // watermark proves no match can still arrive
       .select(col(s"l.$key").as(key), col("l.ts").as("l_ts"), col("r.ts").as("r_ts"),
         col("l.value").as("l_value"), col("r.value").as("r_value"))
   }

@@ -64,6 +64,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(IngestJob.readTable(spark, table).count() == 200L)
   }
 
+  test("mergeInto: copy-on-write upsert updates matched keys, inserts new ones") {
+    import spark.implicits._
+    val work = tmpDir("graft-merge")
+    ingestOnce(work, 100)
+    val table = s"$work/table"
+    val before = IngestJob.readTable(spark, table)
+    val cols = before.columns
+    // 2 updates of existing trade_ids with a sentinel price + 2 brand-new ids
+    import org.apache.spark.sql.functions.{concat, lit}
+    val ids = before.select("trade_id").as[String].orderBy("trade_id").take(2).toSeq
+    val upd = before.filter($"trade_id".isin(ids: _*)).withColumn("price", lit(9999.0))
+    val ins = before.filter($"trade_id".isin(ids: _*))
+      .withColumn("trade_id", concat($"trade_id", lit("-NEW")))
+      .withColumn("price", lit(1234.0))
+    val updates = upd.unionByName(ins)
+      .select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+
+    val stats = Maintenance.mergeInto(spark, table, updates, "trade_id", "ts_event")
+    assert(stats.rowsRewritten == 102L) // 100 - 2 matched + 4 upserts
+
+    val after = IngestJob.readTable(spark, table)
+    assert(after.count() == 102L)
+    // matched keys carry the updated price, inserted keys the new one
+    assert(after.filter($"price" === 9999.0).select("trade_id").as[String]
+      .collect().sorted.toSeq == ids.sorted)
+    assert(after.filter($"price" === 1234.0).select("trade_id").as[String]
+      .collect().sorted.toSeq == ids.map(_ + "-NEW").sorted)
+    // time travel sees the pre-merge table
+    assert(IngestJob.readTableAsOf(spark, table, 0L).count() == 100L)
+    assert(IngestJob.readTableAsOf(spark, table, 0L)
+      .filter($"price" === 9999.0).count() == 0L)
+  }
+
   test("ingest after compaction: no id collision, no dropped batch") {
     val work = tmpDir("graft-compact2")
     ingestOnce(work, 40); ingestOnce(work, 40)

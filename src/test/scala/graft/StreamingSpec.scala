@@ -127,6 +127,28 @@ class StreamingSpec extends SparkSpec {
     assert(vals.contains(7.0) && !vals.contains(8.0))
   }
 
+  test("E26d: left-outer interval join emits null-padded rows after the watermark") {
+    val (li, ri) = (MemoryStream[Event], MemoryStream[Event])
+    val q = StreamOps.intervalJoin(li.toDF(), ri.toDF(), "user_id",
+      "10 minutes", "5 minutes", "leftOuter")
+      .writeStream.format("memory").queryName("ssouter").outputMode("append").start()
+    li.addData(Seq(ev(1, 0, user = 1), ev(2, 0, user = 2)))
+    ri.addData(Seq(ev(10, 3, user = 1, v = 7.0))) // match for user 1 only
+    q.processAllAvailable()
+    // push both watermarks far past user 2's join horizon
+    li.addData(Seq(ev(3, 600))); ri.addData(Seq(ev(11, 600)))
+    q.processAllAvailable()
+    li.addData(Seq(ev(4, 610))); ri.addData(Seq(ev(12, 610)))
+    q.processAllAvailable()
+    val rows = spark.table("ssouter")
+      .select("user_id", "r_ts", "l_value", "r_value")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), Option(r.get(3)))).toSet
+    q.stop()
+    // user 1 matched; user 2's left row emitted null-padded after eviction
+    assert(rows.contains((1L, false, Some(7.0))))
+    assert(rows.exists { case (u, nullR, _) => u == 2L && nullR })
+  }
+
   test("RocksDB state store provider: windowed agg runs and matches batch") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
