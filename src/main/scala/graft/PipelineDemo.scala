@@ -24,8 +24,18 @@ object PipelineDemo {
     analytics.orderBy(org.apache.spark.sql.functions.desc("total_volume")).show(20, truncate = false)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[pipeline] $n trades through the bidirectional cycle in $secs%.1f s; workDir=$workDir")
+    val tradesDir = s"$workDir/tables/trades"
     println("[pipeline] trades snapshots: " +
-      IngestJob.committedBatches(s"$workDir/tables/trades").toSeq.sorted.mkString(","))
+      IngestJob.committedBatches(tradesDir).toSeq.sorted.mkString(","))
+    // maintenance pass: consolidate the per-trigger snapshots, then prove the
+    // row count is invariant and the retired dirs are reclaimable
+    graft.streaming.Maintenance.compact(spark, tradesDir).foreach { st =>
+      println(s"[pipeline] compacted ${st.replaced.size} snapshots -> " +
+        s"batch=${st.newBatch} (${st.rowsRewritten} rows)")
+      val after = IngestJob.readTable(spark, tradesDir).count()
+      val expired = graft.streaming.Maintenance.expireSnapshots(tradesDir)
+      println(s"[pipeline] post-compaction rows=$after; expired dirs: ${expired.mkString(",")}")
+    }
     spark.stop()
   }
 }
