@@ -66,3 +66,53 @@ object ExpStats {
     spark.stop()
   }
 }
+
+object ExpSession {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.Tables.{t, tsStr}
+    val spark = Engine.session(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8")
+    spark.conf.set("spark.graft.tableCache", "memory")
+    val d = "/root/testdata/sf0.1"
+
+    def native() = t(spark, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), tsStr(col("session_window.start")).as("s_start"),
+        tsStr(col("session_window.end")).as("s_end"), col("n"))
+      .orderBy(col("user_id"), col("s_start"))
+
+    def islands() = {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val marks = t(spark, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("ts") >= col("prev") + expr("interval 30 minutes"), 1).otherwise(0))
+        .withColumn("island", sum(col("new_s")).over(w))
+      marks.groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts")).as("start"), max(col("ts")).as("last"), count(lit(1)).as("n"))
+        .select(col("user_id"), tsStr(col("start")).as("s_start"),
+          tsStr(col("last") + expr("interval 30 minutes")).as("s_end"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    }
+
+    Seq("native" -> native _, "islands" -> islands _).foreach { case (n, f) =>
+      f().write.mode("overwrite").format("noop").save() // warm
+      val times = (1 to 7).map { _ =>
+        val t0 = System.nanoTime()
+        f().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-10s best=${times.min}%.3f median=${times.sorted.apply(3)}%.3f")
+    }
+    // equivalence check
+    val a = native().collect().map(_.toSeq)
+    val b = islands().collect().map(_.toSeq)
+    println(s"equal=${a.toSeq == b.toSeq} (${a.length} vs ${b.length} rows)")
+    spark.stop()
+  }
+}

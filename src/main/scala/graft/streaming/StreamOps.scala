@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event row for streaming ops (mirrors testdata `events`). */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
@@ -79,6 +80,34 @@ object StreamOps {
     * the lateness horizon (without it, state grows forever). */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** E28 (transformWithState form) — the same running per-user totals on
+    * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit
+    * TTL support, multiple state variables per key, timers — and it runs on
+    * the RocksDB state store (required by the operator), the large-state
+    * backend a 100 TB streaming job needs. Kept alongside the
+    * mapGroupsWithState form so both state APIs stay covered. */
+  class RunningCountProcessor extends StatefulProcessor[Long, Event, UserRunningCount] {
+    @transient private var state: ValueState[UserRunningCount] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunningCount](
+        "running", Encoders.product[UserRunningCount], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunningCount] = {
+      val prev = Option(state.get()).getOrElse(UserRunningCount(key, 0L, 0.0))
+      val batch = rows.toSeq
+      val next = UserRunningCount(key,
+        prev.n + batch.size, prev.total_value + batch.map(_.value).sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserCountsTws(events: Dataset[Event])(
+      implicit enc: org.apache.spark.sql.Encoder[UserRunningCount],
+      longEnc: org.apache.spark.sql.Encoder[Long]): Dataset[UserRunningCount] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
 
   /** E28 — custom keyed state: running count + value total per user.
     * `idleTimeout` evicts state for keys gone quiet (the 100 TB guard:

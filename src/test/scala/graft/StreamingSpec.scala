@@ -174,6 +174,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E28b: transformWithState running counts match mapGroupsWithState") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamOps.runningUserCountsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      input.addData(Seq(ev(1, 0, user = 7, v = 2.0), ev(2, 1, user = 7, v = 3.0),
+        ev(3, 1, user = 8, v = 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(4, 2, user = 7, v = 5.0)))
+      q.processAllAvailable()
+      val byUser = spark.table("tws").as[UserRunningCount].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n)).toMap
+      q.stop()
+      assert(byUser(7L).n == 3 && byUser(7L).total_value == 10.0)
+      assert(byUser(8L).n == 1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("E25: session-window streaming matches batch sessionization") {
     // user 1: events at 0,10,20 (one session), then 60,65 (second session)
     val events = Seq(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 60), ev(5, 65))
