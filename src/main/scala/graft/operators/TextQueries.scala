@@ -66,14 +66,16 @@ object TextQueries {
     * bigram profiles (deterministic, pure column expressions). The synthetic
     * corpus's `lang` labels are random, so this measures the *operator*
     * (profile scoring + argmax via greatest/when), not label recovery. */
+  // tiny bigram profiles per language (public-knowledge frequent bigrams);
+  // shared by the Spark query and its generated DuckDB twin
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "en", "la", "el", "os"),
+    "fr" -> Seq("es", "le", "de", "en", "re"),
+    "de" -> Seq("en", "er", "ch", "de", "ei"),
+    "zh" -> Seq("zh", "sh", "ng", "ia", "uo"))
+
   val x32: Q = (s, d) => {
-    // tiny bigram profiles per language (public-knowledge frequent bigrams)
-    val profiles: Map[String, Seq[String]] = Map(
-      "en" -> Seq("th", "he", "in", "er", "an"),
-      "es" -> Seq("de", "en", "la", "el", "os"),
-      "fr" -> Seq("es", "le", "de", "en", "re"),
-      "de" -> Seq("en", "er", "ch", "de", "ei"),
-      "zh" -> Seq("zh", "sh", "ng", "ia", "uo"))
     def score(lang: String): Column =
       profiles(lang).map(bg =>
         (length(col("text")) - length(regexp_replace(col("text"), bg, ""))) / 2
@@ -140,5 +142,27 @@ object TextQueries {
     "x31_token_count" ->
       """SELECT lang, COUNT(*) AS docs,
         |CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // generated from the same `profiles` map as the Spark query so the two
+    // sides cannot drift; `/` is true division in both dialects, and the
+    // CASE chain in ascending-language order reproduces the Spark argmax's
+    // earlier-language-wins tie-break
+    "x32_lang_id" -> {
+      val langs = profiles.keys.toSeq.sorted
+      val scoreCols = langs.map { l =>
+        profiles(l).map(bg =>
+          s"(length(text) - length(regexp_replace(text, '$bg', '', 'g'))) / 2")
+          .mkString("CAST(", " + ", s" AS DOUBLE) AS s_$l")
+      }.mkString(",\n  ")
+      val guess = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("CASE ", " ", s"ELSE '${langs.last}' END")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS label,
+         |  $scoreCols
+         |  FROM documents)
+         |SELECT label, $guess AS guess, COUNT(*) AS n
+         |FROM scored GROUP BY label, guess ORDER BY label, guess""".stripMargin
+    })
 }
