@@ -42,6 +42,22 @@ object WindowQueries {
       .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Q40 — CUBE over (returnflag, linestatus): all 2^2 grouping-set
+    * combinations in one pass (E8's CUBE face; q17 covers ROLLUP). Spark
+    * plans this as a single Expand + hash aggregate — rows are replicated
+    * per grouping set BEFORE the shuffle, so the exchange carries
+    * (sets × groups), not (sets × input rows). */
+  val q40: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("vol"),
+        grouping(col("l_returnflag")).cast("long").as("g_r"),
+        grouping(col("l_linestatus")).cast("long").as("g_l"))
+      .orderBy(col("g_r"), col("g_l"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Q18 — row_number ranking window: first order per customer (E9). */
   val q18: Q = (s, d) => {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -104,6 +120,7 @@ object WindowQueries {
   val queries: Map[String, Q] = Map(
     "q16_tpch_q1" -> q16,
     "q17_rollup" -> q17,
+    "q40_cube" -> q40,
     "q18_row_number" -> q18,
     "q19_lag_delta" -> q19,
     "q20_moving_avg" -> q20,
@@ -126,6 +143,14 @@ object WindowQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q40_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol,
+        |CAST(GROUPING(l_returnflag) AS BIGINT) AS g_r,
+        |CAST(GROUPING(l_linestatus) AS BIGINT) AS g_l
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_r, g_l, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q18_row_number" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS od FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

@@ -97,6 +97,26 @@ class MaintenanceSpec extends SparkSpec {
       .filter($"price" === 9999.0).count() == 0L)
   }
 
+  test("torn compaction write is invisible and the retry commits cleanly") {
+    val work = tmpDir("graft-torn")
+    ingestOnce(work, 60); ingestOnce(work, 60)
+    val table = s"$work/table"
+    val cid = Maintenance.CompactionIdBase
+    // simulate a compactor crash AFTER the data write but BEFORE the log
+    // append: fabricate a data dir under the compaction id with bogus rows
+    val orphan = new java.io.File(s"$table/data/batch=$cid/p_date=2020-01-01")
+    orphan.mkdirs()
+    IngestJob.readTable(spark, table).limit(7).write.mode("overwrite")
+      .parquet(orphan.toString)
+    // not in the log -> not visible
+    assert(IngestJob.readTable(spark, table).count() == 120L)
+    assert(Maintenance.visibleBatches(table) == Set(0L, 1L))
+    // the retried compaction overwrites the torn dir and commits atomically
+    val stats = Maintenance.compact(spark, table).get
+    assert(stats.newBatch == cid && stats.rowsRewritten == 120L)
+    assert(IngestJob.readTable(spark, table).count() == 120L)
+  }
+
   test("ingest after compaction: no id collision, no dropped batch") {
     val work = tmpDir("graft-compact2")
     ingestOnce(work, 40); ingestOnce(work, 40)
