@@ -81,6 +81,17 @@ object StreamOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** E27b — dedup with EXPLICIT state eviction:
+    * `dropDuplicatesWithinWatermark` guarantees removal of a key's state
+    * once the watermark passes its event time + delay, whereas plain
+    * dropDuplicates only evicts when the event-time column is part of the
+    * key set. This is the API a 100 TB stream wants: duplicates arrive
+    * within the delivery-retry horizon, not arbitrarily late, so state is
+    * strictly bounded by (keys seen within the watermark window). */
+  def dedupEventsWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   /** E28 (transformWithState form) — the same running per-user totals on
     * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit
     * TTL support, multiple state variables per key, timers — and it runs on

@@ -71,6 +71,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("E27b: dropDuplicatesWithinWatermark dedups within the retry horizon") {
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupEventsWithinWatermark(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedupww").outputMode("append").start()
+    input.addData(Seq(ev(1, 0), ev(2, 1), ev(1, 0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(2, 1), ev(3, 2))) // retry duplicate inside horizon
+    q.processAllAvailable()
+    val got = spark.table("dedupww").as[Event].collect().map(_.event_id).sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
     val input = MemoryStream[Event]
     val q = StreamOps.runningUserCounts(input.toDS())
