@@ -58,6 +58,20 @@ object WindowQueries {
       .orderBy(col("g_r"), col("g_l"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Q41 — explicit GROUPING SETS through the SQL surface (E8's third face;
+    * q17 ROLLUP, q40 CUBE): the chosen sets (both keys / priority only /
+    * grand total) plan as one Expand + hash aggregate, same as rollup. Also
+    * exercises temp-view registration + spark.sql end-to-end. */
+  val q41: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+            |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+            |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s
+            |FROM orders_v
+            |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+            |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+  }
+
   /** Q18 — row_number ranking window: first order per customer (E9). */
   val q18: Q = (s, d) => {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -121,6 +135,7 @@ object WindowQueries {
     "q16_tpch_q1" -> q16,
     "q17_rollup" -> q17,
     "q40_cube" -> q40,
+    "q41_grouping_sets" -> q41,
     "q18_row_number" -> q18,
     "q19_lag_delta" -> q19,
     "q20_moving_avg" -> q20,
@@ -143,6 +158,13 @@ object WindowQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q41_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q40_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol,
