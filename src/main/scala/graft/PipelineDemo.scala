@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import graft.streaming.{AnalyticsPipeline, IngestJob}
 
 /** Runnable form of the reference's e2e flow (validation/e2e.sh): produce N
@@ -12,13 +11,7 @@ object PipelineDemo {
     val workDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
     val n = args.lift(1).map(_.toLong).getOrElse(20000L) // e2e.sh:109-116
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session("spark.sql.shuffle.partitions" -> "8")
     val t0 = System.nanoTime()
     val analytics = AnalyticsPipeline.runCycle(spark, workDir, n)
     analytics.orderBy(org.apache.spark.sql.functions.desc("total_volume")).show(20, truncate = false)
