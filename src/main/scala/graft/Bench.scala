@@ -58,11 +58,13 @@ object Bench {
     spark.conf.set("spark.graft.tableCache", "memory")
     pass() // materialize columnar cache + compile cached-scan codegen
     // headline = elementwise best of two hot passes: a single shot picks up
-    // one-off GC/scheduler jitter (observed 0.3 s queries reading as 1 s)
+    // one-off GC/scheduler jitter (observed 0.3 s queries reading as 1 s).
+    // A failure in EITHER pass is a failure — an intermittently-failing
+    // query must not report the surviving pass's time as a clean success.
     val hotA = pass()
     val hotB = pass()
     val hot = hotA.zip(hotB).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
     val qs = hot.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -11,9 +11,21 @@ import org.apache.spark.sql.types.DecimalType
   * catalog; our stand-in resolves `name` -> `dir/name.parquet`, SURVEY.md §1.3).
   */
 object Tables {
-  // session-scoped table cache, keyed by (session, mode, dir, name)
-  private val dfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, String), DataFrame]
+  // Session-scoped table cache, keyed by (session, mode, dir, name) with
+  // the SESSION OBJECT as the key component: SparkSession uses identity
+  // equality, so no two live sessions can collide (an identity HASH, by
+  // contrast, can be reused after the original session is GC'd and hand a
+  // new session a DataFrame bound to a dead one). Entries of stopped
+  // sessions are evicted on each cached lookup, so the map neither pins
+  // dead sessions' (possibly persisted) plans nor grows without bound.
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), DataFrame]
+
+  /** Drop cache entries whose owning session has been stopped. O(entries),
+    * entries = live sessions × tables — trivially small; runs on each cached
+    * lookup so a long-lived multi-session process self-cleans. */
+  private def evictStopped(): Unit =
+    dfCache.filterInPlace { case ((owner, _, _, _), _) => !owner.sparkContext.isStopped }
 
   /** Catalog-style table resolution with a two-tier cache, selected by the
     * session conf `spark.graft.tableCache`:
@@ -44,19 +56,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val mode = spark.conf.get("spark.graft.tableCache", "meta")
     if (mode == "off") load(spark, dir, name)
-    else dfCache.getOrElseUpdate((System.identityHashCode(spark), mode, dir, name), {
-      val df = load(spark, dir, name)
-      if (mode != "memory") df
-      else {
-        val f = new java.io.File(s"$dir/$name.parquet")
-        val bytes = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
-        val parts = math.max(1L, math.min(
-          spark.sparkContext.defaultParallelism.toLong, bytes / (2L << 20))).toInt
-        val r = if (parts > 1) df.repartition(parts) else df
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r
-      }
-    })
+    else {
+      evictStopped()
+      dfCache.getOrElseUpdate((spark, mode, dir, name), {
+        val df = load(spark, dir, name)
+        if (mode != "memory") df
+        else {
+          val f = new java.io.File(s"$dir/$name.parquet")
+          val bytes = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
+          val parts = math.max(1L, math.min(
+            spark.sparkContext.defaultParallelism.toLong, bytes / (2L << 20))).toInt
+          val r = if (parts > 1) df.repartition(parts) else df
+          r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r
+        }
+      })
+    }
   }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -102,10 +102,14 @@ object IngestJob {
     * readPartitioned. */
   def readTable(spark: SparkSession, tableDir: String): DataFrame = {
     // visible = committed − compacted-away (Maintenance.compact rewrites
-    // small snapshots into one and records what it replaced)
+    // small snapshots into one and records what it replaced); live
+    // equality-delete files (merge-on-read MERGE) are applied on top — a
+    // no-op unless an un-rewritten MOR merge exists.
+    val cms = Maintenance.commits(tableDir)
     val visible = Maintenance.visibleBatches(tableDir).toSeq
-    readPartitioned(spark, tableDir)
+    val raw = readPartitioned(spark, tableDir)
       .filter(col("batch").isInCollection(visible))
+    Maintenance.applyDeletes(spark, tableDir, raw, cms)
       .drop("p_date").drop("batch")
   }
 
@@ -127,15 +131,26 @@ object IngestJob {
     // consolidated batch and retires the ones it replaced. Ids are not
     // comparable across ingest/maintenance namespaces, so lineage position —
     // not id order — defines "as of" (Iceberg's snapshot-lineage contract).
-    val lin = Maintenance.lineage(tableDir)
-    require(lin.exists(_._1 == batchId),
+    val lin = Maintenance.commits(tableDir)
+    require(lin.exists(_.id == batchId),
       s"snapshot $batchId not in the commit log of $tableDir")
-    val upTo = lin.take(lin.indexWhere(_._1 == batchId) + 1)
-    val asOf = upTo.foldLeft(Set.empty[Long]) { case (vis, (id, replaced)) =>
-      vis -- replaced + id
+    val upTo = lin.take(lin.indexWhere(_.id == batchId) + 1)
+    val asOf = upTo.foldLeft(Set.empty[Long]) { case (vis, c) =>
+      vis -- c.compacts + c.id
     }.toSeq
-    readPartitioned(spark, tableDir)
+    // expireSnapshots physically deletes replaced dirs but the log still
+    // lists them; an as-of read spanning an expired snapshot must fail
+    // loudly (Iceberg: "Cannot find snapshot"), not silently return the
+    // surviving subset of rows.
+    val expired = asOf.filterNot(b => Files.isDirectory(Paths.get(s"$tableDir/data/batch=$b")))
+    require(expired.isEmpty,
+      s"snapshot $batchId expired: data for batch(es) ${expired.sorted.mkString(",")} " +
+        s"deleted by expireSnapshots; time travel to this version is no longer possible")
+    // apply only the delete files and retirements INSIDE the prefix: the
+    // as-of view is exactly what a reader at that commit would have seen
+    val raw = readPartitioned(spark, tableDir)
       .filter(col("batch").isInCollection(asOf))
+    Maintenance.applyDeletes(spark, tableDir, raw, upTo)
       .drop("p_date").drop("batch")
   }
 }

@@ -3,12 +3,19 @@ package graft
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming._
 
+/** Static rendezvous for the OCC race test (local mode: executor == driver
+  * JVM, so an object field is visible to the UDF). */
+object OccRace {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var log: String = ""
+}
+
 /** Small-file compaction + snapshot expiry over the ingest table. */
 class MaintenanceSpec extends SparkSpec {
 
-  private def ingestOnce(work: String, n: Long): Unit = {
+  private def ingestOnce(work: String, n: Long, seed: Long = 42L): Unit = {
     val topic = FileTopic(s"$work/topic")
-    TradeGen.produce(spark, topic, n)
+    TradeGen.produce(spark, topic, n, seed)
     val q = IngestJob.start(spark, topic, s"$work/table",
       AnalyticsPipeline.tradeSchema,
       Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt", Trigger.AvailableNow())
@@ -62,6 +69,11 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.expireSnapshots(table) == Seq(0L, 1L, 2L))
     assert(!new java.io.File(s"$table/data/batch=0").exists)
     assert(IngestJob.readTable(spark, table).count() == 200L)
+
+    // an as-of read of an expired snapshot fails loudly ("snapshot expired"),
+    // never silently returns the surviving subset of rows
+    val e = intercept[IllegalArgumentException](IngestJob.readTableAsOf(spark, table, 0L))
+    assert(e.getMessage.contains("expired"))
   }
 
   test("mergeInto: copy-on-write upsert updates matched keys, inserts new ones") {
@@ -115,6 +127,116 @@ class MaintenanceSpec extends SparkSpec {
     val stats = Maintenance.compact(spark, table).get
     assert(stats.newBatch == cid && stats.rowsRewritten == 120L)
     assert(IngestJob.readTable(spark, table).count() == 120L)
+  }
+
+  test("mergeInto is partition-scoped: only snapshots containing matched keys are rewritten") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = tmpDir("graft-merge-scoped")
+    // distinct seeds -> the three snapshots hold disjoint trade_ids
+    ingestOnce(work, 50, seed = 1); ingestOnce(work, 50, seed = 2); ingestOnce(work, 50, seed = 3)
+    val table = s"$work/table"
+    // two keys that live ONLY in snapshot 1
+    val ids = IngestJob.readPartitioned(spark, table)
+      .filter(col("batch") === 1).select("trade_id").orderBy("trade_id")
+      .as[String].take(2).toSeq
+    val before = IngestJob.readTable(spark, table)
+    val cols = before.columns
+    val updates = before.filter(col("trade_id").isin(ids: _*))
+      .withColumn("price", lit(7777.0))
+      .select(cols.map(col).toIndexedSeq: _*)
+
+    val stats = Maintenance.mergeInto(spark, table, updates, "trade_id", "ts_event")
+    // the commit log proves the scope: only snapshot 1 was replaced
+    assert(stats.replaced == Seq(1L))
+    assert(stats.rowsRewritten == 50L) // 48 survivors + 2 updated
+    assert(Maintenance.visibleBatches(table) == Set(0L, 2L, stats.newBatch))
+    // untouched snapshot dirs survive on disk, still visible as-is
+    assert(new java.io.File(s"$table/data/batch=0").exists)
+    assert(new java.io.File(s"$table/data/batch=2").exists)
+    val after = IngestJob.readTable(spark, table)
+    assert(after.count() == 150L)
+    assert(after.filter(col("price") === 7777.0).select("trade_id").as[String]
+      .collect().sorted.toSeq == ids.sorted)
+    // time travel to the pre-merge head sees the original prices
+    assert(IngestJob.readTableAsOf(spark, table, 2L).filter(col("price") === 7777.0).count() == 0L)
+  }
+
+  test("merge-on-read: delete file instead of rewrite; rewriteDeletes folds it scoped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val work = tmpDir("graft-mor")
+    ingestOnce(work, 50, seed = 10); ingestOnce(work, 50, seed = 11)
+    val table = s"$work/table"
+    val ids = IngestJob.readPartitioned(spark, table)
+      .filter(col("batch") === 0).select("trade_id").orderBy("trade_id")
+      .as[String].take(2).toSeq
+    val before = IngestJob.readTable(spark, table)
+    val cols = before.columns
+    val upd = before.filter(col("trade_id").isin(ids: _*)).withColumn("price", lit(9999.0))
+    val ins = upd.withColumn("trade_id", concat(col("trade_id"), lit("-NEW")))
+      .withColumn("price", lit(1234.0))
+    val updates = upd.unionByName(ins).select(cols.map(col).toIndexedSeq: _*)
+
+    val stats = Maintenance.mergeIntoMor(spark, table, updates, "trade_id", "ts_event")
+    // nothing rewritten: both original snapshots stay visible, delete file lands
+    assert(stats.replaced.isEmpty)
+    assert(Maintenance.visibleBatches(table) == Set(0L, 1L, stats.newBatch))
+    assert(new java.io.File(s"$table/_deletes/${stats.newBatch}").exists)
+    val after = IngestJob.readTable(spark, table)
+    assert(after.count() == 102L) // 100 - 2 shadowed + 4 upserts
+    assert(after.filter(col("price") === 9999.0).select("trade_id").as[String]
+      .collect().sorted.toSeq == ids.sorted)
+    // time travel: pre-merge head unaffected; the MOR commit applies its delete
+    assert(IngestJob.readTableAsOf(spark, table, 1L).count() == 100L)
+    assert(IngestJob.readTableAsOf(spark, table, 1L).filter(col("price") === 9999.0).count() == 0L)
+    assert(IngestJob.readTableAsOf(spark, table, stats.newBatch).count() == 102L)
+
+    // fold the delete back into data files — scoped to snapshot 0 only
+    val rw = Maintenance.rewriteDeletes(spark, table).get
+    assert(rw.replaced == Seq(0L))
+    assert(rw.rowsRewritten == 48L)
+    assert(Maintenance.liveDeletes(Maintenance.commits(table)).isEmpty)
+    val folded = IngestJob.readTable(spark, table)
+    assert(folded.count() == 102L)
+    assert(folded.filter(col("price") === 9999.0).count() == 2L)
+    // idempotent: no live deletes left
+    assert(Maintenance.rewriteDeletes(spark, table).isEmpty)
+  }
+
+  test("optimistic concurrency: a commit racing the merge aborts the attempt and retries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    val work = tmpDir("graft-merge-occ")
+    ingestOnce(work, 40, seed = 20)
+    val table = s"$work/table"
+    val ids = IngestJob.readTable(spark, table)
+      .select("trade_id").orderBy("trade_id").as[String].take(2).toSeq
+    val before = IngestJob.readTable(spark, table)
+    val cols = before.columns
+    // side-effecting column: its FIRST evaluation appends a rival ingest
+    // commit to the snapshot log — i.e. a batch lands between the merge's
+    // log read and its commit append
+    OccRace.fired.set(false)
+    OccRace.log = s"$table/_snapshots.jsonl"
+    val race = udf { (p: Double) =>
+      if (OccRace.fired.compareAndSet(false, true))
+        java.nio.file.Files.write(java.nio.file.Paths.get(OccRace.log),
+          "{\"batch\":7,\"rows\":0,\"rejects\":0,\"committed\":true}\n".getBytes,
+          java.nio.file.StandardOpenOption.APPEND)
+      p
+    }
+    val updates = before.filter(col("trade_id").isin(ids: _*))
+      .withColumn("price", race(lit(4242.0)))
+      .select(cols.map(col).toIndexedSeq: _*)
+
+    val stats = Maintenance.mergeInto(spark, table, updates, "trade_id", "ts_event")
+    assert(OccRace.fired.get)
+    // attempt 1 aborted (log moved past its base); attempt 2 committed
+    // against the new head, which includes the rival batch 7
+    assert(stats.replaced == Seq(0L))
+    assert(Maintenance.visibleBatches(table) == Set(7L, stats.newBatch))
+    assert(IngestJob.readTable(spark, table).filter(col("price") === 4242.0).count() == 2L)
   }
 
   test("ingest after compaction: no id collision, no dropped batch") {
