@@ -36,18 +36,60 @@ object UdfQueries {
       .orderBy(col("lang"))
   }
 
+  /** Top-k buffer: two parallel fixed-width primitive arrays + fill count,
+    * sorted by (price desc, key asc). A PRODUCT type on purpose: the
+    * ExpressionEncoder keeps partial aggregation in Tungsten rows (a kryo
+    * buffer is an opaque blob — no codegen, a Java object graph serialized
+    * per partial merge). */
+  case class TopKBuf(prices: Array[Double], keys: Array[Long], n: Int)
+
   /** Bounded top-k aggregator: keeps at most k (price, orderkey) pairs,
-    * ordered by (price desc, orderkey asc) for determinism. */
-  class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
-    private val ord: Ordering[(Double, Long)] = Ordering.by(p => (-p._1, p._2))
-    override def zero: List[(Double, Long)] = Nil
-    override def reduce(buf: List[(Double, Long)], row: (Double, Long)): List[(Double, Long)] =
-      (row :: buf).sorted(ord).take(k)
-    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-      (a ++ b).sorted(ord).take(k)
-    override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
-    override def bufferEncoder: Encoder[List[(Double, Long)]] =
-      Encoders.kryo[List[(Double, Long)]] // opaque buffer; only k elements
+    * ordered by (price desc, orderkey asc) for determinism.
+    *
+    * reduce is a bounded insertion: O(1) reject when the row doesn't beat
+    * the current k-th (the overwhelmingly common case at scale), O(k)
+    * shift-in otherwise, zero allocation either way (arrays mutate in
+    * place; only the k-element shell copies when the fill count grows).
+    * merge is a two-pointer merge of two sorted arrays, O(k). The 100 TB
+    * shape is unchanged — only k rows per group cross the shuffle. */
+  class TopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+    @inline private def beats(p1: Double, k1: Long, p2: Double, k2: Long): Boolean =
+      p1 > p2 || (p1 == p2 && k1 < k2)
+    override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+    override def reduce(buf: TopKBuf, row: (Double, Long)): TopKBuf = {
+      val (p, key) = row
+      if (buf.n == k && !beats(p, key, buf.prices(k - 1), buf.keys(k - 1))) buf
+      else {
+        var i = 0
+        while (i < buf.n && !beats(p, key, buf.prices(i), buf.keys(i))) i += 1
+        var j = math.min(buf.n, k - 1)
+        while (j > i) {
+          buf.prices(j) = buf.prices(j - 1); buf.keys(j) = buf.keys(j - 1); j -= 1
+        }
+        buf.prices(i) = p; buf.keys(i) = key
+        if (buf.n < k) buf.copy(n = buf.n + 1) else buf
+      }
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      if (b.n == 0) a
+      else if (a.n == 0) b
+      else {
+        val outP = new Array[Double](k); val outK = new Array[Long](k)
+        var i = 0; var j = 0; var m = 0
+        while (m < k && (i < a.n || j < b.n)) {
+          val takeA = j >= b.n ||
+            (i < a.n && !beats(b.prices(j), b.keys(j), a.prices(i), a.keys(i)))
+          if (takeA) { outP(m) = a.prices(i); outK(m) = a.keys(i); i += 1 }
+          else { outP(m) = b.prices(j); outK(m) = b.keys(j); j += 1 }
+          m += 1
+        }
+        TopKBuf(outP, outK, m)
+      }
+    }
+    override def finish(buf: TopKBuf): Seq[(Double, Long)] =
+      (0 until buf.n).map(i => (buf.prices(i), buf.keys(i)))
+    override def bufferEncoder: Encoder[TopKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKBuf]()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
