@@ -14,8 +14,9 @@ object AdvancedQueries {
     * element (no interpolation: the picked element is bit-identical in both
     * engines, where interpolated quantiles differ in fp op order).
     * Scale note: collect_list per group is the EXACT-quantile price and is
-    * bounded by group size; at 100 TB you'd switch to approx_percentile
-    * (t-digest) — x63 covers the sketch path. */
+    * bounded by group size — a skewed group (one event_type = half the data)
+    * concentrates on one executor; at 100 TB switch to x64 (approx_percentile
+    * — mergeable summary, constant memory per group, skew-immune). */
   val q35: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(col("event_type"))
@@ -24,6 +25,24 @@ object AdvancedQueries {
         col("event_type"), col("n"),
         element_at(col("vals"), greatest(lit(1), ceil(col("n") * 0.5)).cast("int")).as("p50"),
         element_at(col("vals"), greatest(lit(1), ceil(col("n") * 0.9)).cast("int")).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** x64 — the 100 TB percentile path q35's docstring points at:
+    * approx_percentile (Greenwald-Khanna quantile summary — mergeable, fixed
+    * memory per group regardless of group size, so the skewed group that
+    * would OOM q35's collect_list costs the same as any other). Rows-only
+    * (summary estimates aren't hash-stable across engines); AdvancedSpec
+    * bounds the rank error vs the exact q35 answer at the sketch's declared
+    * accuracy. */
+  val x64: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000)).as("ps"))
+      .select(col("event_type"), col("n"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"))
       .orderBy(col("event_type"))
 
   /** Q36 — scalar subquery + HAVING: priorities of above-average-price
@@ -55,10 +74,15 @@ object AdvancedQueries {
     * the corpus (one shuffle by centroid id at build time); a query probes
     * only the nprobe nearest buckets. At 100 TB the inverted lists are
     * hash-partitioned by centroid id, so a probe touches nprobe/nlist of
-    * the data. Rows-only (approximate); recall vs q29 asserted in the spec. */
+    * the data. Oracle-checked despite being approximate: centroid choice
+    * (vec_id < nlist), assignment argmax, and probe ranking are all
+    * deterministic, so the DuckDB twin reproduces the identical bucketing
+    * and the full ANN output hash-matches. Recall vs q29 asserted in the
+    * spec. */
+  private val nlist = 16
+  private val nprobe = 6
+
   val x22: Q = (s, d) => {
-    val nlist = 16
-    val nprobe = 6
     val e = t(s, d, "embeddings")
     // deterministic coarse quantizer: the nlist lowest vec_ids (collecting
     // nlist*dim floats to the driver is the standard IVF build step)
@@ -84,7 +108,7 @@ object AdvancedQueries {
         struct(dot(col("qe"), centCol(c)).as("sc"), lit(cid).as("cid"))
       }: _*).as("all"))
       .select(explode(col("all")).as("s"))
-      .orderBy(desc("s.sc")).limit(nprobe)
+      .orderBy(desc("s.sc"), col("s.cid")).limit(nprobe) // cid tie-break: deterministic probe set
       .select(col("s.cid").as("cid"))
     corpus.join(broadcast(probeCids), "cid") // bucket-pruned candidates
       .crossJoin(broadcast(q))
@@ -97,9 +121,36 @@ object AdvancedQueries {
     "q35_percentiles" -> q35,
     "q36_scalar_subquery" -> q36,
     "q37_in_subquery" -> q37,
-    "x22_ann_ivf" -> x22)
+    "x22_ann_ivf" -> x22,
+    "x64_approx_percentiles" -> x64)
+
+  /** GENERATED x22 oracle: same nlist/nprobe constants; assignment argmax
+    * (struct-max = max score, tie → max cid) becomes ROW_NUMBER ... ORDER BY
+    * sc DESC, cid DESC; probe ranking mirrors the Spark orderBy exactly. */
+  private def ivfOracle: String = {
+    def dotSql(a: String, b: String): String =
+      s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $nlist),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cid, ${dotSql("e.embedding", "c.cemb")} AS sc
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT vec_id, embedding, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cid FROM cents c, q
+       |  ORDER BY ${dotSql("q.qe", "c.cemb")} DESC, c.cid LIMIT $nprobe)
+       |SELECT a.vec_id, ROUND(${dotSql("a.embedding", "q.qe")}, 4) AS sim
+       |FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q
+       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "x22_ann_ivf" -> ivfOracle,
     "q35_percentiles" ->
       """WITH g AS (
         |  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n

@@ -63,27 +63,33 @@ object VectorQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** LSH hyperplane constants shared by the x21 query and its GENERATED
+    * DuckDB oracle twin (the x32 trick: both sides derive from the same
+    * Scala values, so they cannot drift). Deterministic splitmix-style
+    * integer mix — no RNG object: reproducible across JVMs/executors. */
+  private val lshDim = 64
+  private val lshBits = 8
+  private def mix(z0: Long): Double = {
+    var z = z0 * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+  private val lshPlanes: Seq[Seq[Float]] =
+    (0 until lshBits).map(b => (0 until lshDim).map(i => mix((b * lshDim + i + 1).toLong).toFloat))
+
   /** x21 — LSH-bucketed approximate NN (the scale path for E20).
-    * Random-hyperplane signatures: `nBits` fixed pseudo-random hyperplanes
-    * (deterministic, seeded by index) hash each vector to a bit signature;
-    * candidates = same-bucket pairs only. At 100 TB the bucket id is the
-    * shuffle key, so candidate generation is a co-partitioned self-join
-    * instead of a cross join. Not oracle-checkable (approximate): the spec
-    * asserts recall vs x20 instead; driver records rows>0. */
+    * Random-hyperplane signatures: `lshBits` fixed pseudo-random hyperplanes
+    * hash each vector to a bit signature; candidates = same-bucket pairs
+    * only. At 100 TB the bucket id is the shuffle key, so candidate
+    * generation is a co-partitioned self-join instead of a cross join.
+    * Oracle-checked despite being approximate: the hyperplanes are shared
+    * constants, so the DuckDB twin computes the identical bucketing and the
+    * FULL ANN output hash-matches (stronger than a recall column). The spec
+    * additionally asserts recall vs the exact x20. */
   val x21: Q = (s, d) => {
-    val dim = 64
-    val nBits = 8
-    // Deterministic hyperplanes from a splitmix-style integer mix (no RNG
-    // object: reproducible across JVMs/executors).
-    def mix(z0: Long): Double = {
-      var z = z0 * 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
-    val planes: Seq[Seq[Float]] =
-      (0 until nBits).map(b => (0 until dim).map(i => mix((b * dim + i + 1).toLong).toFloat))
+    val planes = lshPlanes
     def signature(emb: Column): Column = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
         val pc = array(p.map(lit): _*) // float literals -> array<float> for FloatDot
@@ -143,7 +149,32 @@ object VectorQueries {
       |/ (sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
       |  * sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
 
+  /** GENERATED x21 oracle: the same hyperplanes as FLOAT[] literals
+    * (Float.toString round-trips decimal→double→float back to the identical
+    * float), the same double-accumulated dot, the same bucket arithmetic —
+    * so DuckDB reproduces the exact LSH candidate set and the full output
+    * hash-matches. */
+  private def lshOracle: String = {
+    def planeLit(p: Seq[Float]): String =
+      "CAST([" + p.map(_.toString).mkString(",") + "] AS FLOAT[])"
+    def dotSql(v: String, lit: String): String =
+      s"list_aggregate(list_transform(list_zip($v, $lit), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql("embedding", planeLit(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ROUND(${cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE sim > 0.3 ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x21_ann_lsh" -> lshOracle,
     "q29_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosSql.format("e.embedding", "q.qe", "e.embedding", "q.qe")}, 4) AS sim

@@ -66,31 +66,74 @@ object IngestJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committedBatches(tableDir).contains(batchId))
+          writeBatch(batch, tableDir, batchId, required, tsCol)
+        ()
+      }
+      .start()
+  }
+
+  /** A7 complete — registry-backed ingest (`value_schema_latest`,
+    * CLAUDE.md:165-171): the stream carries the raw envelope and each
+    * micro-batch decodes with the LATEST registered schema at that moment,
+    * so a v2 registered mid-stream applies from the next batch without a
+    * restart; rows already written under v1 read null for v2-only columns
+    * (mergeSchema in readPartitioned). Refuses to start for an unregistered
+    * subject — the registry's "schema must exist before data" contract
+    * (validation/e2e.sh:67-105, CLAUDE.md:350-351). */
+  def startWithRegistry(
+      spark: SparkSession,
+      source: TopicSource,
+      tableDir: String,
+      registry: SchemaRegistry,
+      subject: String,
+      required: Seq[String],
+      tsCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")) = {
+    registry.latestOrThrow(subject) // schema-before-data
+    source.readStream(spark).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!committedBatches(tableDir).contains(batchId)) {
-          val ok = required.foldLeft(batch)((df, c) => df.filter(col(c).isNotNull))
-          val good = ok.withColumn("p_date", to_date(col(tsCol))).cache()
-          val nGood = good.count()
-          val nAll = batch.count()
-          good.drop("key")
-            // OVERWRITE of this batch's directory, not append: a replay
-            // after a crash between data write and snapshot commit rewrites
-            // the same files instead of duplicating them — the write is
-            // idempotent per batch id, the commit-log check makes it
-            // exactly-once, and readTable filters to committed batches so
-            // a torn write is never visible
-            .write.mode("overwrite").partitionBy("p_date")
-            // D2 flush-threshold analog (redpanda.yaml:31-32 caps Parquet
-            // file size by bytes; Spark's file sink caps by records)
-            .option("maxRecordsPerFile", sys.env.getOrElse("GRAFT_MAX_RECORDS_PER_FILE", "1000000"))
-            // batch=<id> directory = the snapshot boundary: time-travel
-            // reads prune on it (Iceberg's VERSION AS OF equivalent)
-            .parquet(s"$tableDir/data/batch=$batchId")
-          commitSnapshot(tableDir, batchId, nGood, nAll - nGood)
-          good.unpersist()
+          val (_, schema) = registry.latestOrThrow(subject)
+          val parsed = batch
+            .select(col("key"), from_json(col("value"), schema).as("data"))
+            .select(col("key"), col("data.*"))
+          writeBatch(parsed, tableDir, batchId, required, tsCol)
         }
         ()
       }
       .start()
+  }
+
+  /** The idempotent per-batch table write + snapshot commit, shared by the
+    * fixed-schema and registry-backed ingest paths. */
+  private def writeBatch(
+      batch: DataFrame, tableDir: String, batchId: Long,
+      required: Seq[String], tsCol: String): Unit = {
+    val ok = required.foldLeft(batch)((df, c) => df.filter(col(c).isNotNull))
+    val good = ok.withColumn("p_date", to_date(col(tsCol))).cache()
+    val nGood = good.count()
+    val nAll = batch.count()
+    good.drop("key")
+      // OVERWRITE of this batch's directory, not append: a replay
+      // after a crash between data write and snapshot commit rewrites
+      // the same files instead of duplicating them — the write is
+      // idempotent per batch id, the commit-log check makes it
+      // exactly-once, and readTable filters to committed batches so
+      // a torn write is never visible
+      .write.mode("overwrite").partitionBy("p_date")
+      // D2 flush-threshold analog (redpanda.yaml:31-32 caps Parquet
+      // file size by bytes; Spark's file sink caps by records)
+      .option("maxRecordsPerFile", sys.env.getOrElse("GRAFT_MAX_RECORDS_PER_FILE", "1000000"))
+      // batch=<id> directory = the snapshot boundary: time-travel
+      // reads prune on it (Iceberg's VERSION AS OF equivalent)
+      .parquet(s"$tableDir/data/batch=$batchId")
+    commitSnapshot(tableDir, batchId, nGood, nAll - nGood)
+    good.unpersist()
   }
 
   /** Read the ingested table at its current snapshot (A4 scan stand-in —

@@ -30,6 +30,24 @@ class AdvancedSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("x64 approx percentiles: rank error bounded vs exact q35") {
+    // At accuracy=10000 the GK summary guarantees rank error <= n/10000;
+    // assert the picked values sit within a generous value-epsilon of the
+    // exact order statistics from q35 (events.value is dense enough at
+    // sf0.001 that rank error ~ value error).
+    val exact = AdvancedQueries.q35(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = AdvancedQueries.x64(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      val span = math.max(1e-9, math.abs(p90) + math.abs(p50))
+      assert(math.abs(a50 - p50) / span < 0.05, s"$k p50: exact=$p50 approx=$a50")
+      assert(math.abs(a90 - p90) / span < 0.05, s"$k p90: exact=$p90 approx=$a90")
+    }
+  }
+
   test("IVF ANN: top-10 is a plausible subset with bounded recall loss") {
     val brute = operators.VectorQueries.q29(spark, sfDir)
       .select("vec_id").as[Long].collect().toSet
