@@ -47,7 +47,16 @@ object VectorQueries {
 
   /** x20 — cosine near-duplicate pairs over embeddings (E20/dedup bridge):
     * all pairs (a < b) with cosine > 0.3, both sides from the same table.
-    * Orderable oracle via the same double-precision formula in DuckDB. */
+    * Orderable oracle via the same double-precision formula in DuckDB.
+    *
+    * SCALE BOUND (by construction, not by accident): this is the exact
+    * O(N²) baseline — the build side is the ENTIRE embeddings table,
+    * broadcast to every task, so it is bounded by the driver/executor
+    * broadcast limit (~corpus must fit in one JVM) and by N² compute.
+    * It exists to measure the recall of the bucketed paths; route any
+    * at-scale workload to x21 (LSH), x22 (IVF), x41 (MinHash) or x42
+    * (SimHash), whose shuffle keys are bucket ids and which never
+    * materialize all pairs. No exact all-pairs formulation scales. */
   val x20: Q = (s, d) => {
     // spread BEFORE the sweep: the embeddings table is one ~0.5 MiB scan
     // split, which would run the O(N²) kernel on a single core.
