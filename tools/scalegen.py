@@ -8,8 +8,16 @@ Per-copy transforms keep referential integrity and determinism:
   - every key column is offset by copy_index * OFFSET[col] (offsets exceed
     the sf0.1 key ranges, so literal predicates like vec_id = 0 keep hitting
     copy 0 only);
-  - measure doubles get + copy_index * 1e-3 so previously-distinct values
-    don't become exact cross-copy ties (top-k LIMIT determinism);
+  - measure doubles get + copy_index whole CENTS (and whole DOLLARS for
+    l_extendedprice, which queries multiply by (1-l_discount)) so
+    previously-distinct values don't become exact cross-copy ties (top-k
+    LIMIT determinism). The perturbation must keep values exact scale-2
+    rationals: a first attempt used +i*1e-3, which put every copy-5 value
+    exactly on a half-cent (x.xx5) where DuckDB's DECIMAL(28,2) cast
+    (round-half-up on the decimal string) and Spark's round(x*100) (IEEE
+    double, lands either side) disagree — 4 queries failed on sub-cent
+    aggregate drift. Cents survive every downstream rounding identically
+    on both engines; dollars survive the ×(1-discount) product at scale 2;
   - events.ts gets + copy_index nanoseconds (uniqueness without moving any
     window boundary in practice);
   - dimension tables (region, nation) are NOT replicated — dims don't scale
@@ -39,14 +47,15 @@ OFFSETS = {
     "documents": {"doc_id": 10_000_000},
     "embeddings": {"vec_id": 1_000_000},
 }
-# measure columns perturbed by +i*1e-3 (determinism for cross-copy ordering)
+# measure columns perturbed by +i*step (determinism for cross-copy ordering);
+# steps are exact scale-2 amounts — see module docstring for why 1e-3 is WRONG
 PERTURB = {
-    "customer": ["c_acctbal"],
-    "supplier": ["s_acctbal"],
-    "part": ["p_retailprice"],
-    "orders": ["o_totalprice"],
-    "lineitem": ["l_extendedprice"],
-    "events": ["value"],
+    "customer": {"c_acctbal": 0.01},
+    "supplier": {"s_acctbal": 0.01},
+    "part": {"p_retailprice": 0.01},
+    "orders": {"o_totalprice": 0.01},
+    "lineitem": {"l_extendedprice": 1.0},
+    "events": {"value": 0.01},
 }
 DIMS = ["region", "nation"]  # single copy
 FACTS = ["customer", "supplier", "part", "orders", "lineitem",
@@ -62,8 +71,9 @@ def copy_of(table, name, i):
         off = OFFSETS.get(name, {}).get(field.name)
         if off is not None:
             col = pc.add(col, pa.scalar(off * i, type=field.type))
-        elif field.name in PERTURB.get(name, []):
-            col = pc.add(col, pa.scalar(i * 1e-3, type=pa.float64()))
+        elif field.name in PERTURB.get(name, {}):
+            step = PERTURB[name][field.name]
+            col = pc.add(col, pa.scalar(i * step, type=pa.float64()))
         elif name == "events" and field.name == "ts":
             as_int = col.cast(pa.int64())
             col = pc.add(as_int, pa.scalar(i, type=pa.int64())).cast(field.type)
