@@ -20,7 +20,9 @@ def main(sf_dir, out_dir, reps):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
-    # warm pass first (page cache + duckdb internal state), then best-of-reps
+    # warm pass first (page cache + duckdb internal state), then best-of-reps;
+    # queries past 30 s take their single-shot time (repeating a 10-minute
+    # O(N^2) oracle refines nothing the ratio table cares about)
     for name in sorted(oracle):
         best = None
         for _ in range(reps + 1):
@@ -33,6 +35,8 @@ def main(sf_dir, out_dir, reps):
                 break
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            if dt > 30:
+                break
         times[name] = round(best, 3)
         print(f"DUCK {name:28s} {best:8.3f}")
     ok = {k: v for k, v in times.items() if v >= 0}
