@@ -30,6 +30,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       UdfQueries.queries ++
       AdvancedQueries.queries ++
+      SamplingQueries.queries ++
       PivotQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
@@ -45,5 +46,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       UdfQueries.oracles ++
       AdvancedQueries.oracles ++
+      SamplingQueries.oracles ++
       PivotQueries.oracles
 }

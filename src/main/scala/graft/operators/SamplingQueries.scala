@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Deterministic sampling / splitting / binning for training-data pipelines
+  * (the reference's corpus-curation role, `duckdb/query_and_publish.py`
+  * analytics stage, generalized to the documents table).
+  *
+  * All three are the 100 TB-shaped forms:
+  *
+  *  - Hash-bucket sampling: `bucket(key) < p` is a per-row predicate — no
+  *    shuffle, no coordination, reproducible across runs/clusters, and any
+  *    worker can decide membership locally (contrast TABLESAMPLE/rand(),
+  *    which is neither deterministic nor repeatable across re-planning;
+  *    AQE re-executing a stage would resample it).
+  *  - Train/val/test split: the same bucket assigns every row to exactly
+  *    one split in one pass — the standard corpus-split idiom, and the
+  *    buckets are stable under table growth (a new row lands in a split
+  *    by key hash, not by position).
+  *  - Quantile binning (curriculum/difficulty strata): exact `ntile` here
+  *    (oracle-checkable; a global range sort — fine into the tens of GB);
+  *    at 100 TB swap the sort for x64-style approx-percentile cutpoints +
+  *    a per-row bucket lookup, which is one pass + a tiny broadcast.
+  *
+  * Bucket parity: md5 (identical bytes→hex on every engine), first 8 hex
+  * digits parsed as an unsigned int, mod 10000. Spark `conv(_,16,10)` ↔
+  * DuckDB `CAST('0x'||substr(_,1,8) AS BIGINT)` — both exact integer paths,
+  * no doubles anywhere near the boundary. */
+object SamplingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic bucket in [0, 10000): md5 of the key's decimal string. */
+  private def bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  private val bucketSql =
+    "CAST(('0x' || substring(md5(CAST(%s AS VARCHAR)), 1, 8)) AS BIGINT) %% 10000"
+
+  /** x70 — 2% deterministic hash sample of documents. */
+  val x70: Q = (s, d) =>
+    t(s, d, "documents")
+      .filter(bucket(col("doc_id")) < 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** x71 — 80/10/10 train/val/test split, per-split corpus stats.
+    * n_chars sums are BIGINT — exact under any reduction order. */
+  val x71: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("split",
+        when(bucket(col("doc_id")) < 8000, "train")
+          .when(bucket(col("doc_id")) < 9000, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(col("lang")).as("langs"))
+      .orderBy(col("split"))
+
+  /** x72 — decile bins over (n_chars, doc_id): curriculum strata with
+    * exact boundaries. The doc_id tiebreak makes ntile deterministic. */
+  val x72: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      .orderBy(col("bin"))
+
+  val queries: Map[String, Q] = Map(
+    "x70_hash_sample" -> x70,
+    "x71_train_split" -> x71,
+    "x72_quantile_bins" -> x72)
+
+  private val b = bucketSql.format("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "x70_hash_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE $b < 200 ORDER BY doc_id""".stripMargin,
+    "x71_train_split" ->
+      s"""SELECT CASE WHEN $b < 8000 THEN 'train'
+         |            WHEN $b < 9000 THEN 'val' ELSE 'test' END AS split,
+         |COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "x72_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT bin, COUNT(*) AS n, CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |  CAST(MAX(n_chars) AS BIGINT) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Sampling / split / binning invariants (x70–x72). Value parity with the
+  * DuckDB twins is the Verify gate's job; these assert the contracts. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = graft.Tables.t(spark, sfDir, "documents")
+
+  test("x70 hash sample is deterministic and near the 2% target") {
+    val a = SamplingQueries.x70(spark, sfDir).collect()
+    val b = SamplingQueries.x70(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "same data must sample identically")
+    val total = docs.count().toDouble
+    val frac = a.length / total
+    // md5 buckets are uniform; 2% ± generous binomial slack at small N
+    assert(frac > 0.002 && frac < 0.06, s"fraction $frac out of band")
+  }
+
+  test("x71 splits partition the corpus exactly") {
+    val rows = SamplingQueries.x71(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows.values.sum == docs.count())
+    // 80/10/10 within coarse bounds
+    val total = rows.values.sum.toDouble
+    assert(rows("train") / total > 0.6, s"train share ${rows("train") / total}")
+  }
+
+  test("x71 split assignment is stable under table growth") {
+    // a row's split depends only on its key hash, not on what else is in
+    // the table: recompute on a half-table, assignments must agree
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val b = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val full = docs.withColumn("s", when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+      .select(col("doc_id"), col("s"))
+    val sub = half.withColumn("s", when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+      .select(col("doc_id"), col("s").as("s2"))
+    val disagree = full.join(sub, "doc_id").filter(col("s") =!= col("s2")).count()
+    assert(disagree == 0)
+  }
+
+  test("x72 bins are balanced and boundary-monotonic") {
+    val bins = SamplingQueries.x72(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.map(_._1).toSeq == (1L to 10L), "ten dense bins")
+    val counts = bins.map(_._2)
+    assert(counts.max - counts.min <= 1, s"ntile balance: ${counts.toSeq}")
+    // each bin's hi <= next bin's lo (equal allowed: ties span bins)
+    bins.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"bins overlap: $lo vs $hi")
+    }
+  }
+}
