@@ -135,11 +135,88 @@ object DedupQueries {
       .orderBy(col("a_id"))
   }
 
+  /** Connected components over an undirected edge list by min-label
+    * propagation with path halving — the GraphX/GraphFrames CC recipe,
+    * expressed in DataFrames:
+    *
+    *   label(v) ← min(label(v), min over neighbors' labels)   [propagate]
+    *   label(v) ← label(label(v))                             [halve paths]
+    *
+    * Each round is two co-partitioned equi-joins shuffling (id, label)
+    * pairs only — never payloads — and halving makes the label tree
+    * collapse in O(log n) rounds where plain propagation needs O(diameter)
+    * (a 100-hop duplicate chain would need 100 shuffles without it). The
+    * driver-side loop is a bounded controller: per round it runs one
+    * `count()` on CHANGED LABELS (a scalar, not data) to detect the fixed
+    * point; `localCheckpoint` truncates the iterative lineage so round k
+    * doesn't re-plan rounds 1..k-1 (the standard iterative-algorithm
+    * pattern on Spark). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var lab = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = bidir.join(lab.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u")).agg(min(col("label")).as("nl"))
+      val prop = lab.join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val half = prop.join(
+        prop.select(col("id").as("label"), col("label").as("hop")), Seq("label"))
+        .select(col("id"), col("hop").as("label"))
+        .localCheckpoint()
+      converged = half.join(lab.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      lab = half
+      iter += 1
+    }
+    lab
+  }
+
+  /** x44 — near-dup clustering + representative selection: the dedup
+    * endgame (pairs → components → keep one doc per cluster). Edges here
+    * are chosen for oracle parity — exact-duplicate groups (md5) ∪
+    * consecutive-pair token-set Jaccard ≥ 0.6 — so the CLUSTERING itself
+    * is hash-verified against a DuckDB recursive-CTE twin; in production
+    * the edge list is x41/x42's verified candidate pairs and everything
+    * from `connectedComponents` down is unchanged. Keeper = longest doc
+    * (doc_id tiebreak); singletons are not dedup work and are filtered. */
+  val x44: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val roots = docs.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
+    val e1 = docs.join(roots, "h").filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("a"), col("doc_id").as("b"))
+    val ta = docs.select(col("doc_id").as("a"), col("tk").as("ta"))
+    val tb = docs.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"), col("tk").as("tb"))
+    val e2 = ta.join(tb, "a")
+      .filter(size(array_intersect(col("ta"), col("tb")))
+        / size(array_union(col("ta"), col("tb"))).cast("double") >= 0.6)
+      .select(col("a"), col("b"))
+    val lab = connectedComponents(
+      docs.select(col("doc_id").as("id")), e1.union(e2).distinct())
+    val mem = lab.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy(col("label")).orderBy(desc("n_chars"), col("id")))
+    mem.withColumn("rn", rn)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        max(when(col("rn") === 1, col("id"))).as("keeper_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("keeper_chars"))
+      .filter(col("size") >= 2)
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x40_dedup_exact" -> x40,
     "x41_minhash_lsh" -> x41,
     "x42_simhash" -> x42,
-    "x43_ngram_jaccard" -> x43)
+    "x43_ngram_jaccard" -> x43,
+    "x44_dedup_clusters" -> x44)
 
   val oracles: Map[String, String] = Map(
     "x40_dedup_exact" ->
@@ -156,5 +233,38 @@ object DedupQueries {
         |  floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))) * 10000 + 0.5) / 10000 AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        |ORDER BY a_id""".stripMargin)
+        |ORDER BY a_id""".stripMargin,
+    // Transitive closure via recursive CTE (min label per node), same edge
+    // definition as the Spark side; terminates because UNION deduplicates
+    // the (node, label) reach set, bounded by Σ cluster_size².
+    "x44_dedup_clusters" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM documents),
+        |e1 AS (
+        |  SELECT g.root AS a, d.doc_id AS b
+        |  FROM documents d
+        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS root FROM documents GROUP BY 1) g
+        |    ON md5(d.text) = g.h
+        |  WHERE d.doc_id <> g.root),
+        |e2 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+        |edges AS (
+        |  SELECT a, b FROM e1 UNION SELECT a, b FROM e2
+        |  UNION SELECT b, a FROM e1 UNION SELECT b, a FROM e2),
+        |reach(v, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+        |lab AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+        |mem AS (
+        |  SELECT l.cluster_id, d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM lab l JOIN documents d USING (doc_id))
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, COUNT(*) AS size,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
+        |FROM mem GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id""".stripMargin)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** x44 dedup clustering: the connectedComponents primitive and the
+  * end-to-end cluster/keeper contracts. Value parity with the recursive-CTE
+  * DuckDB twin is the Verify gate's job. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodeIds: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupQueries.connectedComponents(
+      nodeIds.toDF("id"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: chain, star, and singletons resolve to min labels") {
+    val labels = cc(
+      (1L to 12L),
+      // a 6-chain (worst case for plain propagation), a star, one pair
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+        (8L, 7L), (8L, 9L), (8L, 10L), (11L, 12L)))
+    assert((1L to 6L).forall(labels(_) == 1L), s"chain: $labels")
+    assert((7L to 10L).forall(labels(_) == 7L), s"star: $labels")
+    assert(labels(11L) == 11L && labels(12L) == 11L)
+  }
+
+  test("connectedComponents: 60-hop chain converges (path halving, not diameter rounds)") {
+    val n = 60L
+    val labels = cc((1L to n), (1L until n).map(i => (i, i + 1)))
+    assert(labels.values.forall(_ == 1L), "single component expected")
+  }
+
+  test("x44 clusters are edge-consistent and keepers are the longest members") {
+    val out = DedupQueries.x44(spark, sfDir).collect()
+    assert(out.nonEmpty, "sf0.001 corpus must contain near-dup chains")
+    // recompute membership + edges independently
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val ta = docs.select(col("doc_id").as("a"), col("tk").as("ta"))
+    val tb = docs.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"), col("tk").as("tb"))
+    val edges = ta.join(tb, "a")
+      .filter(size(array_intersect(col("ta"), col("tb")))
+        / size(array_union(col("ta"), col("tb"))).cast("double") >= 0.6)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lab = DedupQueries.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      edges.toSeq.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge's endpoints agree on the cluster
+    edges.foreach { case (a, b) =>
+      assert(lab(a) == lab(b), s"edge ($a,$b) split across clusters")
+    }
+    val chars = docs.select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (cid, size, keeperId, keeperChars) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = lab.filter(_._2 == cid).keys.toSeq
+      assert(members.size == size, s"cluster $cid size")
+      assert(members.contains(keeperId))
+      assert(members.forall(m => chars(m) <= keeperChars),
+        s"keeper $keeperId is not the longest in $cid")
+    }
+  }
+}
