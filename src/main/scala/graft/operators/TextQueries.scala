@@ -115,12 +115,55 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 query terms + parameters, shared with the GENERATED oracle twin
+    * (the x32 trick: both sides derive from the same constants). */
+  private val bm25Terms = Seq("join", "window", "stream", "hash")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** x34 — BM25 relevance scoring: top-20 docs for a fixed term set. The
+    * 100 TB shape: tokenize + per-term tf are per-row expressions (no
+    * shuffle); df and avgdl are two scalar aggregates over the corpus —
+    * computed as scalar subqueries (broadcast, not a join); the final
+    * top-k is TakeOrderedAndProject. An inverted index would serve point
+    * queries faster, but for corpus-wide scoring (ranking ALL docs for
+    * curriculum/retrieval-mix selection) the scan shape is the right one.
+    *
+    * Parity: tf/df/dl are exact ints; avgdl is one double division; idf's
+    * ln and the saturation quotient are continuous IEEE ops (identical on
+    * both engines — no half-ulp rounding ties like round() has); the
+    * 4-term sum is written as one fixed-order expression, never a
+    * cross-row double reduction. */
+  val x34: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val n = count(lit(1))
+    val stats = docs.agg(
+      n.cast("double").as("n"),
+      (sum(col("dl")) / n).as("avgdl") +: bm25Terms.map(t =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+          .cast("double").as(s"df_$t")): _*)
+    val scored = docs.crossJoin(broadcast(stats))
+    val score = bm25Terms.map { t =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val idf = log(((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) + lit(1.0))
+      idf * (tf * (bm25K1 + 1.0)) /
+        (tf + lit(bm25K1) * (lit(1.0) - bm25B + lit(bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .select(col("doc_id"), col("lang"), graft.Tables.fround(score, 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
     "x31_token_count" -> x31,
     "x32_lang_id" -> x32,
-    "x33_fingerprint" -> x33)
+    "x33_fingerprint" -> x33,
+    "x34_bm25" -> x34)
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" ->
@@ -164,5 +207,30 @@ object TextQueries {
          |  FROM documents)
          |SELECT label, $guess AS guess, COUNT(*) AS n
          |FROM scored GROUP BY label, guess ORDER BY label, guess""".stripMargin
+    },
+    // Generated from the same constants as x34 (terms, k1, b interpolated as
+    // Scala doubles — shortest round-trip repr, parsed back to identical
+    // bits). Operation order mirrors the Column expression exactly; the only
+    // transcendental (ln) feeds a 4-digit floor-rounding, so a 1-ulp libm
+    // difference cannot flip the output.
+    "x34_bm25" -> {
+      val dfCols = bm25Terms.map(t =>
+        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+        .mkString(", ")
+      val scores = bm25Terms.map { t =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        s"(ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * ($tf * ${bm25K1 + 1.0}))" +
+          s" / ($tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))"
+      }.mkString(" + ")
+      s"""WITH dd AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+         |  FROM documents),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl, $dfCols
+         |  FROM dd)
+         |SELECT doc_id, lang, floor(($scores) * 10000.0 + 0.5) / 10000.0 AS score
+         |FROM dd, st
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     })
 }

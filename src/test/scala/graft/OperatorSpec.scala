@@ -33,6 +33,16 @@ class OperatorSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x34 BM25: corpus stats broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan(TextQueries.x34(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "single-row stats must broadcast, never shuffle the corpus: " + p)
+    val rows = TextQueries.x34(spark, sfDir).collect()
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)), "descending scores")
+  }
+
   test("x51 metadata query prunes the text column from the scan") {
     val p = plan(MultimodalQueries.x51(spark, sfDir))
     assert(p.contains("ReadSchema") && !p.contains("text"), p)
