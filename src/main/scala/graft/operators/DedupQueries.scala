@@ -155,7 +155,17 @@ object DedupQueries {
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
-    var lab = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    // Singletons never change label and never influence one — keep them out
+    // of the loop entirely (at 100 TB most of a deduped corpus is singleton).
+    // x44 re-joins members at the end, so dropping them here is lossless.
+    var lab = nodes.join(
+        bidir.select(col("u").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // Labels are node ids and only ever DECREASE (min-propagation + path
+    // halving), so Σlabel is strictly monotone until the fixed point: the
+    // convergence test is one scan of the just-checkpointed round, not a
+    // join against the previous one.
+    var prevSum = Option.empty[Long]
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -167,8 +177,9 @@ object DedupQueries {
         prop.select(col("id").as("label"), col("label").as("hop")), Seq("label"))
         .select(col("id"), col("hop").as("label"))
         .localCheckpoint()
-      converged = half.join(lab.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = half.agg(sum(col("label"))).head.getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       lab = half
       iter += 1
     }

@@ -73,10 +73,47 @@ object SamplingQueries {
         max(col("n_chars")).as("hi"))
       .orderBy(col("bin"))
 
+  /** x73 — stratified sample: exactly 20 docs per language, chosen by
+    * hash-bucket rank (deterministic, engine-independent). The per-group
+    * rank shuffles (lang, bucket, id) triples only; at 100 TB with a
+    * per-stratum quota this is the exact form — the shuffle-free
+    * approximation (bucket < quota·10000/|stratum|) needs only stratum
+    * counts, at the cost of ±binomial error on the quota. */
+  val x73: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("bk", bucket(col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("bk"), col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** x74 — corpus profile: the data-quality gate a curation pipeline runs
+    * before training (one scalar row; every stat is an exact integer or a
+    * fixed-point average, so the profile is reproducible to the bit). */
+  val x74: Q = (s, d) => {
+    val toks = size(split(col("text"), " "))
+    t(s, d, "documents")
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(col("source")).as("sources"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).cast("long").as("empty_docs"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).cast("long").as("bad_n_chars"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        graft.Tables.fround(graft.Tables.davg(col("n_chars"), 2), 2).as("avg_chars"),
+        sum(toks.cast("long")).as("total_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
-    "x72_quantile_bins" -> x72)
+    "x72_quantile_bins" -> x72,
+    "x73_stratified_sample" -> x73,
+    "x74_corpus_profile" -> x74)
 
   private val b = bucketSql.format("doc_id")
 
@@ -96,5 +133,23 @@ object SamplingQueries {
         |  FROM documents)
         |SELECT bin, COUNT(*) AS n, CAST(MIN(n_chars) AS BIGINT) AS lo,
         |  CAST(MAX(n_chars) AS BIGINT) AS hi
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "x73_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $b, doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
+         |ORDER BY lang, doc_id""".stripMargin,
+    "x74_corpus_profile" ->
+      """SELECT COUNT(*) AS docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs,
+        |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  floor(CAST(SUM(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100 AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents""".stripMargin)
 }

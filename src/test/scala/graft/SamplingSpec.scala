@@ -43,6 +43,29 @@ class SamplingSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("x73 stratified sample takes at most the quota per language, deterministically") {
+    val rows = SamplingQueries.x73(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ <= 20), s"quota exceeded: $perLang")
+    val langsWithEnough = docs.groupBy(col("lang")).count()
+      .filter(col("count") >= 20).count()
+    assert(perLang.count(_._2 == 20) == langsWithEnough,
+      "every language with >= 20 docs must fill its quota")
+    val again = SamplingQueries.x73(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("x74 corpus profile matches independently computed facts") {
+    val p = SamplingQueries.x74(spark, sfDir).collect()(0)
+    assert(p.getLong(0) == docs.count())
+    assert(p.getLong(3) == 0 && p.getLong(4) == 0, "clean synthetic corpus")
+    assert(p.getLong(5) <= p.getLong(6), "min <= max")
+    val avg = p.getDouble(7)
+    assert(avg >= p.getLong(5) && avg <= p.getLong(6), "avg within [min,max]")
+  }
+
   test("x72 bins are balanced and boundary-monotonic") {
     val bins = SamplingQueries.x72(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
