@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline — the library's operators
+  * composing as a user would chain them (each stage IS the shipped query
+  * logic, not a reimplementation):
+  *
+  *   1. profile the raw corpus (x74)
+  *   2. quality gate: drop docs under a stopword/length floor (x30 scores)
+  *   3. dedup: near-dup clusters (x44's edges + connectedComponents),
+  *      keep the longest member per cluster, drop the rest
+  *   4. split survivors 80/10/10 by key hash (x71's buckets)
+  *   5. write one parquet dir per split
+  *
+  * Every stage is deterministic (hash buckets, fixed thresholds, exact
+  * reductions), so re-running reproduces identical splits — asserted in
+  * CurationSpec, and the property that makes a 100 TB curation run
+  * auditable and resumable.
+  *
+  * runMain graft.CurationDemo [sfDir] [outDir]
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-curation")
+    val spark = Engine.session()
+    val (raw, kept, surv) = run(spark, sfDir, outDir)
+    println(s"[curation] $raw raw -> $kept quality-kept -> $surv after dedup")
+    spark.stop()
+  }
+
+  /** Returns (raw count, after quality gate, after dedup keep-best). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): (Long, Long, Long) = {
+    import graft.operators._
+
+    val profile = SamplingQueries.x74(spark, sfDir).collect()(0)
+    val raw = profile.getLong(0)
+    println(s"[curation] raw docs: $raw, langs: ${profile.getLong(1)}, " +
+      s"avg chars: ${profile.getDouble(7)}")
+
+    val kept = TextQueries.qualityScores(spark, sfDir)
+      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
+      .select(col("doc_id"))
+    val nKept = kept.count()
+
+    // dedup keep-best: drop every cluster member that is not the keeper
+    val nonKeepers = DedupQueries.clusterMembers(spark, sfDir)
+      .filter(!col("is_keeper")).select(col("doc_id"))
+    val survivors = kept.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val nSurv = survivors.count()
+
+    val out = graft.Tables.t(spark, sfDir, "documents")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
+    Seq("train", "val", "test").foreach { s =>
+      out.filter(col("split") === s).drop("split")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$s")
+    }
+    (raw, nKept, nSurv)
+  }
+}

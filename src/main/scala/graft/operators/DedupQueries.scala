@@ -194,7 +194,10 @@ object DedupQueries {
     * the edge list is x41/x42's verified candidate pairs and everything
     * from `connectedComponents` down is unchanged. Keeper = longest doc
     * (doc_id tiebreak); singletons are not dedup work and are filtered. */
-  val x44: Q = (s, d) => {
+  /** Cluster membership behind x44: (doc_id, cluster_id, n_chars,
+    * is_keeper) for every doc in a size≥2 near-dup cluster. CurationDemo
+    * drops the non-keepers; x44 aggregates per cluster. */
+  def clusterMembers(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
         array_distinct(split(col("text"), " ")).as("tk"))
@@ -214,13 +217,18 @@ object DedupQueries {
     val rn = row_number().over(
       Window.partitionBy(col("label")).orderBy(desc("n_chars"), col("id")))
     mem.withColumn("rn", rn)
-      .groupBy(col("label").as("cluster_id"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("n_chars"), (col("rn") === 1).as("is_keeper"))
+  }
+
+  val x44: Q = (s, d) =>
+    clusterMembers(s, d)
+      .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("size"),
-        max(when(col("rn") === 1, col("id"))).as("keeper_id"),
-        max(when(col("rn") === 1, col("n_chars"))).as("keeper_chars"))
+        max(when(col("is_keeper"), col("doc_id"))).as("keeper_id"),
+        max(when(col("is_keeper"), col("n_chars"))).as("keeper_chars"))
       .filter(col("size") >= 2)
       .orderBy(col("cluster_id"))
-  }
 
   val queries: Map[String, Q] = Map(
     "x40_dedup_exact" -> x40,

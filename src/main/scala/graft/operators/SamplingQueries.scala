@@ -47,14 +47,18 @@ object SamplingQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** 80/10/10 split assignment from a key column (shared by x71 and
+    * CurationDemo — one definition, one hash). */
+  def splitCol(key: Column): Column =
+    when(bucket(key) < 8000, "train")
+      .when(bucket(key) < 9000, "val")
+      .otherwise("test")
+
   /** x71 — 80/10/10 train/val/test split, per-split corpus stats.
     * n_chars sums are BIGINT — exact under any reduction order. */
   val x71: Q = (s, d) =>
     t(s, d, "documents")
-      .withColumn("split",
-        when(bucket(col("doc_id")) < 8000, "train")
-          .when(bucket(col("doc_id")) < 9000, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).cast("long").as("chars"),

@@ -31,7 +31,9 @@ object TextQueries {
     * rational and DO land on exact .00005 ties, where Spark (BigDecimal
     * HALF_UP on the shortest decimal repr) and DuckDB (std::round on the raw
     * double) disagree; the floor form is the same IEEE ops in both engines. */
-  val x30: Q = (s, d) => {
+  /** Per-doc quality scores for the WHOLE corpus (x30 is the first-200
+    * query contract over this; CurationDemo gates on it unlimited). */
+  def qualityScores(s: SparkSession, d: String): DataFrame = {
     def r4(c: org.apache.spark.sql.Column) = graft.Tables.fround(c, 4)
     val nToks = size(split(col("text"), " "))
     val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
@@ -46,9 +48,10 @@ object TextQueries {
           nStop / nToks * 0.4
             + least(avgTokLen / 10.0, lit(1.0)) * 0.3
             + least(nToks / 100.0, lit(1.0)) * 0.3).as("quality"))
-      .orderBy(col("doc_id"))
-      .limit(200)
   }
+
+  val x30: Q = (s, d) =>
+    qualityScores(s, d).orderBy(col("doc_id")).limit(200)
 
   /** x31 — BPE-ish token counting: word / number / punctuation token classes
     * via one regex pass (regexp_extract_all is codegen'd). */
