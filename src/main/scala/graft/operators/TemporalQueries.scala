@@ -72,11 +72,50 @@ object TemporalQueries {
         col("n"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** x35 — q34's batch fast path: repartition by user, sort within
+    * partitions, one linear typed pass per partition. Value-identical to
+    * q34 (same oracle) and measured −30% (SessionProbe, BASELINE.md §q34):
+    * the hand-rolled merge adds ~zero CPU on top of the exchange+sort
+    * floor, where `session_window`'s generic merge machinery adds
+    * ~0.15 s. mapPartitions is deliberate here — sessionization is a
+    * per-key linear scan, exactly the "genuine per-partition imperative
+    * logic" case; the streaming-unified `session_window` form (q34)
+    * remains the default. */
+  val x35: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("ts"))
+    val gapUs = 1800000000L // 30 minutes
+    val sessions = ev.as[(Long, Long, java.sql.Timestamp)].mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, Long, Long)]
+      var curUser = Long.MinValue
+      var start: java.sql.Timestamp = null
+      var lastL = 0L
+      var n = 0L
+      def flush(): Unit = if (n > 0) out += ((curUser, start, lastL, n))
+      for ((u, tl, tts) <- it) {
+        if (u != curUser || tl - lastL >= gapUs) {
+          flush(); curUser = u; start = tts; n = 0
+        }
+        lastL = tl; n += 1
+      }
+      flush()
+      out.iterator
+    }.toDF("user_id", "start", "last_l", "n")
+    sessions.select(col("user_id"), tsStr(col("start")).as("s_start"),
+      tsStr(timestamp_micros(col("last_l") + gapUs)).as("s_end"), col("n"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_tumbling_window" -> q31,
     "q32_sliding_window" -> q32,
     "q33_asof_join" -> q33,
-    "q34_session_window" -> q34)
+    "q34_session_window" -> q34,
+    "x35_sessions_linear" -> x35)
 
   val oracles: Map[String, String] = Map(
     "q31_tumbling_window" ->
@@ -100,7 +139,11 @@ object TemporalQueries {
         |  WHERE e.event_type = 'error' AND e.user_id = p.user_id AND e.ts <= p.ts
         |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prev_error_id
         |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin,
-    "q34_session_window" ->
+    "q34_session_window" -> sessionOracle,
+    // x35 is value-identical to q34 by contract — same twin
+    "x35_sessions_linear" -> sessionOracle)
+
+  private lazy val sessionOracle: String =
       """WITH marks AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -114,5 +157,5 @@ object TemporalQueries {
         |  FROM marks)
         |SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS s_start,
         |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS s_end, COUNT(*) AS n
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 }
