@@ -14,6 +14,41 @@ object ExplainAudit {
     "q29_cosine_topk", "x20_cosine_neardup", "x22_ann_ivf", "q37_in_subquery",
     "x23_multi_query_topk") // corpus × broadcast query-vector sweep, as q29
 
+  /** A BroadcastNestedLoopJoin is benign when its broadcast side is a
+    * global (no-grouping-key) aggregate: provably ONE row, so the "nested
+    * loop" is a single pass over the stream side — the scalar-subquery /
+    * broadcast-stats shape (x34's corpus df/avgdl row). Any other NLJ is
+    * an O(N×M) comparison loop and gets flagged. */
+  private def allNljSingleRowBuild(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // SparkPlan.collect stops at AQE boundaries (QueryStageExec is a leaf
+    // wrapping its stage; AdaptiveSparkPlanExec wraps the current plan) —
+    // flatten through them explicitly.
+    def flatten(n: SparkPlan): Seq[SparkPlan] = n +: (n match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val all = flatten(p)
+    val nljs = all.collect { case j: BroadcastNestedLoopJoinExec => j }
+    nljs.nonEmpty && nljs.forall { j =>
+      val build = j.buildSide match {
+        case BuildRight => j.right
+        case BuildLeft => j.left
+      }
+      flatten(build).exists {
+        case a: HashAggregateExec => a.groupingExpressions.isEmpty
+        case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+        case a: SortAggregateExec => a.groupingExpressions.isEmpty
+        case _ => false
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -27,12 +62,15 @@ object ExplainAudit {
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val physical = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = physical.toString
         val flags = Seq(
           // a plan-level cartesian (not the broadcast variant) never survives scale
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          // nested-loop join anywhere we didn't explicitly choose an all-pairs sweep
-          "NestedLoop" -> (plan.contains("BroadcastNestedLoopJoin") && !intendedCross(name))
+          // nested-loop join anywhere we didn't explicitly choose an
+          // all-pairs sweep and the build side isn't a provable single row
+          "NestedLoop" -> (plan.contains("BroadcastNestedLoopJoin") &&
+            !intendedCross(name) && !allNljSingleRowBuild(physical))
         ).filter(_._2).map(_._1)
         if (flags.nonEmpty) { flagged += 1; println(s"[audit] $name: ${flags.mkString(",")}") }
         else println(s"[audit] $name: ok")

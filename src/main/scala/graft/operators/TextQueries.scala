@@ -147,6 +147,11 @@ object TextQueries {
       (sum(col("dl")) / n).as("avgdl") +: bm25Terms.map(t =>
         sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
           .cast("double").as(s"df_$t")): _*)
+    // crossJoin with the broadcast 1-row stats frame plans a
+    // BroadcastNestedLoopJoin with an EMPTY condition — for a single
+    // build row that IS the scalar-subquery shape (O(N), no comparison
+    // work); ExplainAudit exempts exactly this case (global-aggregate
+    // build side => provably one row)
     val scored = docs.crossJoin(broadcast(stats))
     val score = bm25Terms.map { t =>
       val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
