@@ -151,7 +151,47 @@ object DedupQueries {
     * point; `localCheckpoint` truncates the iterative lineage so round k
     * doesn't re-plan rounds 1..k-1 (the standard iterative-algorithm
     * pattern on Spark). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Edge-count threshold under which CC runs as driver-side union-find:
+    * the same size-based strategy switch Spark itself applies to joins
+    * (autoBroadcastJoinThreshold). 2M edges ≈ 32 MB of longs — trivially
+    * driver-safe — and the distributed loop's per-round scheduling floor
+    * (~0.5 s × log n rounds) dwarfs microseconds of local union-find at
+    * that size. Above the threshold, the O(log n)-round loop takes over. */
+  private val localCcMaxEdges = 2000000L
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponents(nodes, edges, maxIter, localCcMaxEdges)
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int,
+                          localMaxEdges: Long): DataFrame = {
+    val spark = nodes.sparkSession
+    val edgeCount = edges.count()
+    if (edgeCount <= localMaxEdges) {
+      // driver-side union-find with path compression; labels = min member
+      // id per component (identical to the distributed fixed point)
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+      val minLabel = scala.collection.mutable.HashMap.empty[Long, Long]
+      val members = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      members.foreach { v =>
+        val r = find(v)
+        minLabel(r) = math.min(minLabel.getOrElse(r, v), v)
+      }
+      import spark.implicits._
+      return members.map(v => (v, minLabel(find(v)))).toSeq.toDF("id", "label")
+    }
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()

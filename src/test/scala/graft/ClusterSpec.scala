@@ -9,10 +9,19 @@ import graft.operators._
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(nodeIds: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
-    DedupQueries.connectedComponents(
+  /** Runs BOTH the driver-side union-find (default threshold) and the
+    * distributed loop (threshold 0) and asserts they agree — every CC test
+    * below exercises both strategies. */
+  private def cc(nodeIds: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = DedupQueries.connectedComponents(
       nodeIds.toDF("id"), edges.toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DedupQueries.connectedComponents(
+      nodeIds.toDF("id"), edges.toDF("a", "b"), 25, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local union-find and distributed loop disagree:\n$local\n$dist")
+    local
+  }
 
   test("connectedComponents: chain, star, and singletons resolve to min labels") {
     val labels = cc(
