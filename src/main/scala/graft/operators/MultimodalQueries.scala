@@ -81,9 +81,105 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_media"), sum(col("n_chars")).cast("long").as("total_bytes"))
       .orderBy(col("source"))
 
+  /** x52 — resize planning: aspect-preserving fit of the source dims into a
+    * 224×224 budget. Dims derive from the TYPED METADATA column (`n_chars`
+    * standing in for stored width/height — real media tables carry dims as
+    * metadata exactly so planning never decodes), so the query is pure
+    * integer column arithmetic: whole-stage codegen, no UDF, and the payload
+    * column is pruned from the scan (asserted in OperatorSpec, like x51).
+    * At 100 TB the resize *plan* (output dims + scale factor) is what a
+    * batch scheduler computes first to size decode work, so it must run at
+    * metadata cost, not payload cost; the pixel-resample kernel itself is
+    * the codec swap-in at the x50 seam. scale_bp = scale factor in basis
+    * points (224/max_dim * 10⁴). */
+  val x52: Q = (s, d) => {
+    val nb = col("n_chars") // typed metadata column — payload stays pruned
+    val w = lit(64L) + nb % 577L
+    val h = lit(64L) + nb % 331L
+    val m = greatest(w, h)
+    t(s, d, "documents")
+      .select(col("doc_id"), w.as("w"), h.as("h"),
+        greatest(lit(1L), floor(w * 224 / m).cast("long")).as("out_w"),
+        greatest(lit(1L), floor(h * 224 / m).cast("long")).as("out_h"),
+        floor(lit(2240000L) / m).cast("long").as("scale_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_chars", LongType),
+    StructField("frame_cp_sum", LongType)))
+
+  /** x53 — frame sampling: treat the payload as a "video" of 64-codepoint
+    * frames and emit every 2nd frame's stats (the strided-sampling shape of
+    * video preprocessing: decode only the sampled frames). Same
+    * per-partition batch kernel as x50 — one pass over the payload per doc,
+    * codec state per task — and exact-integer outputs so the DuckDB twin
+    * hash-matches with no rounding contract. Output is bounded by
+    * docs × frames/stride, and the kernel is embarrassingly parallel: no
+    * shuffle until the presentation sort. */
+  val x53: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    implicit val enc = RowEncoder.encoderFor(frameSchema)
+    docs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = 0 // UTF-16 index; frames counted in code points like DuckDB length()
+        var fIdx = 0L
+        while (i < text.length) {
+          var cnt = 0L
+          var sum = 0L
+          while (i < text.length && cnt < 64) {
+            val cp = text.codePointAt(i)
+            sum += cp
+            cnt += 1
+            i += Character.charCount(cp)
+          }
+          if (fIdx % 2 == 0) out += Row(id, fIdx, cnt, sum)
+          fIdx += 1
+        }
+        out
+      }
+    }.orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val featSchema: StructType = StructType(
+    StructField("doc_id", LongType) +: (0 until 8).map(k => StructField(s"b$k", LongType)))
+
+  /** x54 — feature extraction: a fixed-width feature vector per item (here
+    * an 8-bin codepoint histogram standing in for an image-feature net).
+    * One row in, one fixed-width vector out — the exact batch shape a real
+    * extractor (mapInPandas / ONNX batch) runs in; per-partition batching
+    * keeps model init per task. Bins are exact counts (bigint) so the twin
+    * hash-matches without float contracts. */
+  val x54: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    implicit val enc = RowEncoder.encoderFor(featSchema)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val bins = new Array[Long](8)
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          bins(cp % 8) += 1
+          i += Character.charCount(cp)
+        }
+        Row.fromSeq(id +: bins.toSeq)
+      }
+    }.orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x50_media_decode" -> x50,
-    "x51_media_metadata" -> x51)
+    "x51_media_metadata" -> x51,
+    "x52_media_resize" -> x52,
+    "x53_frame_sample" -> x53,
+    "x54_media_features" -> x54)
 
   val oracles: Map[String, String] = Map(
     // the stub decode is pure arithmetic over octet_length => SQL-expressible
@@ -100,5 +196,28 @@ object MultimodalQueries {
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
     "x51_media_metadata" ->
       """SELECT source, COUNT(*) AS n_media, CAST(SUM(n_chars) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x52_media_resize" ->
+      """SELECT doc_id, w, h,
+        |GREATEST(1, CAST(floor(w*224/GREATEST(w,h)) AS BIGINT)) AS out_w,
+        |GREATEST(1, CAST(floor(h*224/GREATEST(w,h)) AS BIGINT)) AS out_h,
+        |CAST(floor(2240000/GREATEST(w,h)) AS BIGINT) AS scale_bp
+        |FROM (SELECT doc_id, CAST(64 + n_chars % 577 AS BIGINT) AS w,
+        |             CAST(64 + n_chars % 331 AS BIGINT) AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x53_frame_sample" ->
+      """SELECT doc_id, f AS frame_idx,
+        |CAST(least((f+1)*64, length(text)) - f*64 AS BIGINT) AS frame_chars,
+        |CAST(list_aggregate(list_transform(
+        |  range(CAST(f*64+1 AS BIGINT), CAST(least((f+1)*64, length(text))+1 AS BIGINT)),
+        |  i -> ascii(text[i])), 'sum') AS BIGINT) AS frame_cp_sum
+        |FROM (SELECT doc_id, text,
+        |      unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT))) AS f FROM documents)
+        |WHERE f % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    "x54_media_features" ->
+      ("SELECT doc_id, " +
+        (0 until 8).map(k =>
+          s"CAST(length(list_filter(cps, x -> x % 8 = $k)) AS BIGINT) AS b$k").mkString(", ") +
+        " FROM (SELECT doc_id, list_transform(range(1, length(text)+1)," +
+        " i -> ascii(text[i])) AS cps FROM documents) ORDER BY doc_id"))
 }

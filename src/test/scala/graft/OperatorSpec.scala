@@ -48,6 +48,39 @@ class OperatorSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("text"), p)
   }
 
+  test("x52 resize planning is metadata-only: payload pruned, no UDF, codegen") {
+    val df = MultimodalQueries.x52(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("ReadSchema") && !p.contains("text"), p)
+    // no UDF/mapPartitions barrier anywhere: pure Project over the scan
+    assert(!p.contains("ScalaUDF") && !p.contains("MapPartitions"), p)
+    // aspect ratio is preserved within integer truncation: max out dim = 224
+    val bad = df.filter(greatest($"out_w", $"out_h") =!= 224).count()
+    assert(bad == 0, "fit-to-budget must scale the longest side to exactly 224")
+  }
+
+  test("x53 frame sampling covers every sampled frame exactly once, strided") {
+    val rows = MultimodalQueries.x53(spark, sfDir)
+      .select($"doc_id", $"frame_idx", $"frame_chars").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 % 2 == 0), "only even frames are sampled")
+    assert(rows.forall(r => r._3 > 0 && r._3 <= 64), "frames are 1..64 codepoints")
+    // within a doc: full frames except possibly the last sampled one
+    rows.groupBy(_._1).foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.init.forall(_._3 == 64), "only the final frame may be short")
+    }
+  }
+
+  test("x54 feature bins partition the document exactly (counts sum to n_chars)") {
+    val feats = MultimodalQueries.x54(spark, sfDir)
+    val binSum = (0 until 8).map(k => col(s"b$k")).reduce(_ + _)
+    val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"n_chars")
+    val mismatches = feats.join(docs, "doc_id")
+      .filter(binSum =!= $"n_chars").count()
+    assert(mismatches == 0, "8-bin histogram must partition the codepoints")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val df = graft.Tables.t(spark, sfDir, "orders").filter($"o_custkey" === 7L).select($"o_orderkey")
     val p = plan(df)
