@@ -20,10 +20,11 @@ import graft.Tables.t
   *    one split in one pass — the standard corpus-split idiom, and the
   *    buckets are stable under table growth (a new row lands in a split
   *    by key hash, not by position).
-  *  - Quantile binning (curriculum/difficulty strata): exact `ntile` here
-  *    (oracle-checkable; a global range sort — fine into the tens of GB);
-  *    at 100 TB swap the sort for x64-style approx-percentile cutpoints +
-  *    a per-row bucket lookup, which is one pass + a tiny broadcast.
+  *  - Quantile binning (curriculum/difficulty strata): exact ntile in its
+  *    distributed form — range-partition, rank locally, add prefix-sum
+  *    offsets (see x72; no single-partition window anywhere). The
+  *    x64-style approx-percentile cutpoints + per-row bucket lookup remain
+  *    the even cheaper one-pass alternative when ±ε on boundaries is fine.
   *
   * Bucket parity: md5 (identical bytes→hex on every engine), first 8 hex
   * digits parsed as an unsigned int, mod 10000. Spark `conv(_,16,10)` ↔
@@ -66,16 +67,52 @@ object SamplingQueries {
       .orderBy(col("split"))
 
   /** x72 — decile bins over (n_chars, doc_id): curriculum strata with
-    * exact boundaries. The doc_id tiebreak makes ntile deterministic. */
-  val x72: Q = (s, d) =>
-    t(s, d, "documents")
-      .withColumn("bin", ntile(10).over(
-        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    * exact boundaries. The doc_id tiebreak makes the global order total,
+    * so the bins are deterministic.
+    *
+    * DISTRIBUTED EXACT NTILE — `ntile().over(Window.orderBy(...))` would
+    * funnel the whole table through ONE partition (Spark warns
+    * "No Partition Defined for Window operation"), the canonical 100 TB
+    * window anti-pattern. Instead: range-repartition on the sort key, rank
+    * WITHIN each range partition, and recover the global position by
+    * adding each partition's prefix-sum offset. The offset side is one
+    * tiny row per range partition (32 here) aggregated from the SAME
+    * exchange — Catalyst's ReuseExchange shuffles the data once — and its
+    * unpartitioned prefix-sum window is over those 32 rows, not the data.
+    * The NTILE position formula (first n%B buckets take one extra row)
+    * then reproduces SQL ntile bit-for-bit with `div` integer arithmetic
+    * (no doubles — exact at any row count). */
+  val x72: Q = (s, d) => {
+    val parts = t(s, d, "documents")
+      .select(col("n_chars"), col("doc_id"))
+      .repartitionByRange(32, col("n_chars"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // one row per range partition: its size, exclusive prefix offset, total
+    val tiny = Window.orderBy(col("pid"))
+    val offs = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("off"), col("n"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("n_chars"), col("doc_id")))
+    parts
+      .withColumn("rn", localRank)
+      .join(broadcast(offs), "pid")
+      .withColumn("pos", col("off") + col("rn"))
+      .withColumn("q", expr("n div 10")).withColumn("r", col("n") % 10)
+      .withColumn("bin",
+        when(col("pos") <= col("r") * (col("q") + 1),
+          expr("(pos - 1) div (q + 1)"))
+          .otherwise(col("r") + expr("(pos - r * (q + 1) - 1) div q"))
+          .cast("long") + 1)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("n_chars")).as("lo"),
         max(col("n_chars")).as("hi"))
       .orderBy(col("bin"))
+  }
 
   /** x73 — stratified sample: exactly 20 docs per language, chosen by
     * hash-bucket rank (deterministic, engine-independent). The per-group

@@ -77,4 +77,26 @@ class SamplingSpec extends SparkSpec {
       assert(lo._4 <= hi._3, s"bins overlap: $lo vs $hi")
     }
   }
+
+  test("x72 ntile matches Spark's own ntile and runs no full-data global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // value parity with the single-partition reference form
+    val expected = docs
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      .orderBy(col("bin")).collect().toSeq
+    val got = SamplingQueries.x72(spark, sfDir).collect().toSeq
+    assert(got == expected, s"distributed ntile diverged:\n$got\n$expected")
+    // plan hygiene: every Window node over the fact rows is partitioned;
+    // the only permitted unpartitioned window is the 32-row offset side,
+    // recognizable by its partial count input
+    val p = SamplingQueries.x72(spark, sfDir).queryExecution.executedPlan.toString
+    val ntileNodes = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(ntileNodes.exists(_.contains("pid#")),
+      s"fact-side window must partition by the range-partition id:\n$p")
+  }
 }
