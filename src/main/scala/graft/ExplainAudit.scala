@@ -14,14 +14,19 @@ object ExplainAudit {
     "q29_cosine_topk", "x20_cosine_neardup", "x22_ann_ivf", "q37_in_subquery",
     "x23_multi_query_topk") // corpus × broadcast query-vector sweep, as q29
 
-  /** A BroadcastNestedLoopJoin is benign when its broadcast side is a
+  /** A BroadcastNestedLoopJoin is benign when its broadcast side IS a
     * global (no-grouping-key) aggregate: provably ONE row, so the "nested
     * loop" is a single pass over the stream side — the scalar-subquery /
-    * broadcast-stats shape (x34's corpus df/avgdl row). Any other NLJ is
-    * an O(N×M) comparison loop and gets flagged. */
-  private def allNljSingleRowBuild(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-    import org.apache.spark.sql.execution.SparkPlan
+    * broadcast-stats shape (x34's corpus df/avgdl row). The aggregate must
+    * be the TOP data-shaping node of the build side (walking through
+    * exchanges, codegen wrappers, and row-count-preserving Projects only —
+    * NOT Filter/Join/Generate): a build side that aggregates to one row and
+    * then re-expands above the aggregate is a real O(N×M) NLJ and must
+    * flag. Any other NLJ is an O(N×M) comparison loop and gets flagged. */
+  private[graft] def allNljSingleRowBuild(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{SparkPlan, ProjectExec, InputAdapter, WholeStageCodegenExec, ColumnarToRowExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
@@ -33,19 +38,29 @@ object ExplainAudit {
       case q: QueryStageExec => flatten(q.plan)
       case other => other.children.flatMap(flatten)
     })
-    val all = flatten(p)
-    val nljs = all.collect { case j: BroadcastNestedLoopJoinExec => j }
+    // True iff the first node that changes row count/content on the way down
+    // is a global aggregate (then one row provably reaches the join build).
+    def topIsSingleRowAgg(n: SparkPlan): Boolean = n match {
+      case a: AdaptiveSparkPlanExec => topIsSingleRowAgg(a.executedPlan)
+      case q: QueryStageExec => topIsSingleRowAgg(q.plan)
+      case r: ReusedExchangeExec => topIsSingleRowAgg(r.child)
+      case e: Exchange => topIsSingleRowAgg(e.child)
+      case w: WholeStageCodegenExec => topIsSingleRowAgg(w.child)
+      case i: InputAdapter => topIsSingleRowAgg(i.child)
+      case c: ColumnarToRowExec => topIsSingleRowAgg(c.child)
+      case p: ProjectExec => topIsSingleRowAgg(p.child)
+      case a: HashAggregateExec => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec => a.groupingExpressions.isEmpty
+      case _ => false
+    }
+    val nljs = flatten(p).collect { case j: BroadcastNestedLoopJoinExec => j }
     nljs.nonEmpty && nljs.forall { j =>
       val build = j.buildSide match {
         case BuildRight => j.right
         case BuildLeft => j.left
       }
-      flatten(build).exists {
-        case a: HashAggregateExec => a.groupingExpressions.isEmpty
-        case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
-        case a: SortAggregateExec => a.groupingExpressions.isEmpty
-        case _ => false
-      }
+      topIsSingleRowAgg(build)
     }
   }
 

@@ -223,6 +223,14 @@ object DedupQueries {
       lab = half
       iter += 1
     }
+    // Path halving converges in O(log n) rounds, so 25 covers any graph this
+    // engine will meet — but if the budget IS exhausted the labels are a
+    // partial fixed point and every consumer (x44 clusters, CurationDemo
+    // dedup) would silently keep wrong clusters. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after $maxIter rounds; " +
+          "raise maxIter — returning the partial fixed point would corrupt clusters")
     lab
   }
 

@@ -77,16 +77,24 @@ object SamplingQueries {
     * WITHIN each range partition, and recover the global position by
     * adding each partition's prefix-sum offset. The offset side is one
     * tiny row per range partition (32 here) aggregated from the SAME
-    * exchange — Catalyst's ReuseExchange shuffles the data once — and its
+    * materialized partitioning (localCheckpoint below — the data shuffles
+    * once, by construction rather than by ReuseExchange firing), and its
     * unpartitioned prefix-sum window is over those 32 rows, not the data.
     * The NTILE position formula (first n%B buckets take one extra row)
     * then reproduces SQL ntile bit-for-bit with `div` integer arithmetic
     * (no doubles — exact at any row count). */
   val x72: Q = (s, d) => {
+    // localCheckpoint PINS the range partitioning: both consumers below (the
+    // per-partition offset aggregate and the local-rank window) read the same
+    // materialized pid assignment, so correctness no longer depends on
+    // Catalyst's ReuseExchange unifying two textually-equal range exchanges
+    // (spark.sql.exchange.reuse=false, or a future canonicalization change,
+    // could otherwise give the two branches different sampled range bounds).
     val parts = t(s, d, "documents")
       .select(col("n_chars"), col("doc_id"))
       .repartitionByRange(32, col("n_chars"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     // one row per range partition: its size, exclusive prefix offset, total
     val tiny = Window.orderBy(col("pid"))
     val offs = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))

@@ -27,13 +27,16 @@ import org.apache.spark.sql.types.StructType
   *    a separate concern.
   */
 object IngestJob {
-  /** Snapshot-log line: our mini-Iceberg commit record. */
-  private def commitSnapshot(tableDir: String, batchId: Long, rows: Long, rejects: Long): Unit = {
-    val log = Paths.get(tableDir, "_snapshots.jsonl")
-    Files.createDirectories(log.getParent)
-    val line = s"""{"batch":$batchId,"rows":$rows,"rejects":$rejects,"committed":true}""" + "\n"
-    Files.write(log, line.getBytes, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-  }
+  /** Snapshot-log line: our mini-Iceberg commit record. Appends under the
+    * shared [[CommitLock]] so a maintenance writer's compare-and-append
+    * (Maintenance.commitIfUnmoved) can never interleave with this append —
+    * the ingest-races-merge window is closed, not merely narrowed. */
+  private def commitSnapshot(tableDir: String, batchId: Long, rows: Long, rejects: Long): Unit =
+    CommitLock.withLogLock(tableDir) {
+      val log = Paths.get(tableDir, "_snapshots.jsonl")
+      val line = s"""{"batch":$batchId,"rows":$rows,"rejects":$rejects,"committed":true}""" + "\n"
+      Files.write(log, line.getBytes, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
 
   def committedBatches(tableDir: String): Set[Long] = {
     val log = Paths.get(tableDir, "_snapshots.jsonl")

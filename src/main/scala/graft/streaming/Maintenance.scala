@@ -37,15 +37,49 @@ import org.apache.spark.sql.functions._
   * rewrite-then-expire contract). Delete files are never expired — they are
   * keys-only and KBs-sized; data dirs are the storage that matters.
   *
-  * Concurrency: maintenance assumes a single maintenance writer (as in the
-  * reference: the datalake translator is the topic's only committer), but a
-  * LIVE INGEST may race a merge. Every maintenance commit therefore
-  * re-reads the log immediately before appending and aborts (deleting its
-  * staged dir) if the log moved past the snapshot set the result was
-  * computed from — an optimistic-concurrency check, the JSONL analog of
-  * Iceberg's atomic compare-and-swap on the metadata pointer. [[mergeInto]]
-  * retries from the new log head; throws after `maxRetries`.
+  * Concurrency: writers may genuinely race (maintenance vs live ingest, or
+  * two maintenance writers). The protocol is Iceberg's, adapted to a single
+  * filesystem: (1) every writer stages its files at a UNIQUE nonce'd path
+  * under `_staging/` — never under `data/` — so in-flight writes cannot
+  * collide or become visible early; (2) the commit itself
+  * (compare log against the base it computed from → atomic rename of the
+  * staged dirs to their final `data/batch=N` paths → append the log line)
+  * runs under an OS file lock ([[CommitLock]]) shared by ingest's
+  * committer, making the optimistic-concurrency check atomic — the JSONL
+  * analog of Iceberg's compare-and-swap on the catalog pointer. A loser
+  * deletes its staging and aborts; [[mergeInto]] retries from the new log
+  * head and throws after `maxRetries`.
   */
+/** Exclusive lock on a table's commit log for the duration of `body`:
+  * a JVM-level monitor (two threads of one JVM — FileChannel.lock throws
+  * OverlappingFileLockException rather than blocking on a same-process
+  * overlap) nested inside an OS-level `FileChannel.lock` on a sidecar
+  * `_snapshots.lock` file (two processes on one filesystem). Every log
+  * WRITER — ingest's commit append and maintenance's compare-and-append —
+  * goes through here, which makes the OCC check genuinely atomic on a
+  * single filesystem instead of merely narrow. This is the stand-in for
+  * Iceberg's CAS on the catalog's metadata pointer; on a real object store
+  * the swap-in is the catalog commit, not a file lock. Readers stay
+  * lock-free (the log is append-only JSONL; a torn read sees a prefix). */
+private[graft] object CommitLock {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withLogLock[T](tableDir: String)(body: => T): T = {
+    val key = Paths.get(tableDir).toAbsolutePath.normalize.toString
+    val mon = monitors.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(tableDir))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(tableDir, "_snapshots.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+}
+
 object Maintenance {
   case class CompactionStats(newBatch: Long, replaced: Seq[Long], rowsRewritten: Long)
 
@@ -174,17 +208,39 @@ object Maintenance {
       all.foreach(Files.deleteIfExists(_))
     }
 
+  /** Unique staging location for a maintenance write. Staging lives OUTSIDE
+    * `data/` (readers never glob it) and carries a random nonce so two
+    * concurrent writers that picked the same next batch id from the same
+    * log base can never clobber each other's in-flight files — the Iceberg
+    * write path: data files land at unique paths, only the metadata commit
+    * decides who wins. Crash leftovers in `_staging/` are invisible
+    * garbage, safe to delete any time. */
+  private def stagePath(tableDir: String, what: String, newId: Long): java.nio.file.Path =
+    Paths.get(tableDir, "_staging", s"$what=$newId-${java.util.UUID.randomUUID().toString.take(8)}")
+
   /** Optimistic-concurrency commit: the log must not have moved since the
-    * result was computed from `base`. On a race the staged dir is removed
-    * and the caller decides (retry / give up). The check-then-append window
-    * is not itself atomic — that last inch is Iceberg's CAS on the metadata
-    * pointer; this is its single-filesystem stand-in and closes the
-    * ingest-races-merge window that matters in practice. */
-  private def commitIfUnmoved(tableDir: String, base: Seq[Commit], newId: Long,
-      line: String): Boolean = {
-    if (commits(tableDir) == base) { appendLine(tableDir, line); true }
-    else { deleteDir(Paths.get(s"$tableDir/data/batch=$newId")); false }
-  }
+    * result was computed from `base`. Runs under [[CommitLock.withLogLock]]
+    * — an OS file lock shared with the ingest committer — so the
+    * compare-move-append is atomic on a single filesystem: the winner
+    * atomically renames its staged dirs to their final paths and appends
+    * its log line; a loser observes the moved log, deletes its staging,
+    * and the caller decides (retry / give up). No commit can land inside
+    * another's window and no staged file is ever visible pre-commit. */
+  private def commitStaged(tableDir: String, base: Seq[Commit], line: String,
+      moves: Seq[(java.nio.file.Path, java.nio.file.Path)]): Boolean =
+    CommitLock.withLogLock(tableDir) {
+      if (commits(tableDir) == base) {
+        moves.foreach { case (src, dst) =>
+          Files.createDirectories(dst.getParent)
+          // an existing destination is provably torn-write garbage: ids are
+          // allocated above the log's max, and the log just re-verified as
+          // unmoved, so no commit named this dir — clear it and rename over
+          deleteDir(dst)
+          Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        appendLine(tableDir, line); true
+      } else { moves.foreach { case (src, _) => deleteDir(src) }; false }
+    }
 
   /** Rewrite all visible batches whose data dir is smaller than
     * `smallBytes` into ONE new consolidated snapshot with ~`targetBytes`
@@ -214,14 +270,15 @@ object Maintenance {
       .option("basePath", s"$tableDir/data")
       .option("mergeSchema", "true")
       .parquet(candidates.map(b => s"$tableDir/data/batch=$b"): _*)
+    val staged = stagePath(tableDir, "batch", newId)
     val rows = applyDeletes(spark, tableDir, df, cms).drop("batch")
       .repartition(nFiles, col("p_date"))
-    rows.write.mode("overwrite").partitionBy("p_date")
-      .parquet(s"$tableDir/data/batch=$newId")
-    val n = spark.read.parquet(s"$tableDir/data/batch=$newId").count()
+    rows.write.mode("overwrite").partitionBy("p_date").parquet(staged.toString)
+    val n = spark.read.parquet(staged.toString).count()
     val line = s"""{"batch":$newId,"rows":$n,"rejects":0,"committed":true,""" +
       s""""compacts":[${candidates.mkString(",")}]}"""
-    if (!commitIfUnmoved(tableDir, cms, newId, line))
+    if (!commitStaged(tableDir, cms, line,
+        Seq(staged -> Paths.get(s"$tableDir/data/batch=$newId"))))
       throw new java.util.ConcurrentModificationException(
         s"compact: $tableDir log moved during compaction; re-run")
     Some(CompactionStats(newId, candidates, n))
@@ -271,13 +328,14 @@ object Maintenance {
         .select(dataCols.map(col).toIndexedSeq: _*)
       val merged = survivors.unionByName(updates.select(dataCols.map(col).toIndexedSeq: _*))
       val newId = nextId(cms)
+      val staged = stagePath(tableDir, "batch", newId)
       merged.withColumn("p_date", to_date(col(tsCol)))
-        .write.mode("overwrite").partitionBy("p_date")
-        .parquet(s"$tableDir/data/batch=$newId")
-      val n = spark.read.parquet(s"$tableDir/data/batch=$newId").count()
+        .write.mode("overwrite").partitionBy("p_date").parquet(staged.toString)
+      val n = spark.read.parquet(staged.toString).count()
       val line = s"""{"batch":$newId,"rows":$n,"rejects":0,"committed":true,""" +
         s""""compacts":[${touched.mkString(",")}]}"""
-      if (commitIfUnmoved(tableDir, cms, newId, line))
+      if (commitStaged(tableDir, cms, line,
+          Seq(staged -> Paths.get(s"$tableDir/data/batch=$newId"))))
         return CompactionStats(newId, touched, n)
       attempt += 1
       if (attempt >= maxRetries)
@@ -304,19 +362,20 @@ object Maintenance {
     val cms = commits(tableDir)
     require(cms.nonEmpty, s"mergeIntoMor: no committed snapshots in $tableDir")
     val newId = nextId(cms)
+    val stagedData = stagePath(tableDir, "batch", newId)
+    val stagedDel = stagePath(tableDir, "deletes", newId)
     updates.withColumn("p_date", to_date(col(tsCol)))
-      .write.mode("overwrite").partitionBy("p_date")
-      .parquet(s"$tableDir/data/batch=$newId")
+      .write.mode("overwrite").partitionBy("p_date").parquet(stagedData.toString)
     updates.select(col(key)).distinct()
-      .write.mode("overwrite").parquet(s"$tableDir/_deletes/$newId")
-    val n = spark.read.parquet(s"$tableDir/data/batch=$newId").count()
+      .write.mode("overwrite").parquet(stagedDel.toString)
+    val n = spark.read.parquet(stagedData.toString).count()
     val line = s"""{"batch":$newId,"rows":$n,"rejects":0,"committed":true,""" +
       s""""deleteKey":"$key"}"""
-    if (!commitIfUnmoved(tableDir, cms, newId, line)) {
-      deleteDir(Paths.get(s"$tableDir/_deletes/$newId"))
+    if (!commitStaged(tableDir, cms, line, Seq(
+        stagedData -> Paths.get(s"$tableDir/data/batch=$newId"),
+        stagedDel -> Paths.get(s"$tableDir/_deletes/$newId"))))
       throw new java.util.ConcurrentModificationException(
         s"mergeIntoMor: $tableDir log moved during merge; re-run")
-    }
     CompactionStats(newId, Seq.empty, n)
   }
 
@@ -355,20 +414,21 @@ object Maintenance {
       hits.toSeq.sorted
     }
     val newId = nextId(cms)
+    val staged = stagePath(tableDir, "batch", newId)
     // no snapshot holds a deleted key (MOR merge was a pure insert): commit
     // a data-less retire so readers stop paying the delete anti-join
     val n = if (touched.isEmpty) {
-      Files.createDirectories(Paths.get(s"$tableDir/data/batch=$newId")); 0L
+      Files.createDirectories(staged); 0L
     } else {
       val survivors = cleaned.filter(col("batch").isInCollection(touched)).drop("batch")
-      survivors.write.mode("overwrite").partitionBy("p_date")
-        .parquet(s"$tableDir/data/batch=$newId")
-      spark.read.parquet(s"$tableDir/data/batch=$newId").count()
+      survivors.write.mode("overwrite").partitionBy("p_date").parquet(staged.toString)
+      spark.read.parquet(staged.toString).count()
     }
     val line = s"""{"batch":$newId,"rows":$n,"rejects":0,"committed":true,""" +
       s""""compacts":[${touched.mkString(",")}],""" +
       s""""retiresDeletes":[${dels.map(_._2).mkString(",")}]}"""
-    if (!commitIfUnmoved(tableDir, cms, newId, line))
+    if (!commitStaged(tableDir, cms, line,
+        Seq(staged -> Paths.get(s"$tableDir/data/batch=$newId"))))
       throw new java.util.ConcurrentModificationException(
         s"rewriteDeletes: $tableDir log moved; re-run")
     Some(CompactionStats(newId, touched, n))

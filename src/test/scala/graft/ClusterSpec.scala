@@ -40,6 +40,19 @@ class ClusterSpec extends SparkSpec {
     assert(labels.values.forall(_ == 1L), "single component expected")
   }
 
+  test("connectedComponents: exhausted iteration budget throws, never returns partial labels") {
+    // a 60-chain cannot reach its fixed point in one round; the distributed
+    // loop (threshold 0) must fail loudly rather than hand back wrong labels
+    val n = 60L
+    val e = intercept[IllegalStateException] {
+      DedupQueries.connectedComponents(
+        (1L to n).toDF("id"), (1L until n).map(i => (i, i + 1)).toDF("a", "b"),
+        maxIter = 1, localMaxEdges = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("still changing"), e.getMessage)
+  }
+
   test("x44 clusters are edge-consistent and keepers are the longest members") {
     val out = DedupQueries.x44(spark, sfDir).collect()
     assert(out.nonEmpty, "sf0.001 corpus must contain near-dup chains")

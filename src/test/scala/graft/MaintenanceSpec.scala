@@ -239,6 +239,60 @@ class MaintenanceSpec extends SparkSpec {
     assert(IngestJob.readTable(spark, table).filter(col("price") === 4242.0).count() == 2L)
   }
 
+  test("commit lock serializes read-modify-write on the log (no lost updates)") {
+    val work = tmpDir("graft-lock")
+    val counter = java.nio.file.Paths.get(work, "counter")
+    java.nio.file.Files.write(counter, "0".getBytes)
+    val threads = 8; val iters = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = (1 to threads).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = (1 to iters).foreach { _ =>
+          CommitLock.withLogLock(work) {
+            val v = new String(java.nio.file.Files.readAllBytes(counter)).trim.toLong
+            Thread.sleep(1) // widen the window a lockless interleaving would hit
+            java.nio.file.Files.write(counter, (v + 1).toString.getBytes)
+          }
+        }
+      })
+    }
+    done.foreach(_.get())
+    pool.shutdown()
+    val v = new String(java.nio.file.Files.readAllBytes(counter)).trim.toLong
+    assert(v == threads.toLong * iters, s"lost updates: $v of ${threads * iters}")
+  }
+
+  test("two concurrent mergeInto writers both commit; OCC makes the loser retry") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = tmpDir("graft-merge-concurrent")
+    ingestOnce(work, 40, seed = 33)
+    val table = s"$work/table"
+    val before = IngestJob.readTable(spark, table)
+    val cols = before.columns
+    import spark.implicits._
+    val ids = before.select("trade_id").orderBy("trade_id").as[String].take(4).toSeq
+    def upd(keys: Seq[String], price: Double) =
+      before.filter(col("trade_id").isin(keys: _*))
+        .withColumn("price", lit(price))
+        .select(cols.map(col).toIndexedSeq: _*)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fa = pool.submit(new java.util.concurrent.Callable[Maintenance.CompactionStats] {
+      def call() = Maintenance.mergeInto(spark, table, upd(ids.take(2), 1111.0),
+        "trade_id", "ts_event", maxRetries = 5)
+    })
+    val fb = pool.submit(new java.util.concurrent.Callable[Maintenance.CompactionStats] {
+      def call() = Maintenance.mergeInto(spark, table, upd(ids.drop(2), 2222.0),
+        "trade_id", "ts_event", maxRetries = 5)
+    })
+    val (sa, sb) = (fa.get(), fb.get())
+    pool.shutdown()
+    assert(sa.newBatch != sb.newBatch)
+    val after = IngestJob.readTable(spark, table)
+    assert(after.filter(col("price") === 1111.0).count() == 2L)
+    assert(after.filter(col("price") === 2222.0).count() == 2L)
+    assert(after.select("trade_id").distinct().count() == 40L, "no rows lost or duplicated")
+  }
+
   test("ingest after compaction: no id collision, no dropped batch") {
     val work = tmpDir("graft-compact2")
     ingestOnce(work, 40); ingestOnce(work, 40)

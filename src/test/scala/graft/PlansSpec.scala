@@ -16,6 +16,27 @@ class PlansSpec extends SparkSpec {
     s
   }
 
+  test("NLJ audit: exemption requires the single-row aggregate at the TOP of the build side") {
+    import spark.implicits._
+    val facts = (1 to 100).toDF("x")
+    val dims = (1 to 50).toDF("y")
+    // benign: build side IS a global aggregate (provably one row); a
+    // row-preserving Project above it must not break the exemption
+    val benign = facts.crossJoin(
+      broadcast(dims.agg(avg(col("y")).as("m")).select((col("m") * 2).as("m2"))))
+    assert(ExplainAudit.allNljSingleRowBuild(benign.queryExecution.executedPlan),
+      benign.queryExecution.executedPlan.toString)
+    // the advisory case: build side aggregates to one row and then
+    // RE-EXPANDS above the aggregate — a real O(N×M) NLJ, must flag
+    val reExpanded = facts.crossJoin(
+      broadcast(dims.agg(avg(col("y")).as("m")).crossJoin(dims)))
+    assert(!ExplainAudit.allNljSingleRowBuild(reExpanded.queryExecution.executedPlan),
+      reExpanded.queryExecution.executedPlan.toString)
+    // plain multi-row build: flags
+    val plain = facts.crossJoin(broadcast(dims))
+    assert(!ExplainAudit.allNljSingleRowBuild(plain.queryExecution.executedPlan))
+  }
+
   test("small root sort becomes a single-partition local sort") {
     val s = ruleSession()
     val df = Tables.t(s, sfDir, "lineitem")

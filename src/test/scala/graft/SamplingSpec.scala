@@ -57,6 +57,18 @@ class SamplingSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("x72 bins do not depend on exchange reuse (partitioning is pinned)") {
+    // the offset branch and the rank branch must see the SAME range
+    // partitioning even when Catalyst cannot unify their exchanges
+    val withReuse = SamplingQueries.x72(spark, sfDir).collect().toSeq
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val noReuse = SamplingQueries.x72(spark, sfDir).collect().toSeq
+      assert(noReuse == withReuse,
+        "bins changed when exchange reuse was disabled — partitioning not pinned")
+    } finally spark.conf.unset("spark.sql.exchange.reuse")
+  }
+
   test("x74 corpus profile matches independently computed facts") {
     val p = SamplingQueries.x74(spark, sfDir).collect()(0)
     assert(p.getLong(0) == docs.count())
