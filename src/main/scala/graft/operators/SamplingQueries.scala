@@ -73,28 +73,37 @@ object SamplingQueries {
     * DISTRIBUTED EXACT NTILE — `ntile().over(Window.orderBy(...))` would
     * funnel the whole table through ONE partition (Spark warns
     * "No Partition Defined for Window operation"), the canonical 100 TB
-    * window anti-pattern. Instead: range-repartition on the sort key, rank
-    * WITHIN each range partition, and recover the global position by
-    * adding each partition's prefix-sum offset. The offset side is one
-    * tiny row per range partition (32 here) aggregated from the SAME
-    * materialized partitioning (localCheckpoint below — the data shuffles
-    * once, by construction rather than by ReuseExchange firing), and its
-    * unpartitioned prefix-sum window is over those 32 rows, not the data.
+    * window anti-pattern. Instead: split the sort-key domain into ~32
+    * contiguous ranges, rank WITHIN each range, and recover the global
+    * position by adding each range's prefix-sum offset. The offset side is
+    * one tiny row per range aggregated map-side (count partials), and its
+    * unpartitioned prefix-sum window is over those ≤32 rows, not the data.
     * The NTILE position formula (first n%B buckets take one extra row)
     * then reproduces SQL ntile bit-for-bit with `div` integer arithmetic
-    * (no doubles — exact at any row count). */
+    * (no doubles — exact at any row count).
+    *
+    * The range id `pid` is a PURE EXPRESSION over literal cut points
+    * computed once up front (approx_percentile of n_chars, collected like
+    * any bounded plan constant — the IVF-centroid pattern). Both consumers
+    * below evaluate the same deterministic function of the row, so the
+    * binning depends on no physical partitioning, survives AQE replanning
+    * and exchange-reuse changes, and materializes nothing (the previous
+    * localCheckpoint formulation pinned partitioning by copying the whole
+    * table into executor storage — a full extra pass at 100 TB, and lost
+    * work on executor failure). Rows sharing one n_chars value share a pid
+    * (ranges stay contiguous in the total order); skew is bounded by the
+    * percentile spacing plus the heaviest single value. */
   val x72: Q = (s, d) => {
-    // localCheckpoint PINS the range partitioning: both consumers below (the
-    // per-partition offset aggregate and the local-rank window) read the same
-    // materialized pid assignment, so correctness no longer depends on
-    // Catalyst's ReuseExchange unifying two textually-equal range exchanges
-    // (spark.sql.exchange.reuse=false, or a future canonicalization change,
-    // could otherwise give the two branches different sampled range bounds).
-    val parts = t(s, d, "documents")
-      .select(col("n_chars"), col("doc_id"))
-      .repartitionByRange(32, col("n_chars"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    val base = t(s, d, "documents").select(col("n_chars"), col("doc_id"))
+    // 31 interior cut points, embedded as literals below. Accuracy 1e4 is
+    // plenty: ANY cut set yields exact ntile — cuts affect only balance.
+    val cuts = base
+      .agg(percentile_approx(col("n_chars"),
+        typedlit((1 until 32).map(_ / 32.0)), lit(10000)).as("c"))
+      .head.getSeq[Long](0).distinct.sorted
+    val pid = cuts.map(b => when(col("n_chars") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val parts = base.withColumn("pid", pid)
     // one row per range partition: its size, exclusive prefix offset, total
     val tiny = Window.orderBy(col("pid"))
     val offs = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))

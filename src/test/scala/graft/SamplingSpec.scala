@@ -110,5 +110,10 @@ class SamplingSpec extends SparkSpec {
     val ntileNodes = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
     assert(ntileNodes.exists(_.contains("pid#")),
       s"fact-side window must partition by the range-partition id:\n$p")
+    // no materialization: pid is a pure expression over literal cut points,
+    // so the plan must read parquet directly — a localCheckpoint/cache would
+    // surface as a Scan ExistingRDD / InMemoryTableScan node
+    assert(!p.contains("ExistingRDD") && !p.contains("InMemoryTableScan"),
+      s"x72 must not materialize the table:\n$p")
   }
 }
