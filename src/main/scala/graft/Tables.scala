@@ -124,6 +124,20 @@ object Tables {
   def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(lit(1))
 
+  /** 60-bit deterministic content hash with an exact DuckDB twin: first 15
+    * hex digits of md5 of the UTF-8 bytes, parsed base-16. Oracle side:
+    * `CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)`. 15 digits keep the
+    * value positive in a signed 64-bit int on both engines; md5-hex is
+    * byte-identical everywhere. Used wherever a hash must match across
+    * engines (shingle fingerprints, MinHash bases, LSH band keys) — the
+    * engine-parity complement of the throwaway-speed xxhash64. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[h60]] over the SQL expression `x`. */
+  def h60Sql(x: String): String =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
   /** Compute-proportional fan-out: repartition to the cluster's parallelism
     * before a CPU-dense stage (all-pairs cosine, shingling, MinHash).
     *

@@ -112,14 +112,60 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The MinHash permutation family shared by the Spark expression and the
+  * GENERATED DuckDB oracle twin (the x32/x34 trick: both sides derive from
+  * the same constants, so they cannot drift).
+  *
+  * Universal hashing over the Mersenne prime P = 2^31-1:
+  *   base(x) = first 15 hex digits of md5(x)       (Tables.h60 — engine-exact)
+  *   h_j(x)  = (A(j) * (base(x) mod P) + B(j)) mod P
+  * All operands stay below 2^62, so the arithmetic is exact signed-64 in
+  * Spark, DuckDB (which errors on overflow rather than wrapping), and the
+  * JVM eval below — the whole family is engine-portable by construction. */
+object MinHash {
+  val P: Long = 2147483647L // 2^31 - 1
+  private def lcg(seed: Long, n: Int): Array[Long] = {
+    var x = seed
+    Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % (P - 1)) + 1 // in [1, P-1]
+    }
+  }
+  /** Affine coefficients, fixed for the library's lifetime (signatures are
+    * persisted artifacts in a real pipeline — changing these rehashes). */
+  val A: Array[Long] = lcg(0x5DEECE66DL, 64)
+  val B: Array[Long] = lcg(0x9E3779B9L, 64)
+
+  private val mdTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** 60-bit base hash: big-endian first 8 md5 bytes >>> 4 — bit-identical to
+    * parsing the first 15 hex digits (Tables.h60 / its DuckDB twin). */
+  def base60(bytes: Array[Byte]): Long = {
+    val md = mdTL.get(); md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+  def perm(j: Int, base: Long): Long = (A(j) * (base % P) + B(j)) % P
+  /** DuckDB expression computing perm(j) of the BIGINT SQL expression `h`. */
+  def permSql(j: Int, h: String): String = s"(${A(j)} * ($h % $P) + ${B(j)}) % $P"
+}
+
 /** All-in-one MinHash signature: array<string> shingles -> array<long> of
-  * `numHashes` minhash values (seed j = position j). One pass over the
-  * shingles; replaces numHashes separate array_min(transform(...,xxhash64))
-  * trees whose whole-stage codegen alone took ~10 s to janino-compile.
-  * CodegenFallback is deliberate: one virtual call per ROW (not per hash)
-  * keeps the generated source tiny while the loop runs compiled JVM code. */
+  * `numHashes` minhash values from the [[MinHash]] affine family (md5-based,
+  * so the DuckDB oracle reproduces it exactly). One md5 per shingle + one
+  * pass over the shingles; replaces numHashes separate
+  * array_min(transform(...)) trees whose whole-stage codegen alone took
+  * ~10 s to janino-compile. CodegenFallback is deliberate: one virtual call
+  * per ROW (not per hash) keeps the generated source tiny while the loop
+  * runs compiled JVM code. */
 case class MinHashSigs(child: Expression, numHashes: Int)
     extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(numHashes <= MinHash.A.length, s"at most ${MinHash.A.length} hashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sigs"
@@ -130,12 +176,11 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     val sigs = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      val h = MinHash.base60(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < numHashes) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, StringType, j.toLong)
-        if (h < sigs(j)) sigs(j) = h
+        val v = MinHash.perm(j, h)
+        if (v < sigs(j)) sigs(j) = v
         j += 1
       }
       i += 1

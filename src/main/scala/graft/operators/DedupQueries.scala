@@ -47,20 +47,25 @@ object DedupQueries {
   /** MinHash band hashes from a PRE-MATERIALIZED signature-array column
     * (array<long>, one MinHashSigs value per seed — the per-band HOF
     * formulation janino-compiled a 10 s codegen unit and rescanned the
-    * shingle array 32×). Band hash = xxhash64 of the band's minhash slice.
+    * shingle array 32×). Band hash = h60 of the band's comma-joined minhash
+    * slice (md5-based, so the DuckDB twin computes the identical key).
     * `sigs` MUST be a materialized column, not the MinHashSigs expression:
     * 32 element_at references would re-inline (and re-evaluate) it. */
   private def bandsFromSigs(sigs: Column, bands: Int, rowsPerBand: Int): Column = {
     val bandHashes = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => element_at(sigs, b * rowsPerBand + r + 1))
-      struct(lit(b).as("band_id"), xxhash64(rows: _*).as("band_hash"))
+      val rows = (0 until rowsPerBand)
+        .map(r => element_at(sigs, b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band_id"),
+        graft.Tables.h60(concat_ws(",", rows: _*)).as("band_hash"))
     }
     array(bandHashes: _*)
   }
 
   /** x41 — MinHash+LSH near-dup candidates, verified with exact shingle
     * Jaccard. bands=8 × rows=4 (32 hashes): catches pairs from J≈0.5 up.
-    * xxhash64 has no DuckDB twin → rows-only contract + ScalaTest. */
+    * The whole chain (base hash, affine perms, band keys) is the md5-backed
+    * [[graft.functions.MinHash]] family, so the GENERATED DuckDB twin below
+    * replays it exactly — full oracle hash-match, not rows-only. */
   val x41: Q = (s, d) => {
     // NOT persisted: a lazily-returned DataFrame can't unpersist safely, and
     // leaked cache entries accumulate in long-lived sessions (Verify runs 54
@@ -97,11 +102,14 @@ object DedupQueries {
   def simhashFromHashes(th: Column): Column = graft.functions.VectorExprs.simHash64(th)
 
   /** x42 — SimHash near-dup pairs: block on 4×16-bit sub-keys (pigeonhole for
-    * Hamming≤3), verify with bit_count(a XOR b). Rows-only contract. */
+    * Hamming≤3), verify with bit_count(a XOR b). Token hashes are h60
+    * (md5-based 60-bit — bits 60-63 of the simhash are structurally 0), so
+    * the DuckDB twin recomputes the identical simhash bit-by-bit → full
+    * oracle hash-match. */
   val x42: Q = (s, d) => {
     val sh = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"),
-        transform(split(col("text"), " "), w => xxhash64(w)).as("th"))
+        transform(split(col("text"), " "), w => graft.Tables.h60(w)).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("sim"))
     val blocked = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
@@ -285,10 +293,75 @@ object DedupQueries {
     "x43_ngram_jaccard" -> x43,
     "x44_dedup_clusters" -> x44)
 
+  /** DuckDB shingle-set CTE shared by the x41/x43 oracles (the Spark
+    * shingles3 + array_distinct chain, DuckDB dialect). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+      |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+      |    ELSE [text] END) AS s
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x40_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    // GENERATED from graft.functions.MinHash's constants — the oracle replays
+    // the exact base-hash/perm/band-key chain the Spark expression runs.
+    "x41_minhash_lsh" -> {
+      import graft.functions.MinHash
+      val h60 = graft.Tables.h60Sql _
+      val sigCols = (0 until 32).map(j =>
+        s"list_min(list_transform(hb, h -> ${MinHash.permSql(j, "h")})) AS s$j")
+        .mkString(",\n    ")
+      val bands = (0 until 8).map { bnd =>
+        val cc = (0 until 4).map(r => s"CAST(s${bnd * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"  SELECT doc_id, $bnd AS band_id, ${h60(s"($cc)")} AS bh FROM sg"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, s, list_transform(s, x -> ${h60("x")}) AS hb FROM sh),
+         |sg AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs),
+         |bd AS (
+         |$bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bd a JOIN bd b ON a.band_id = b.band_id AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  floor(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(x.s, y.s))) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM cand c JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin
+    },
+    // SimHash twin: recompute the 60 bit-votes per doc (2*ones > n == the
+    // expression's votes>0 with ties to 0), then the same 4×16-bit blocking.
+    "x42_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform(string_split(text,' '),
+         |    w -> ${graft.Tables.h60Sql("w")}) AS hs
+         |  FROM documents),
+         |tk AS (SELECT doc_id, unnest(hs) AS h FROM th),
+         |bits AS (
+         |  SELECT doc_id, g.b AS b, SUM((h >> g.b) & 1) AS ones, COUNT(*) AS n
+         |  FROM tk, generate_series(0, 59) AS g(b) GROUP BY doc_id, g.b),
+         |sim AS (
+         |  SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN 2 * ones > n
+         |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS BIGINT) AS sim
+         |  FROM bits GROUP BY doc_id),
+         |blk AS (
+         |  SELECT doc_id, sim, g.k AS blk, (sim >> (g.k * 16)) & 65535 AS key
+         |  FROM sim, generate_series(0, 3) AS g(k)),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM p
+         |WHERE hamming <= 16 ORDER BY hamming, a_id, b_id LIMIT 100""".stripMargin,
     "x43_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
