@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   *
   *   1. profile the raw corpus (x74)
   *   2. quality gate: drop docs under a stopword/length floor (x30 scores)
-  *   3. dedup: near-dup clusters (x44's edges + connectedComponents),
+  *   3. PII/unsafe-content scrub: downstream text is the scrubbed text
+  *      (x46's per-row replace chain)
+  *   4. decontamination: drop train-split docs sharing a 13-gram with the
+  *      held-out test split (x45's gram join)
+  *   5. dedup: near-dup clusters (x44's edges + connectedComponents),
   *      keep the longest member per cluster, drop the rest
-  *   4. split survivors 80/10/10 by key hash (x71's buckets)
-  *   5. write one parquet dir per split
+  *   6. split survivors 80/10/10 by key hash (x71's buckets)
+  *   7. write one parquet dir per split
   *
   * Every stage is deterministic (hash buckets, fixed thresholds, exact
   * reductions), so re-running reproduces identical splits — asserted in
@@ -26,13 +30,14 @@ object CurationDemo {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft-curation")
     val spark = Engine.session()
-    val (raw, kept, surv) = run(spark, sfDir, outDir)
-    println(s"[curation] $raw raw -> $kept quality-kept -> $surv after dedup")
+    val (raw, kept, clean, surv) = run(spark, sfDir, outDir)
+    println(s"[curation] $raw raw -> $kept quality-kept -> " +
+      s"$clean decontaminated -> $surv after dedup")
     spark.stop()
   }
 
-  /** Returns (raw count, after quality gate, after dedup keep-best). */
-  def run(spark: SparkSession, sfDir: String, outDir: String): (Long, Long, Long) = {
+  /** Returns (raw, after quality gate, after decontamination, after dedup). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): (Long, Long, Long, Long) = {
     import graft.operators._
 
     val profile = SamplingQueries.x74(spark, sfDir).collect()(0)
@@ -45,19 +50,31 @@ object CurationDemo {
       .select(col("doc_id"))
     val nKept = kept.count()
 
+    // decontamination: drop train docs leaking held-out test content (the
+    // gate runs on raw text — scrubbing replaces PII spans but must not
+    // hide eval overlap, so decon sees the pre-scrub grams)
+    val contaminated = CurationQueries.decontamination(spark, sfDir)
+      .select(col("doc_id"))
+    val cleanIds = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val nClean = cleanIds.count()
+
     // dedup keep-best: drop every cluster member that is not the keeper
     val nonKeepers = DedupQueries.clusterMembers(spark, sfDir)
       .filter(!col("is_keeper")).select(col("doc_id"))
-    val survivors = kept.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val survivors = cleanIds.join(nonKeepers, Seq("doc_id"), "left_anti")
     val nSurv = survivors.count()
 
+    // output text is the SCRUBBED text (x46's replace chain)
     val out = graft.Tables.t(spark, sfDir, "documents")
       .join(survivors, Seq("doc_id"), "left_semi")
+      .join(CurationQueries.scrubbed(spark, sfDir)
+        .select(col("doc_id"), col("scrubbed")), "doc_id")
+      .withColumn("text", col("scrubbed")).drop("scrubbed")
       .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
     Seq("train", "val", "test").foreach { s =>
       out.filter(col("split") === s).drop("split")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$s")
     }
-    (raw, nKept, nSurv)
+    (raw, nKept, nClean, nSurv)
   }
 }

@@ -31,7 +31,8 @@ object SparkEntry {
       UdfQueries.queries ++
       AdvancedQueries.queries ++
       SamplingQueries.queries ++
-      PivotQueries.queries
+      PivotQueries.queries ++
+      CurationQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -47,5 +48,6 @@ object SparkEntry {
       UdfQueries.oracles ++
       AdvancedQueries.oracles ++
       SamplingQueries.oracles ++
-      PivotQueries.oracles
+      PivotQueries.oracles ++
+      CurationQueries.oracles
 }

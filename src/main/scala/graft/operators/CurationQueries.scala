@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, fround, h60, h60Sql}
+
+/** Corpus-hygiene curation verbs (E38/E39): eval-set decontamination and
+  * PII/unsafe-content scrubbing — the two gates a training-data pipeline
+  * runs between quality filtering and dedup (the reference's e2e
+  * verification role, `validation/e2e.sh:158-177`, generalized to corpus
+  * hygiene over the documents table).
+  *
+  * 100 TB design notes:
+  *  - Decontamination (x45) is the x41 LSH shape with the eval set as the
+  *    second relation: explode docs into 13-gram shingle HASHES (h60 —
+  *    8 bytes crosses the exchange, never the shingle text) and equi-join
+  *    train grams against eval grams on the hash. Co-partitioned hash
+  *    join, no all-pairs anywhere; when the eval set is a real held-out
+  *    benchmark (MBs–GBs, not a 10% split) Spark broadcasts its gram set
+  *    and the train side never shuffles at all.
+  *  - Scrubbing (x46) is per-row regexp expressions (codegen'd, no UDFs)
+  *    plus one final aggregation — embarrassingly parallel; the scrub
+  *    checksum (bit_xor of h60(scrubbed)) is order-independent, so the
+  *    audit value is reproducible under any partitioning/reduction order.
+  */
+object CurationQueries {
+  import CoreQueries.Q
+
+  /** Shingle width for decontamination: 13-gram is the published
+    * train/eval overlap standard (GPT-3/PaLM-style n-gram decontamination
+    * uses 8–13 grams); docs shorter than 13 tokens match on whole text. */
+  val decontamN = 13
+
+  /** Per-doc distinct 13-gram hashes for one split of `documents`.
+    * Exploded (id, gram-hash) pairs: the shuffle rows are 16 bytes. */
+  private def grams(docs: DataFrame, idAs: String): DataFrame = docs
+    .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
+    .select(col(idAs), explode(array_distinct(
+      transform(DedupQueries.shinglesN(col("toks"), decontamN), x => h60(x)))).as("g"))
+
+  /** Decontamination hits: train-split docs sharing ≥1 13-gram with the
+    * held-out test split, with overlap counts and contaminated fraction.
+    * A pipeline drops (or flags) these before training so eval numbers
+    * aren't inflated by memorized eval content. */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+      .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
+    val train = grams(docs.filter(col("split") === "train"), "t_id")
+    val ev = grams(docs.filter(col("split") === "test"), "e_id")
+    val perDoc = train.groupBy(col("t_id")).agg(count(lit(1)).as("n_grams"))
+    // two COUNT(DISTINCT) → one Expand(×2) agg: fine — the input here is
+    // the collided pairs only, a vanishing fraction of the corpus
+    val hits = train.join(ev, "g")
+      .groupBy(col("t_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("e_id")).as("n_eval_docs"))
+    hits.join(perDoc, "t_id")
+      .select(col("t_id").as("doc_id"), col("n_grams"), col("n_shared"),
+        col("n_eval_docs"),
+        fround(col("n_shared") / col("n_grams").cast("double"), 4).as("frac"))
+  }
+
+  /** x45 — eval-set decontamination report (deterministic order). */
+  val x45: Q = (s, d) =>
+    decontamination(s, d).orderBy(desc("n_shared"), col("doc_id"))
+
+  /** Scrub classes: PII regexes (zero hits on the synthetic corpus — their
+    * replacement machinery is exercised by CurationSpec's planted-PII test)
+    * plus a term-redaction class that DOES hit the corpus, so the oracle
+    * check verifies real replacement end to end. Patterns stay in the
+    * RE2 ∩ java.util.regex common subset so both engines match identically. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    ("id", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "[ID]"),
+    ("term", "\\b(customer|vector)\\b", "[TERM]"))
+
+  /** Per-doc scrub: (doc_id, lang, per-class hit counts, scrubbed text).
+    * Counts are measured on the RAW text per class (classes independent);
+    * replacement applies in declaration order. */
+  def scrubbed(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+    val counted = piiPatterns.foldLeft(
+      base.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (name, pat, _)) =>
+        df.withColumn(s"hits_$name", regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+    val scrubExpr = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("scrubbed", scrubExpr)
+  }
+
+  /** x46 — PII/unsafe-content scrub audit: per-language hit totals, flagged
+    * docs, and an order-independent checksum of the scrubbed output (the
+    * reproducibility receipt a 100 TB scrub run is audited by). One scan:
+    * per-row regex counts + replace + h60, then a single hash aggregate. */
+  val x46: Q = (s, d) => {
+    val sc = scrubbed(s, d)
+      .withColumn("flagged",
+        piiPatterns.map { case (n, _, _) => col(s"hits_$n") > 0 }.reduce(_ || _))
+      .withColumn("h", h60(col("scrubbed")))
+    val aggs =
+      (count(lit(1)).as("docs") +:
+        piiPatterns.map { case (n, _, _) => sum(col(s"hits_$n")).as(s"hits_$n") }) :+
+        sum(when(col("flagged"), 1L).otherwise(0L)).cast("long").as("docs_flagged") :+
+        expr("bit_xor(h)").as("scrub_xor")
+    sc.groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x45_decontamination" -> x45,
+    "x46_pii_scrub" -> x46)
+
+  val oracles: Map[String, String] = Map(
+    // GENERATED from the same constants as the Spark side (shingle width,
+    // hash, split buckets) — the x41 pattern: the twin replays the exact
+    // gram/split chain, so the report is hash-verified, not rows-only.
+    "x45_decontamination" -> {
+      val sp = SamplingQueries.splitSqlFor("doc_id")
+      s"""WITH sh AS (
+         |  ${DedupQueries.shingleSql(decontamN)}),
+         |gr AS (
+         |  SELECT doc_id, $sp AS split,
+         |    unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g
+         |  FROM sh),
+         |tg AS (SELECT doc_id AS t_id, g FROM gr WHERE split = 'train'),
+         |eg AS (SELECT doc_id AS e_id, g FROM gr WHERE split = 'test'),
+         |pd AS (SELECT t_id, COUNT(*) AS n_grams FROM tg GROUP BY t_id),
+         |ht AS (
+         |  SELECT t.t_id, COUNT(DISTINCT t.g) AS n_shared,
+         |    COUNT(DISTINCT e.e_id) AS n_eval_docs
+         |  FROM tg t JOIN eg e ON t.g = e.g GROUP BY t.t_id)
+         |SELECT h.t_id AS doc_id, p.n_grams, h.n_shared, h.n_eval_docs,
+         |  floor(CAST(h.n_shared AS DOUBLE) / p.n_grams * 10000 + 0.5) / 10000 AS frac
+         |FROM ht h JOIN pd p ON p.t_id = h.t_id
+         |ORDER BY n_shared DESC, doc_id""".stripMargin
+    },
+    // DuckDB SQL single-quoted strings take no backslash escapes, so the
+    // Scala regex text (e.g. \b) embeds verbatim — no re-escaping.
+    "x46_pii_scrub" -> {
+      val hitCols = piiPatterns.map { case (n, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS hits_$n"
+      }.mkString(",\n    ")
+      val scrub = piiPatterns.foldLeft("text") {
+        case (c, (_, pat, repl)) =>
+          s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      val sumCols = piiPatterns.map { case (n, _, _) =>
+        s"CAST(SUM(hits_$n) AS BIGINT) AS hits_$n" }.mkString(", ")
+      val flagged = piiPatterns.map { case (n, _, _) => s"hits_$n > 0" }.mkString(" OR ")
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    $hitCols,
+         |    $scrub AS scrubbed
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS docs, $sumCols,
+         |  CAST(SUM(CASE WHEN $flagged THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+         |  bit_xor(${h60Sql("scrubbed")}) AS scrub_xor
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+    })
+}

@@ -21,20 +21,34 @@ import graft.Tables.{t, fround}
 object DedupQueries {
   import CoreQueries.Q
 
-  /** Token-array column → 3-token shingle strings (order-sensitive, unlike
+  /** Token-array column → n-token shingle strings (order-sensitive, unlike
     * token sets — the synthetic corpus has near-total token-set overlap,
-    * shingles are what discriminate).
+    * shingles are what discriminate). Docs shorter than n tokens contribute
+    * their whole text as a single shingle, so no document is invisible to
+    * shingle-based matching.
     *
     * `toks` MUST be a materialized column (select split(...) first), not the
     * split expression itself: Catalyst inlines expression arguments into the
     * lambda body, so passing split(text) here re-splits the whole document
     * for every element_at of every shingle — measured 10 s vs 0.3 s on the
     * 500-doc corpus. */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+  def shinglesN(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
     ).otherwise(array(array_join(toks, " ")))
+
+  def shingles3(toks: Column): Column = shinglesN(toks, 3)
+
+  /** DuckDB twin of [[shinglesN]] over `documents` (shared by the x41/x43
+    * shingle CTE and x45's 13-gram decontamination twin). */
+  def shingleSql(n: Int): String = {
+    val terms = (0 until n).map(k => s"string_split(text,' ')[i+$k]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= $n
+       |    THEN list_transform(range(1, len(string_split(text,' ')) - ${n - 2}), i -> $terms)
+       |    ELSE [text] END) AS s
+       |  FROM documents""".stripMargin
+  }
 
   /** x40 — exact dedup via content-hash groupBy (md5 matches DuckDB's md5,
     * so this one IS oracle-checkable). */
@@ -52,9 +66,16 @@ object DedupQueries {
     * `sigs` MUST be a materialized column, not the MinHashSigs expression:
     * 32 element_at references would re-inline (and re-evaluate) it. */
   private def bandsFromSigs(sigs: Column, bands: Int, rowsPerBand: Int): Column = {
+    // Loud size check: element_at past the end returns NULL and concat_ws
+    // skips NULLs, so a bands×rows mismatch would silently hash a SHORTER
+    // slice and corrupt candidate generation. The guard is a per-row size
+    // compare (cheap, codegen'd); raise_error fails the query instead.
+    val need = bands * rowsPerBand
+    val checked = when(size(sigs) >= need, sigs).otherwise(raise_error(
+      concat(lit(s"bandsFromSigs: need $need minhash values, got "), size(sigs).cast("string"))))
     val bandHashes = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand)
-        .map(r => element_at(sigs, b * rowsPerBand + r + 1).cast("string"))
+        .map(r => element_at(checked, b * rowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band_id"),
         graft.Tables.h60(concat_ws(",", rows: _*)).as("band_hash"))
     }

@@ -41,6 +41,16 @@ object SamplingQueries {
   private val bucketSql =
     "CAST(('0x' || substring(md5(CAST(%s AS VARCHAR)), 1, 8)) AS BIGINT) %% 10000"
 
+  /** DuckDB twin of [[bucket]] over SQL expression `c` (shared with the x45
+    * decontamination oracle, which must replay the same split assignment). */
+  def bucketSqlFor(c: String): String = bucketSql.format(c)
+
+  /** DuckDB twin of [[splitCol]]. */
+  def splitSqlFor(c: String): String = {
+    val b = bucketSqlFor(c)
+    s"CASE WHEN $b < 8000 THEN 'train' WHEN $b < 9000 THEN 'val' ELSE 'test' END"
+  }
+
   /** x70 — 2% deterministic hash sample of documents. */
   val x70: Q = (s, d) =>
     t(s, d, "documents")
@@ -92,15 +102,26 @@ object SamplingQueries {
     * table into executor storage — a full extra pass at 100 TB, and lost
     * work on executor failure). Rows sharing one n_chars value share a pid
     * (ranges stay contiguous in the total order); skew is bounded by the
-    * percentile spacing plus the heaviest single value. */
+    * percentile spacing plus the heaviest single value.
+    *
+    * DATA PRECONDITION (documented limit): if ONE n_chars value holds a
+    * large fraction of the table, that value's rows form one window task —
+    * the same bound ntile-by-value has in any engine. The fix preserving
+    * exact output is finer cut points over the full (n_chars, doc_id) sort
+    * key (cuts must stay contiguous in the total order, so a hash salt
+    * CANNOT be folded in — it would interleave ranges). For near-constant
+    * columns use x64's approx-percentile binning, which has no per-value
+    * rank and no such bound. */
   val x72: Q = (s, d) => {
     val base = t(s, d, "documents").select(col("n_chars"), col("doc_id"))
     // 31 interior cut points, embedded as literals below. Accuracy 1e4 is
     // plenty: ANY cut set yields exact ntile — cuts affect only balance.
-    val cuts = base
+    // percentile_approx over ZERO rows returns NULL — guard it (empty cuts
+    // → every row in pid 0 → correct empty output), don't NPE.
+    val cuts = Option(base
       .agg(percentile_approx(col("n_chars"),
         typedlit((1 until 32).map(_ / 32.0)), lit(10000)).as("c"))
-      .head.getSeq[Long](0).distinct.sorted
+      .head.getSeq[Long](0)).getOrElse(Nil).distinct.sorted
     val pid = cuts.map(b => when(col("n_chars") > lit(b), 1).otherwise(0))
       .foldLeft(lit(0))(_ + _)
     val parts = base.withColumn("pid", pid)

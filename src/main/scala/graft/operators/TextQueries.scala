@@ -100,8 +100,10 @@ object TextQueries {
   }
 
   /** x33 — document fingerprinting: winnowing-style — min/max of rolling
-    * 64-bit hashes over token 3-shingles (xxhash64 is Spark-native; no DuckDB
-    * twin, so this is a rows-only contract + ScalaTest properties). */
+    * 60-bit hashes over token 3-shingles. Hash is `Tables.h60` (md5-backed,
+    * engine-exact twin), so the fingerprints themselves are oracle
+    * hash-checked — the same swap that promoted x42; xxhash64 remains the
+    * right choice only where no cross-engine check is needed. */
   val x33: Q = (s, d) => {
     // stepwise materialization: tokens, then shingle hashes, then the three
     // aggregates — inlining would re-split the text per shingle element and
@@ -109,7 +111,7 @@ object TextQueries {
     graft.Tables.spread(t(s, d, "documents")) // shingle+hash is CPU-dense
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        transform(DedupQueries.shingles3(col("toks")), sh => xxhash64(sh)).as("hashes"))
+        transform(DedupQueries.shingles3(col("toks")), sh => graft.Tables.h60(sh)).as("hashes"))
       .select(
         col("doc_id"),
         array_min(col("hashes")).as("fp_min"),
@@ -194,6 +196,22 @@ object TextQueries {
       """SELECT lang, COUNT(*) AS docs,
         |CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // NON-distinct shingles (rolling hashes), unlike the dedup CTE's
+    // list_distinct — min/max are duplicate-insensitive but
+    // n_distinct_shingles counts over the distinct set explicitly.
+    "x33_fingerprint" -> {
+      val h60 = graft.Tables.h60Sql _
+      s"""WITH sh AS (
+         |  SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 3
+         |    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+         |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+         |    ELSE [text] END AS s
+         |  FROM documents),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${h60("x")}) AS h FROM sh)
+         |SELECT doc_id, list_min(h) AS fp_min, list_max(h) AS fp_max,
+         |  CAST(len(list_distinct(h)) AS BIGINT) AS n_distinct_shingles
+         |FROM hs ORDER BY doc_id""".stripMargin
+    },
     // generated from the same `profiles` map as the Spark query so the two
     // sides cannot drift; `/` is true division in both dialects, and the
     // CASE chain in ascending-language order reproduces the Spark argmax's

@@ -2,13 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** CurationDemo: stage arithmetic and byte-level reproducibility. */
+/** CurationDemo: stage arithmetic and byte-level reproducibility, plus
+  * planted-fixture tests for the x45 decontamination and x46 PII-scrub
+  * stages (the synthetic corpus has no PII, so the PII regexes are proven
+  * on planted documents). */
 class CurationSpec extends SparkSpec {
 
   test("curation pipeline filters monotonically and reproduces identical splits") {
     val out1 = tmpDir("curation1")
-    val (raw, kept, surv) = CurationDemo.run(spark, sfDir, out1)
-    assert(raw > 0 && kept <= raw && surv <= kept, s"($raw, $kept, $surv)")
+    val (raw, kept, clean, surv) = CurationDemo.run(spark, sfDir, out1)
+    assert(raw > 0 && kept <= raw && clean <= kept && surv <= clean,
+      s"($raw, $kept, $clean, $surv)")
     assert(surv > 0, "pipeline must not drop everything")
 
     val splitCounts = Seq("train", "val", "test").map { s =>
@@ -37,5 +41,74 @@ class CurationSpec extends SparkSpec {
     members.filter(!_._2).foreach { case (id, _) =>
       assert(!surviving.contains(id), s"non-keeper $id survived dedup")
     }
+  }
+
+  /** Write a planted documents table; returns its dir. Text column only
+    * needs (doc_id, lang, text) — every curation query reads just these. */
+  private def plant(rows: Seq[(Long, String, String)], prefix: String): String = {
+    val dir = tmpDir(prefix)
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x45 flags exactly the planted train→test contamination") {
+    // split assignment is a pure function of doc_id — compute it up front
+    import spark.implicits._
+    val split = (0L until 200L).toDF("doc_id")
+      .withColumn("s", operators.SamplingQueries.splitCol(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = (0L until 200L).find(split(_) == "train").get
+    val testId = (0L until 200L).find(split(_) == "test").get
+    val valId = (0L until 200L).find(split(_) == "val").get
+
+    // 20 shared tokens → 8 shared 13-grams between trainId and testId;
+    // a val↔test copy must NOT appear (only train docs are reported);
+    // everything else gets unique tokens (no 13-gram can repeat)
+    val shared = (1 to 20).map(i => s"leak$i").mkString(" ")
+    val rows = (0L until 200L).map { id =>
+      val text =
+        if (id == trainId || id == testId) shared
+        else if (id == valId) shared // val copy: leaks, but not train's problem
+        else (1 to 20).map(j => s"u${id}t$j").mkString(" ")
+      (id, "en", text)
+    }
+    val dir = plant(rows, "decon")
+    val got = operators.CurationQueries.x45(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(trainId),
+      s"expected only doc $trainId, got ${got.map(_.getLong(0)).mkString(",")}")
+    val r = got.head
+    assert(r.getLong(1) == 8 && r.getLong(2) == 8, s"20 tokens → 8 13-grams: $r")
+    assert(r.getLong(3) == 1, s"one eval doc hit: $r")
+    assert(r.getDouble(4) == 1.0, s"fully contaminated: $r")
+  }
+
+  test("x46 scrubs planted PII and counts hits per class") {
+    val rows = Seq(
+      (0L, "en", "contact alice.smith+x@example.org for the report"),
+      (1L, "en", "call 555-123-4567 or +1 555 987 6543 today"),
+      (2L, "en", "ssn 123-45-6789 on file"),
+      (3L, "en", "the customer bought a vector of parts"),
+      (4L, "en", "nothing sensitive here at all"))
+    val dir = plant(rows, "pii")
+    val sc = operators.CurationQueries.scrubbed(spark, dir)
+      .orderBy(col("doc_id")).collect()
+    assert(sc(0).getAs[String]("scrubbed") == "contact [EMAIL] for the report")
+    assert(sc(1).getAs[String]("scrubbed") == "call [PHONE] or +1 [PHONE] today")
+    assert(sc(2).getAs[String]("scrubbed") == "ssn [ID] on file")
+    assert(sc(3).getAs[String]("scrubbed") == "the [TERM] bought a [TERM] of parts")
+    assert(sc(4).getAs[String]("scrubbed") == rows(4)._3, "clean doc unchanged")
+
+    val agg = operators.CurationQueries.x46(spark, dir).collect()
+    assert(agg.length == 1)
+    val r = agg.head
+    assert(r.getAs[Long]("hits_email") == 1)
+    assert(r.getAs[Long]("hits_phone") == 2)
+    // the SSN also matches the phone-shaped prefix? no — phone needs two
+    // separators with 3-3-4 digit groups; 123-45-6789 is 3-2-4 → id only
+    assert(r.getAs[Long]("hits_id") == 1)
+    assert(r.getAs[Long]("hits_term") == 2)
+    assert(r.getAs[Long]("docs_flagged") == 4)
   }
 }
