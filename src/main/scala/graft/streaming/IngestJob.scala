@@ -1,10 +1,10 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** A3 — the continuous JSON→columnar ingest operator (the role Redpanda's
   * datalake translator plays in the reference: validate against the topic
@@ -112,16 +112,143 @@ object IngestJob {
       .start()
   }
 
+  /** `key_value` topic mode (CLAUDE.md:165-171): NO decode — the raw
+    * key/value pair lands as two BinaryType columns, partitioned by
+    * processing date (a raw dump has no event time; this is the Kafka
+    * connector convention for opaque topics). Same idempotent
+    * write + snapshot-commit protocol as the decoded modes, so
+    * exactly-once, time travel, and maintenance all apply unchanged.
+    * Casting string→binary is UTF-8 on the file topic; a real Kafka
+    * source hands binary natively and the casts are no-ops. */
+  def startKeyValue(
+      spark: SparkSession,
+      source: TopicSource,
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")) =
+    source.readStream(spark).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committedBatches(tableDir).contains(batchId)) {
+          val raw = batch.select(
+            col("key").cast("binary").as("key"),
+            col("value").cast("binary").as("value"))
+          writeBatch(raw, tableDir, batchId, Seq("value"), current_date(),
+            keepKey = true)
+        }
+        ()
+      }
+      .start()
+
+  /** `value_schema_id_prefix` topic mode (CLAUDE.md:165-171): each value is
+    * magic 0x00 + 4-byte schema id + Avro binary, decoded per batch through
+    * [[AvroCodec]] with the REGISTRY schema named by the embedded id — so a
+    * batch can mix versions (v1 rows decode under v1 mid-upgrade) and a v2
+    * registered mid-stream applies to v2-stamped records with no restart.
+    * Values that fail the envelope or Avro decode divert to the reject
+    * count, same contract as JSON parse failure.
+    *
+    * The decode is a per-partition kernel (mapPartitions): one
+    * GenericDatumReader per (partition, schema id), not per row — the same
+    * codec-seam placement as the multimodal decoders; there is no
+    * spark-avro DataSource in this build and a codec is not a Catalyst
+    * Expression. Decoded columns follow the LATEST registered schema
+    * (rows of older versions read null for later-added fields — BACKWARD
+    * compat guarantees they're nullable). */
+  def startAvroWithRegistry(
+      spark: SparkSession,
+      source: TopicSource,
+      tableDir: String,
+      registry: SchemaRegistry,
+      subject: String,
+      required: Seq[String],
+      tsCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")) = {
+    registry.latestOrThrow(subject) // schema-before-data
+    source.readStream(spark).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committedBatches(tableDir).contains(batchId)) {
+          val parsed = decodeAvroBatch(batch, registry, subject)
+          writeBatch(parsed, tableDir, batchId, required,
+            to_date(col(tsCol)))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Decode one micro-batch of (key, base64-or-binary value) rows under the
+    * registry's schemas. Exposed for tests; the streaming path calls it per
+    * batch. Undecodable values become all-null rows (rejected by the
+    * required-field filter downstream, counted as rejects). */
+  private[streaming] def decodeAvroBatch(
+      batch: DataFrame, registry: SchemaRegistry, subject: String): DataFrame = {
+    val (latestV, latestSt) = registry.latestOrThrow(subject)
+    // writer schemas resolve on the DRIVER (the registry dir may not exist
+    // on executors); versions are few — ship them in the closure
+    val writers: Map[Int, StructType] =
+      registry.versions(subject).flatMap(v => registry.get(subject, v).map(v -> _)).toMap
+    val latestFields = latestSt.fieldNames.toIndexedSeq
+    // all-nullable output: reject rows are all-null (the required-field
+    // filter drops them); declared non-null fields would make the encoder
+    // throw on exactly the rows the reject path exists for
+    val outSchema = StructType(
+      StructField("key", org.apache.spark.sql.types.StringType) +:
+        latestSt.fields.toIndexedSeq.map(_.copy(nullable = true)))
+    val raw = batch.select(col("key").cast("string"),
+      unbase64(col("value").cast("string")).as("raw"))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    raw.mapPartitions { it =>
+      // per-partition reader cache: one Avro Schema + reader per schema id
+      val cache = scala.collection.mutable.HashMap.empty[Int, (StructType, org.apache.avro.Schema)]
+      it.map { r =>
+        val key = r.getString(0)
+        val decoded: Option[Row] =
+          try {
+            val bytes = r.getAs[Array[Byte]](1)
+            val id = AvroCodec.schemaIdOf(bytes)
+            val (wSt, wAvro) = cache.getOrElseUpdate(id, {
+              val st = writers.getOrElse(id, throw new IllegalStateException(
+                s"schema id $id not registered for subject '$subject'"))
+              (st, AvroCodec.avroSchema(subject, st))
+            })
+            val row = AvroCodec.decode(bytes, wSt, wAvro)
+            val byName = wSt.fieldNames.zip(row.toSeq).toMap
+            Some(Row.fromSeq(latestFields.map(byName.getOrElse(_, null))))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(d) => Row.fromSeq(key +: d.toSeq)
+          case None => Row.fromSeq(key +: latestFields.map(_ => null))
+        }
+      }
+    }(enc)
+  }
+
   /** The idempotent per-batch table write + snapshot commit, shared by the
-    * fixed-schema and registry-backed ingest paths. */
+    * fixed-schema and registry-backed ingest paths. `partCol` is the
+    * partition-date expression (event date for decoded modes, processing
+    * date for key_value); `keepKey` retains the topic key column
+    * (key_value's whole point; decoded modes drop it). */
   private def writeBatch(
       batch: DataFrame, tableDir: String, batchId: Long,
-      required: Seq[String], tsCol: String): Unit = {
+      required: Seq[String], tsCol: String): Unit =
+    writeBatch(batch, tableDir, batchId, required, to_date(col(tsCol)))
+
+  private def writeBatch(
+      batch: DataFrame, tableDir: String, batchId: Long,
+      required: Seq[String], partCol: org.apache.spark.sql.Column,
+      keepKey: Boolean = false): Unit = {
     val ok = required.foldLeft(batch)((df, c) => df.filter(col(c).isNotNull))
-    val good = ok.withColumn("p_date", to_date(col(tsCol))).cache()
+    val good = ok.withColumn("p_date", partCol).cache()
     val nGood = good.count()
     val nAll = batch.count()
-    good.drop("key")
+    (if (keepKey) good else good.drop("key"))
       // OVERWRITE of this batch's directory, not append: a replay
       // after a crash between data write and snapshot commit rewrites
       // the same files instead of duplicating them — the write is

@@ -130,4 +130,73 @@ class PipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$work/table/_snapshots.jsonl"))
     assert(log.contains("\"rejects\":2"))
   }
+
+  test("key_value mode: raw key/value blobs land verbatim with exactly-once commits") {
+    val work = tmpDir("graft-kv")
+    val topic = FileTopic(s"$work/topic")
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (s"k$i", s"""{"payload":$i}"""))
+    topic.publish(rows.toDF("key", "value"))
+    val q = IngestJob.startKeyValue(spark, topic, s"$work/table", s"$work/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = IngestJob.readTable(spark, s"$work/table")
+    // raw BLOB columns, no decode applied
+    assert(got.schema("key").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(got.schema("value").dataType == org.apache.spark.sql.types.BinaryType)
+    val back = got.collect().map(r => (
+      new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+      new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+    assert(back == rows.toSet)
+    assert(IngestJob.committedBatches(s"$work/table").nonEmpty)
+  }
+
+  test("avro schema-id-prefix mode: per-id decode, mixed versions mid-batch, junk rejected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val work = tmpDir("graft-avro")
+    val topic = FileTopic(s"$work/topic")
+    val registry = SchemaRegistry(s"$work/registry")
+    val v1 = StructType(Seq(
+      StructField("trade_id", LongType, nullable = false),
+      StructField("symbol", StringType, nullable = false),
+      StructField("price", DoubleType, nullable = false),
+      StructField("ts_event", TimestampType, nullable = false)))
+    val id1 = registry.register("trades", v1)
+    val v2 = StructType(v1.fields.toIndexedSeq :+ StructField("venue", StringType, nullable = true))
+    val id2 = registry.register("trades", v2)
+    val av1 = AvroCodec.avroSchema("trades", v1)
+    val av2 = AvroCodec.avroSchema("trades", v2)
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")
+
+    val rows1 = (1 to 30).map(i =>
+      (s"k$i", b64(AvroCodec.encode(Row(i.toLong, "AAPL", 100.5, ts), v1, av1, id1))))
+    val rows2 = (31 to 50).map(i =>
+      (s"k$i", b64(AvroCodec.encode(Row(i.toLong, "MSFT", 200.25, ts, "NYSE"), v2, av2, id2))))
+    val junk = Seq(
+      ("bad-magic", b64(Array[Byte](9, 9, 9, 9, 9, 9))),
+      ("bad-id", b64(AvroCodec.encode(Row(99L, "X", 1.0, ts), v1, av1, 99))))
+    import spark.implicits._
+    topic.publish((rows1 ++ rows2 ++ junk).toDF("key", "value"))
+
+    val q = IngestJob.startAvroWithRegistry(spark, topic, s"$work/table",
+      registry, "trades", Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val got = IngestJob.readTable(spark, s"$work/table")
+    assert(got.count() == 50L)
+    // v1 rows read null for the v2-only column; v2 rows carry it
+    assert(got.filter(col("venue").isNull).count() == 30L)
+    assert(got.filter(col("venue") === "NYSE").count() == 20L)
+    // value fidelity incl. microsecond timestamps through the avro long
+    val r1 = got.filter(col("trade_id") === 1L).collect().head
+    assert(r1.getAs[String]("symbol") == "AAPL" && r1.getAs[Double]("price") == 100.5)
+    assert(r1.getAs[java.sql.Timestamp]("ts_event") == ts)
+    // junk (wrong magic / unregistered id) → reject count, not rows
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/table/_snapshots.jsonl"))
+    assert(log.contains("\"rejects\":2"), log)
+  }
 }
