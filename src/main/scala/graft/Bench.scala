@@ -19,10 +19,28 @@ import org.apache.spark.sql.SparkSession
   *               DuckDB oracle re-reading OS-page-cached parquet.
   *
   * Each run materializes the FULL result via the noop data source (count()
-  * would let Catalyst prune the projections being measured). */
+  * would let Catalyst prune the projections being measured).
+  *
+  * SELF-DIAGNOSIS (two driver rounds produced contended artifacts that
+  * only a clean re-run could adjudicate): the JSON now carries
+  *  - `passes`: the raw per-query seconds of EVERY pass (cold / nocache /
+  *    hotA / hotB, aligned with `names`), so uniform inflation across
+  *    passes — the signature of machine contention, vs a genuine
+  *    regression which moves specific queries in ALL passes including
+  *    clean ones — is readable from the artifact alone;
+  *  - `load`: /proc loadavg + JVM cpu count sampled before and after the
+  *    run; a loadavg far above the benchmark's own parallelism at start
+  *    means something else was running.
+  * The same JSON is also written to `/root/repo/BENCH_SELF.json`: the
+  * driver's stdout capture has twice truncated the line mid-JSON
+  * (`"parsed": null`), and the file survives that. Seconds are rounded
+  * to 0.1 ms to keep the line compact. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // Latency profile on top of the engine defaults: at bench SF every
     // shuffle is <10 MB, so AQE's per-stage re-planning jobs cost more than
     // they save (engine default keeps AQE on for the 100 TB posture —
@@ -66,13 +84,27 @@ object Bench {
     val hot = hotA.zip(hotB).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val loadEnd = loadAvg
 
-    val qs = hot.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def s4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = hot.map { case (k, v) => "\"" + k + "\":" + s4(v) }.mkString("{", ",", "}")
     val failed = hot.filter(_._2 < 0).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${tot(hot)},"unit":"sec","queries":$qs,""" +
-      s""""total_nocache":${tot(nocache)},"total_cold":${tot(cold)},""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    val namesJson = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(p: Seq[(String, Double)]): String =
+      p.map(x => s4(x._2)).mkString("[", ",", "]")
+    val passesJson = s"""{"cold":${arr(cold)},"nocache":${arr(nocache)},""" +
+      s""""hotA":${arr(hotA)},"hotB":${arr(hotB)}}"""
+    val loadJson = f"""{"start":$loadStart%.2f,"end":$loadEnd%.2f,""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+    val json = s"""{"metric":"total","value":${s4(tot(hot))},"unit":"sec","queries":$qs,""" +
+      s""""total_nocache":${s4(tot(nocache))},"total_cold":${s4(tot(cold))},""" +
+      s""""failed":$failedJson,"sf":"$sfDir",""" +
+      s""""names":$namesJson,"passes":$passesJson,"load":$loadJson}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] self-dump failed: $e") }
     spark.stop()
   }
 }

@@ -218,6 +218,31 @@ object Maintenance {
   private def stagePath(tableDir: String, what: String, newId: Long): java.nio.file.Path =
     Paths.get(tableDir, "_staging", s"$what=$newId-${java.util.UUID.randomUUID().toString.take(8)}")
 
+  /** GC crash leftovers under `_staging/`: a writer that died between
+    * staging its files and committing leaves an orphaned nonce'd dir —
+    * invisible to readers (staging is outside `data/`) but paying storage
+    * forever. Deletes staging dirs older than `maxAgeMs` (default 1 h; a
+    * LIVE writer's staging is necessarily younger — its job is running
+    * right now) under the commit lock, so a sweep can never race the
+    * winner's rename inside [[commitStaged]]. Run it on maintenance
+    * startup, the way Iceberg deployments schedule orphan-file cleanup.
+    * Returns the deleted dir names. */
+  def gcStaging(tableDir: String, maxAgeMs: Long = 3600000L): Seq[String] =
+    CommitLock.withLogLock(tableDir) {
+      val root = Paths.get(tableDir, "_staging")
+      if (!Files.isDirectory(root)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val cutoff = System.currentTimeMillis() - maxAgeMs
+        val s = Files.list(root)
+        val victims = try s.iterator().asScala
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff).toList
+        finally s.close()
+        victims.foreach(deleteDir)
+        victims.map(_.getFileName.toString)
+      }
+    }
+
   /** Optimistic-concurrency commit: the log must not have moved since the
     * result was computed from `base`. Runs under [[CommitLock.withLogLock]]
     * — an OS file lock shared with the ingest committer — so the

@@ -309,4 +309,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(IngestJob.readTableAsOf(spark, table, 2L).count() == 100L)
     assert(IngestJob.readTableAsOf(spark, table, cid).count() == 80L)
   }
+
+  test("crash injection: torn commits stay invisible, staging GC reclaims, next commit heals") {
+    import java.nio.file.{Files, Paths}
+    val work = tmpDir("graft-crash")
+    val table = s"$work/table"
+    // distinct seeds: same-seed batches share their prefix trades and the
+    // row-set comparison below would collapse the duplicates
+    ingestOnce(work, 100, seed = 7L); ingestOnce(work, 50, seed = 8L)
+    val before = IngestJob.readTable(spark, table).collect().map(_.toSeq).toSet
+    assert(before.size == 150)
+
+    // CRASH WINDOW 1 — writer died after staging, before commit: an
+    // orphaned nonce'd dir under _staging/. Readers never see it; a
+    // grace-period sweep keeps it (could be a live writer); an expired
+    // sweep reclaims it.
+    val staged = Paths.get(table, "_staging", "batch=999-deadbeef")
+    Files.createDirectories(staged)
+    Files.writeString(staged.resolve("part-00000.parquet"), "torn half-write")
+    assert(IngestJob.readTable(spark, table).collect().map(_.toSeq).toSet == before)
+    assert(Maintenance.gcStaging(table).isEmpty, "fresh staging must survive the default grace")
+    assert(Maintenance.gcStaging(table, maxAgeMs = -1000L) == Seq("batch=999-deadbeef"))
+    assert(!Files.exists(staged))
+
+    // CRASH WINDOW 2 — writer died between the atomic rename and the log
+    // append: data/batch=N exists with VALID files (the rename is atomic —
+    // half-written files can't land here) but no commit line. Invisible to
+    // readers; the next writer to allocate N treats it as provable torn
+    // garbage, clears it, and commits over it.
+    val cid = Maintenance.CompactionIdBase
+    val torn = s"$table/data/batch=$cid"
+    spark.read.parquet(s"$table/data/batch=0") // p_date inferred from dirs
+      .write.partitionBy("p_date").parquet(torn)
+    assert(IngestJob.readTable(spark, table).collect().map(_.toSeq).toSet == before,
+      "a data dir without a commit line must stay invisible")
+
+    val stats = Maintenance.compact(spark, table).get
+    assert(stats.newBatch == cid && stats.rowsRewritten == 150L)
+    assert(Maintenance.visibleBatches(table) == Set(cid))
+    val after = IngestJob.readTable(spark, table).collect().map(_.toSeq).toSet
+    assert(after == before, "healed commit must carry exactly the committed rows, no torn extras")
+  }
 }
