@@ -18,11 +18,14 @@ object ExplainAudit {
     * global (no-grouping-key) aggregate: provably ONE row, so the "nested
     * loop" is a single pass over the stream side — the scalar-subquery /
     * broadcast-stats shape (x34's corpus df/avgdl row). The aggregate must
-    * be the TOP data-shaping node of the build side (walking through
-    * exchanges, codegen wrappers, and row-count-preserving Projects only —
-    * NOT Filter/Join/Generate): a build side that aggregates to one row and
-    * then re-expands above the aggregate is a real O(N×M) NLJ and must
-    * flag. Any other NLJ is an O(N×M) comparison loop and gets flagged. */
+    * be the TOP data-shaping node of the build side, walking through
+    * exchanges, codegen wrappers, row-count-preserving Projects, and
+    * row-count-NON-INCREASING Filters (Catalyst inserts an isnotnull
+    * Filter above the aggregate when the join condition is
+    * null-intolerant; ≤1 row stays ≤1 row) — NOT Join/Generate/Expand: a
+    * build side that aggregates to one row and then RE-EXPANDS above the
+    * aggregate is a real O(N×M) NLJ and must flag. Any other NLJ is an
+    * O(N×M) comparison loop and gets flagged. */
   private[graft] def allNljSingleRowBuild(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{SparkPlan, ProjectExec, InputAdapter, WholeStageCodegenExec, ColumnarToRowExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -49,6 +52,7 @@ object ExplainAudit {
       case i: InputAdapter => topIsSingleRowAgg(i.child)
       case c: ColumnarToRowExec => topIsSingleRowAgg(c.child)
       case p: ProjectExec => topIsSingleRowAgg(p.child)
+      case f: org.apache.spark.sql.execution.FilterExec => topIsSingleRowAgg(f.child)
       case a: HashAggregateExec => a.groupingExpressions.isEmpty
       case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
       case a: SortAggregateExec => a.groupingExpressions.isEmpty

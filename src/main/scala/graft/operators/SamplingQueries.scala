@@ -178,6 +178,37 @@ object SamplingQueries {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("doc_id"))
 
+  /** x48 — source-mixture rebalancing: downsample every source to the
+    * smallest source's size (uniform target mixture), deterministically —
+    * the domain-mixing step a training-data pipeline runs before
+    * tokenization (over-represented crawl sources get cut, small curated
+    * sources are kept whole). Selection is hash-bucket rank within source
+    * (x73's exact-quota form with a DATA-DERIVED quota), so re-runs and
+    * AQE replays pick identical docs, and the quota is hit exactly.
+    *
+    * 100 TB: the rank shuffles (source, bucket, doc_id) triples only; the
+    * quota is one tiny aggregate row broadcast into the predicate. The
+    * shuffle-free approximation (keep if bucket < quota/n_s · 10⁴) needs
+    * only per-source counts, at the cost of ±binomial error on the quota
+    * — same trade documented on x73. */
+  val x48: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("bk", bucket(col("doc_id")))
+    val quota = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("quota"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("bk"), col("doc_id"))))
+    val kept = ranked.crossJoin(broadcast(quota)) // 1-row build: scalar bcast
+      .filter(col("rn") <= col("quota"))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("n_chars")).cast("long").as("chars_after"))
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_before")), "source")
+      .select(col("source"), col("n_before"), col("n_after"), col("chars_after"))
+      .orderBy(col("source"))
+  }
+
   /** x74 — corpus profile: the data-quality gate a curation pipeline runs
     * before training (one scalar row; every stat is an exact integer or a
     * fixed-point average, so the profile is reproducible to the bit). */
@@ -203,7 +234,8 @@ object SamplingQueries {
     "x71_train_split" -> x71,
     "x72_quantile_bins" -> x72,
     "x73_stratified_sample" -> x73,
-    "x74_corpus_profile" -> x74)
+    "x74_corpus_profile" -> x74,
+    "x48_source_mix" -> x48)
 
   private val b = bucketSql.format("doc_id")
 
@@ -231,6 +263,21 @@ object SamplingQueries {
          |  FROM documents)
          |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
          |ORDER BY lang, doc_id""".stripMargin,
+    "x48_source_mix" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id, n_chars, $b AS bk FROM documents),
+         |q AS (SELECT MIN(n) AS quota FROM
+         |  (SELECT COUNT(*) AS n FROM b GROUP BY source)),
+         |r AS (
+         |  SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn
+         |  FROM b),
+         |k AS (SELECT source, COUNT(*) AS n_after,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_after
+         |  FROM r, q WHERE rn <= quota GROUP BY source),
+         |pre AS (SELECT source, COUNT(*) AS n_before FROM b GROUP BY source)
+         |SELECT k.source, pre.n_before, k.n_after, k.chars_after
+         |FROM k JOIN pre ON pre.source = k.source ORDER BY k.source""".stripMargin,
     "x74_corpus_profile" ->
       """SELECT COUNT(*) AS docs,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,

@@ -120,6 +120,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x47 — intra-document repetition stats (the Gopher/RefinedWeb-style
+    * repetition filter signals): per doc, how much of it is the same
+    * 2-gram repeated. A doc whose top 2-gram covers a large fraction of
+    * its 2-grams is boilerplate/spam; corpus filters threshold on this.
+    *
+    * Shape at 100 TB: explode 2-grams AS h60 HASHES (8 bytes each — the
+    * gram text never crosses the exchange), count per (doc_id, hash),
+    * then per-doc max/sum/count in the same shuffle key's partial-agg
+    * chain. No join-back: max(count)/sum(count)/count(*) over the
+    * per-gram counts give top-gram coverage, total grams, and distinct
+    * grams in one aggregation. */
+  val x47: Q = (s, d) => {
+    val grams = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(
+        transform(DedupQueries.shinglesN(col("toks"), 2), g => graft.Tables.h60(g))).as("g"))
+    grams
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("distinct_2grams"),
+        max(col("c")).as("top_2gram_count"))
+      .select(col("doc_id"), col("n_2grams"), col("distinct_2grams"),
+        col("top_2gram_count"),
+        graft.Tables.fround(col("top_2gram_count") / col("n_2grams").cast("double"), 4)
+          .as("top_2gram_frac"),
+        graft.Tables.fround(lit(1.0) - col("distinct_2grams") / col("n_2grams").cast("double"), 4)
+          .as("dup_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 query terms + parameters, shared with the GENERATED oracle twin
     * (the x32 trick: both sides derive from the same constants). */
   private val bm25Terms = Seq("join", "window", "stream", "hash")
@@ -173,7 +205,8 @@ object TextQueries {
     "x31_token_count" -> x31,
     "x32_lang_id" -> x32,
     "x33_fingerprint" -> x33,
-    "x34_bm25" -> x34)
+    "x34_bm25" -> x34,
+    "x47_repetition" -> x47)
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" ->
@@ -233,6 +266,22 @@ object TextQueries {
          |  FROM documents)
          |SELECT label, $guess AS guess, COUNT(*) AS n
          |FROM scored GROUP BY label, guess ORDER BY label, guess""".stripMargin
+    },
+    "x47_repetition" -> {
+      val h60 = graft.Tables.h60Sql _
+      s"""WITH sh AS (
+         |  SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 2
+         |    THEN list_transform(range(1, len(string_split(text,' '))),
+         |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+         |    ELSE [text] END AS s
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(s, x -> ${h60("x")})) AS g FROM sh),
+         |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+         |SELECT doc_id, SUM(c) AS n_2grams, COUNT(*) AS distinct_2grams,
+         |  MAX(c) AS top_2gram_count,
+         |  floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000 + 0.5) / 10000 AS top_2gram_frac,
+         |  floor((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 10000 + 0.5) / 10000 AS dup_2gram_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // Generated from the same constants as x34 (terms, k1, b interpolated as
     // Scala doubles — shortest round-trip repr, parsed back to identical

@@ -84,6 +84,24 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0, s"fully contaminated: $r")
   }
 
+  test("x47 separates planted boilerplate from planted unique text") {
+    val rows = Seq(
+      // 10 tokens, all one repeated word -> 9 identical 2-grams
+      (0L, "en", Seq.fill(10)("spam").mkString(" ")),
+      // 10 distinct tokens -> 9 distinct 2-grams
+      (1L, "en", (1 to 10).map(i => s"w$i").mkString(" ")),
+      // half-and-half: "a b" repeated 5 times -> 9 grams, 2 distinct,
+      // top gram "a b" appears 5 times
+      (2L, "en", Seq.fill(5)("a b").mkString(" ")))
+    val dir = plant(rows, "rep")
+    val got = operators.TextQueries.x47(spark, dir).orderBy(col("doc_id")).collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(byId(0L) == ((9L, 1L, 9L, 1.0, 0.8889)), s"boilerplate: ${byId(0L)}")
+    assert(byId(1L) == ((9L, 9L, 1L, 0.1111, 0.0)), s"unique: ${byId(1L)}")
+    assert(byId(2L) == ((9L, 2L, 5L, 0.5556, 0.7778)), s"mixed: ${byId(2L)}")
+  }
+
   test("x46 scrubs planted PII and counts hits per class") {
     val rows = Seq(
       (0L, "en", "contact alice.smith+x@example.org for the report"),

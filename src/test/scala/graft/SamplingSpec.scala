@@ -57,6 +57,23 @@ class SamplingSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("x48 rebalances every source to exactly the smallest source's size") {
+    val rows = SamplingQueries.x48(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val minBefore = rows.map(_._2).min
+    // exact quota: every source lands on min(n_before), none above, and a
+    // source already at the min keeps all its docs
+    rows.foreach { case (src, before, after) =>
+      assert(after == math.min(before, minBefore), s"$src: $before -> $after (quota $minBefore)")
+    }
+    assert(rows.map(_._1).toSet == docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet, "no source may vanish")
+    // deterministic: identical on re-run
+    val again = SamplingQueries.x48(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("x72 bins do not depend on exchange reuse (partitioning is pinned)") {
     // the offset branch and the rank branch must see the SAME range
     // partitioning even when Catalyst cannot unify their exchanges
