@@ -64,6 +64,38 @@ object CurationQueries {
   val x45: Q = (s, d) =>
     decontamination(s, d).orderBy(desc("n_shared"), col("doc_id"))
 
+  /** Context-window parameters for x49 (64-token windows, 48-token stride
+    * → 16-token overlap): shared with the generated twin. */
+  val chunkSize = 64
+  val chunkStride = 48
+
+  /** x49 — context-window chunking: split each doc into fixed-token-budget
+    * overlapping windows (the pretraining/RAG sequencing step between
+    * curation and tokenization). Pure per-row expression work — the chunk
+    * plan (count, starts) is integer arithmetic, the chunks explode from
+    * the token array with no shuffle; at 100 TB this is a map-only stage
+    * whose output is the training sequence table. Chunk identity is
+    * (doc_id, chunk_id) with the content hash carried for audit, so the
+    * operator's whole output is oracle hash-checked without moving chunk
+    * text through the compare. */
+  val x49: Q = (s, d) => {
+    val cs = chunkSize; val st = chunkStride
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // chunks = 1 for n<=cs, else ceil((n-cs)/st)+1 — exact int arithmetic:
+    // ceil((n-cs)/st) = (n - cs + st - 1) div st
+    val nChunks = when(size(col("toks")) <= cs, lit(1))
+      .otherwise(expr(s"(size(toks) - ${cs - st + 1}) div $st + 1"))
+    docs
+      .select(col("doc_id"), explode(transform(sequence(lit(1), nChunks),
+        i => struct(i.cast("long").as("chunk_id"),
+          slice(col("toks"), (i - 1) * st + 1, lit(cs)).as("ct")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"),
+        size(col("c.ct")).cast("long").as("n_toks"),
+        h60(array_join(col("c.ct"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Scrub classes: PII regexes (zero hits on the synthetic corpus — their
     * replacement machinery is exercised by CurationSpec's planted-PII test)
     * plus a term-redaction class that DOES hit the corpus, so the oracle
@@ -112,7 +144,8 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
     "x45_decontamination" -> x45,
-    "x46_pii_scrub" -> x46)
+    "x46_pii_scrub" -> x46,
+    "x49_chunking" -> x49)
 
   val oracles: Map[String, String] = Map(
     // GENERATED from the same constants as the Spark side (shingle width,
@@ -137,6 +170,23 @@ object CurationQueries {
          |  floor(CAST(h.n_shared AS DOUBLE) / p.n_grams * 10000 + 0.5) / 10000 AS frac
          |FROM ht h JOIN pd p ON p.t_id = h.t_id
          |ORDER BY n_shared DESC, doc_id""".stripMargin
+    },
+    // GENERATED from the same chunk constants: identical window count
+    // arithmetic, 1-based inclusive list slices (both engines clamp past
+    // the end), identical h60 over the re-joined chunk text.
+    "x49_chunking" -> {
+      val cs = chunkSize; val st = chunkStride
+      val a = s"((chunk_id - 1) * $st + 1)"
+      val sliceSql = s"toks[$a:((chunk_id - 1) * $st + $cs)]"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) <= $cs THEN 1
+         |       ELSE (len(toks) - ${cs - st + 1}) // $st + 1 END AS nc FROM t),
+         |c AS (SELECT doc_id, toks, unnest(range(1, nc + 1)) AS chunk_id FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len($sliceSql) AS BIGINT) AS n_toks,
+         |  ${h60Sql(s"array_to_string($sliceSql, ' ')")} AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
     },
     // DuckDB SQL single-quoted strings take no backslash escapes, so the
     // Scala regex text (e.g. \b) embeds verbatim — no re-escaping.

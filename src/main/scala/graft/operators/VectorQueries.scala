@@ -117,6 +117,39 @@ object VectorQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** x24 — int8 embedding quantization + reconstruction audit (the
+    * 4-bytes/dim → 1 compression step an embedding pipeline runs before
+    * building a serving index, with its error budget measured). Per-row
+    * expressions only — no shuffle, embarrassingly parallel at 100 TB.
+    *
+    * Engine parity: f32→f64 casts are exact; scale/quantize/dequantize are
+    * the same IEEE double ops in the same association order on both
+    * engines; quantization uses the floor(x+0.5) form (round() tie rules
+    * differ between engines); err_max is continuous, so 6-digit rounding
+    * cannot land on a tie. Zero vectors quantize to zeros via an explicit
+    * CASE (identical guard in the twin), not a 0/0 NaN. */
+  val x24: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+    val qArr = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(127.0) / col("m") + lit(0.5)).cast("long"))
+    val q = e.select(col("vec_id"), col("embedding"), col("m"),
+      when(col("m") === 0, transform(col("embedding"), _ => lit(0L)))
+        .otherwise(qArr).as("q"))
+    val errArr = zip_with(col("embedding"), col("q"),
+      (x, qq) => abs(x.cast("double") - qq.cast("double") * col("m") / lit(127.0)))
+    q.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dims"),
+        graft.Tables.fround(col("m"), 6).as("max_abs"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        graft.Tables.fround(array_max(errArr), 6).as("err_max"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Multi-query cosine top-k — the E20 100 TB shape: query vectors are the
     * broadcast side; per-query results come from the bounded top-k
     * Aggregator, so partial aggregation caps each partition's contribution
@@ -151,7 +184,8 @@ object VectorQueries {
     "q29_cosine_topk" -> q29,
     "x20_cosine_neardup" -> x20,
     "x21_ann_lsh" -> x21,
-    "x23_multi_query_topk" -> x23)
+    "x23_multi_query_topk" -> x23,
+    "x24_quantize" -> x24)
 
   private val cosSql =
     """list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
@@ -184,6 +218,27 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "x21_ann_lsh" -> lshOracle,
+    // same association order / floor-form rounding / zero-vector CASE as
+    // the Spark side — the whole audit row is deterministic IEEE arithmetic
+    "x24_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS emb,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, emb, m,
+        |    CASE WHEN m = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(emb, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM e)
+        |SELECT vec_id, CAST(len(emb) AS BIGINT) AS dims,
+        |  floor(m * 1000000 + 0.5) / 1000000 AS max_abs,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  floor(list_max(list_transform(range(1, len(emb) + 1),
+        |    i -> abs(CAST(emb[i] AS DOUBLE) - qv[i] * m / 127.0))) * 1000000 + 0.5) / 1000000 AS err_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q29_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosSql.format("e.embedding", "q.qe", "e.embedding", "q.qe")}, 4) AS sim

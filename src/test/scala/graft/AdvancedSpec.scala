@@ -79,4 +79,42 @@ class AdvancedSpec extends SparkSpec {
       .orderBy($"symbol")
     assert(parsed.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
   }
+
+  test("x24 quantization: error bounded by half a quant step, zero vectors safe") {
+    val rows = operators.VectorQueries.x24(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (maxAbs, qMin, qMax, errMax) = (r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(6))
+      // int8 range respected and reconstruction error <= step/2 (+ rounding slack)
+      assert(qMin >= -127 && qMax <= 127, s"q out of int8 range: $r")
+      assert(errMax <= 0.5 * maxAbs / 127.0 + 1e-6, s"error above half-step: $r")
+      if (maxAbs > 0) assert(qMax == 127 || qMin == -127,
+        s"scale must map the max-magnitude dim to ±127: $r")
+    }
+  }
+
+  test("x49 chunking: full token coverage, correct overlap, budget respected") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = operators.CurationQueries.x49(spark, sfDir)
+      .select(col("doc_id"), col("chunk_id"), col("n_toks")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (cs, st) = (operators.CurationQueries.chunkSize, operators.CurationQueries.chunkStride)
+    chunks.groupBy(_._1).foreach { case (id, cks) =>
+      val n = docs(id)
+      val sorted = cks.sortBy(_._2)
+      // every chunk but the last is full-budget; ids are 1..k contiguous
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      sorted.init.foreach { case (_, _, t) => assert(t == cs, s"doc $id: short mid-chunk") }
+      assert(sorted.map(_._3).forall(_ <= cs))
+      // coverage: last chunk must reach the last token exactly
+      val lastStart = (sorted.length - 1) * st
+      assert(lastStart + sorted.last._3 == n, s"doc $id: tokens uncovered")
+      // minimality: one fewer chunk would leave a gap (unless single-chunk)
+      if (sorted.length > 1)
+        assert((sorted.length - 2) * st + cs < n, s"doc $id: redundant trailing chunk")
+    }
+  }
 }
