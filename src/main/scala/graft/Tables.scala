@@ -130,9 +130,14 @@ object Tables {
     * value positive in a signed 64-bit int on both engines; md5-hex is
     * byte-identical everywhere. Used wherever a hash must match across
     * engines (shingle fingerprints, MinHash bases, LSH band keys) — the
-    * engine-parity complement of the throwaway-speed xxhash64. */
+    * engine-parity complement of the throwaway-speed xxhash64.
+    *
+    * Implementation is the codegen [[graft.functions.H60]] expression
+    * (digest bytes → long directly, no hex-string materialization or
+    * base-16 parse); PropertiesSpec asserts bit-equality against the
+    * conv(substring(md5(...))) formulation this documents. */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.VectorExprs.h60(c.cast("string"))
 
   /** DuckDB twin of [[h60]] over the SQL expression `x`. */
   def h60Sql(x: String): String =

@@ -155,6 +155,54 @@ object MinHash {
   def permSql(j: Int, h: String): String = s"(${A(j)} * ($h % $P) + ${B(j)}) % $P"
 }
 
+/** 60-bit engine-parity content hash (string -> long), the codegen form of
+  * `Tables.h60`: md5 of the UTF-8 bytes, top 60 bits ([[MinHash.base60]] —
+  * bit-identical to parsing the first 15 hex digits, which is what the
+  * DuckDB twin does). The Column-expression formulation
+  * (conv(substring(md5(...)))) materializes a 32-char hex string and
+  * base-16-parses it per call — this goes digest-bytes -> long directly.
+  * Same cross-engine value, so every oracle stays hash-matched. */
+case class H60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h60"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHash.base60(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.MinHash.base60($x.getBytes());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Element-wise [[H60]] over array<string> -> array<long>: the hot
+  * `transform(arr, x -> h60(x))` shape (token hashes, shingle grams) without
+  * the interpreted-HOF per-element expression walk — one JVM loop per row,
+  * one md5 per element, no hex-string materialization. CodegenFallback like
+  * MinHashSigs: one virtual call per ROW. */
+case class H60Array(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h60_array"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = MinHash.base60(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All-in-one MinHash signature: array<string> shingles -> array<long> of
   * `numHashes` minhash values from the [[MinHash]] affine family (md5-based,
   * so the DuckDB oracle reproduces it exactly). One md5 per shingle + one
@@ -199,4 +247,8 @@ object VectorExprs {
   /** numHashes MinHash signature values of an array<string> shingle column. */
   def minHashSigs(sh: Column, numHashes: Int): Column =
     GraftExprBridge.toColumn(MinHashSigs(GraftExprBridge.toExpression(sh), numHashes))
+  /** 60-bit engine-parity hash of a string column (codegen'd md5-top-bits). */
+  def h60(c: Column): Column = GraftExprBridge.toColumn(H60(GraftExprBridge.toExpression(c)))
+  /** Element-wise h60 over an array<string> column. */
+  def h60Array(c: Column): Column = GraftExprBridge.toColumn(H60Array(GraftExprBridge.toExpression(c)))
 }

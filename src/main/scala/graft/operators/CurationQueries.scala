@@ -36,7 +36,7 @@ object CurationQueries {
   private def grams(docs: DataFrame, idAs: String): DataFrame = docs
     .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
     .select(col(idAs), explode(array_distinct(
-      transform(DedupQueries.shinglesN(col("toks"), decontamN), x => h60(x)))).as("g"))
+      graft.functions.VectorExprs.h60Array(DedupQueries.shinglesN(col("toks"), decontamN)))).as("g"))
 
   /** Decontamination hits: train-split docs sharing ≥1 13-gram with the
     * held-out test split, with overlap counts and contaminated fraction.

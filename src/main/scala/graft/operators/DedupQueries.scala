@@ -130,7 +130,7 @@ object DedupQueries {
   val x42: Q = (s, d) => {
     val sh = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"),
-        transform(split(col("text"), " "), w => graft.Tables.h60(w)).as("th"))
+        graft.functions.VectorExprs.h60Array(split(col("text"), " ")).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("sim"))
     val blocked = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>

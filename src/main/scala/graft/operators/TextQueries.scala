@@ -111,7 +111,7 @@ object TextQueries {
     graft.Tables.spread(t(s, d, "documents")) // shingle+hash is CPU-dense
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        transform(DedupQueries.shingles3(col("toks")), sh => graft.Tables.h60(sh)).as("hashes"))
+        graft.functions.VectorExprs.h60Array(DedupQueries.shingles3(col("toks"))).as("hashes"))
       .select(
         col("doc_id"),
         array_min(col("hashes")).as("fp_min"),
@@ -135,7 +135,7 @@ object TextQueries {
     val grams = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
-        transform(DedupQueries.shinglesN(col("toks"), 2), g => graft.Tables.h60(g))).as("g"))
+        graft.functions.VectorExprs.h60Array(DedupQueries.shinglesN(col("toks"), 2))).as("g"))
     grams
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

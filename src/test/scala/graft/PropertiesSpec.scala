@@ -84,4 +84,19 @@ class PropertiesSpec extends SparkSpec {
       assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
     }
   }
+
+  test("H60/H60Array are bit-identical to the conv(substring(md5)) formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial-ish strings: empty, unicode, long, hex-looking, controls
+    val samples = Seq("", "a", "hello world", "ÜñíçødÉ ☃ 中文", "0xDEADBEEF",
+      "line\nbreak\ttab", "x" * 5000) ++ (1 to 200).map(i => s"tok$i doc${i * 7}")
+    val df = samples.toDF("s")
+      .withColumn("fast", graft.functions.VectorExprs.h60(col("s")))
+      .withColumn("ref", conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("fastArr", element_at(
+        graft.functions.VectorExprs.h60Array(array(col("s"))), 1))
+    val bad = df.filter(col("fast") =!= col("ref") || col("fastArr") =!= col("ref")).count()
+    assert(bad == 0, "codegen h60 must equal the documented md5-hex-parse formulation")
+  }
 }
