@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDot, MinHashSigs, SimHash64}
+import graft.functions.{FloatDot, H60, H60Array, MinHashSigs, SimHash64}
 
 /** SparkSessionExtensions entry point (SURVEY §4's reserved extension seam):
   * registers the engine's custom Catalyst expressions as SQL functions, so
@@ -40,5 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSigs(children(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("h60"),
+      new ExpressionInfo(classOf[H60].getName, "h60",
+        "h60(s) - 60-bit engine-parity content hash (top bits of md5), " +
+          "DuckDB twin: CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H60(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("h60_array"),
+      new ExpressionInfo(classOf[H60Array].getName, "h60_array",
+        "h60_array(arr) - element-wise h60 over an array<string>"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        H60Array(children(0))))
   }
 }

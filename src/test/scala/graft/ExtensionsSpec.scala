@@ -38,4 +38,18 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.functions.VectorExprs.minHashSigs($"sh", 4)).head().getSeq[Long](0)
     assert(sigs == viaCol)
   }
+
+  test("h60 / h60_array callable from spark.sql, match the documented formulation") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("h60",
+      es => graft.functions.H60(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("h60_array",
+      es => graft.functions.H60Array(es(0)), "built-in")
+    val r = spark.sql(
+      """SELECT h60('hello') AS a,
+        |  CAST(conv(substring(md5(CAST('hello' AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS b,
+        |  h60_array(array('x', 'y'))[0] AS c, h60('x') AS d""".stripMargin).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == r.getLong(3))
+  }
 }
