@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.VectorQueries.dot
@@ -82,24 +82,30 @@ object AdvancedQueries {
   private val nlist = 16
   private val nprobe = 6
 
-  val x22: Q = (s, d) => {
-    val e = t(s, d, "embeddings")
-    // deterministic coarse quantizer: the nlist lowest vec_ids (collecting
-    // nlist*dim floats to the driver is the standard IVF build step)
-    val cents = e.filter(col("vec_id") < nlist)
+  /** Deterministic coarse quantizer seeds: the nlist lowest vec_ids
+    * (collecting nlist*dim floats to the driver is the standard IVF build
+    * step — bounded by nlist, not by data size). Shared by x22/x25/x26. */
+  private def centroidSeeds(e: DataFrame): Array[(Long, Seq[Float])] =
+    e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def centCol(c: Seq[Float]) = array(c.map(lit): _*)
-    // nearest-centroid assignment: array_max over (score, cid) structs —
-    // lexicographic struct ordering IS the argmax, with a linear expression
-    // tree (a when().otherwise() reduce duplicates the accumulated subtree
-    // each step: 2^16 copies for 16 centroids)
-    def assign(emb: org.apache.spark.sql.Column) =
-      array_max(array(cents.map { case (cid, c) =>
-        struct(dot(emb, centCol(c)).as("sc"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    val corpus = e.select(col("vec_id"), col("embedding"), assign(col("embedding")).as("cid"))
+
+  private def centCol(c: Seq[Float]): Column = array(c.map(lit): _*)
+
+  /** Nearest-centroid assignment: array_max over (score, cid) structs —
+    * lexicographic struct ordering IS the argmax, with a linear expression
+    * tree (a when().otherwise() reduce duplicates the accumulated subtree
+    * each step: 2^16 copies for 16 centroids). */
+  private def assign(cents: Array[(Long, Seq[Float])], emb: Column): Column =
+    array_max(array(cents.map { case (cid, c) =>
+      struct(dot(emb, centCol(c)).as("sc"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  val x22: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val cents = centroidSeeds(e)
+    val corpus = e.select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
     // probe set: nprobe centroids nearest to the query vector
@@ -117,19 +123,104 @@ object AdvancedQueries {
       .limit(10)
   }
 
+  /** Cosine threshold shared by x25 and its generated twin (the x20/x21
+    * near-dup threshold, applied within clusters). */
+  private val semTau = 0.3
+
+  /** Corpus with norm + nearest-centroid assignment — the shared front of
+    * x25/x26 (scan once, one expression-only projection, no shuffle yet). */
+  private def assignedCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cents = centroidSeeds(e)
+    e.select(col("vec_id"), col("embedding"),
+      VectorQueries.norm(col("embedding")).as("nrm"),
+      assign(cents, col("embedding")).as("cid"))
+  }
+
+  /** x25 — SemDeDup-style semantic dedup (E44): embedding-cosine near-dup
+    * detection bucketed by IVF cluster, with a deterministic keep policy.
+    * The public SemDeDup recipe (Abbas et al. 2023): cluster the corpus with
+    * a coarse quantizer, compare pairs ONLY within a cluster, and drop all
+    * but one of each near-dup pair — here "drop the higher vec_id", so keep
+    * is reproducible on any engine with no dependence on iteration order.
+    *
+    * 100 TB design: this is the scale path x20's O(N²) docstring routes to —
+    * the cluster id is the shuffle key, candidate generation is a
+    * co-partitioned self-join, and per-cluster work is quadratic only in
+    * cluster size (nlist scales with N to hold clusters at a constant
+    * target size, so total work is O(N·avg_cluster), not O(N²)). The final
+    * keep flag is a co-partitioned left join on vec_id. Oracle-checked
+    * end-to-end despite approximation: centroids, assignment argmax, and
+    * the threshold are shared constants, so the twin reproduces the
+    * identical drop set. */
+  val x25: Q = (s, d) => {
+    val base = assignedCorpus(s, d)
+    val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("cid"))
+    val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("cid"))
+    val dropped = a.join(b, Seq("cid")) // co-partitioned within-cluster pairs
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4) > semTau)
+      .select(col("b_id")).distinct()
+    base.select(col("vec_id"), col("cid"))
+      .join(dropped, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("b_id").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** x26 — k-NN graph construction (E45): top-3 cosine neighbors for EVERY
+    * vector, candidates restricted to the vector's IVF cluster (the
+    * all-vectors generalization of x23's multi-query top-k — the building
+    * block for graph-based curation: SemDeDup variants, label propagation,
+    * kNN classifiers over embeddings).
+    *
+    * 100 TB design: cluster id is the only shuffle key for candidate
+    * generation; ranking goes through the bounded TopK Aggregator, so
+    * partial aggregation caps each partition's contribution at k rows per
+    * vector and only k rows per vector cross the group-by exchange (a
+    * window formulation would shuffle every candidate pair). */
+  val x26: Q = (s, d) => {
+    val base = assignedCorpus(s, d)
+    val a = base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("cid"))
+    val b = base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("cid"))
+    val topk = udaf(new UdfQueries.TopK(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    a.join(b, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"),
+        col("b_id"))
+      .groupBy(col("a_id"))
+      .agg(topk(col("sim"), col("b_id")).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("nbr_id"), col("col._1").as("sim"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q35_percentiles" -> q35,
     "q36_scalar_subquery" -> q36,
     "q37_in_subquery" -> q37,
     "x22_ann_ivf" -> x22,
+    "x25_semantic_dedup" -> x25,
+    "x26_knn_graph" -> x26,
     "x64_approx_percentiles" -> x64)
 
-  /** GENERATED x22 oracle: same nlist/nprobe constants; assignment argmax
-    * (struct-max = max score, tie → max cid) becomes ROW_NUMBER ... ORDER BY
-    * sc DESC, cid DESC; probe ranking mirrors the Spark orderBy exactly. */
-  private def ivfOracle: String = {
-    def dotSql(a: String, b: String): String =
-      s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+  private def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+
+  private def cosPairSql: String =
+    s"${dotSql("a.embedding", "b.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}))"
+
+  /** GENERATED assignment CTE shared by the x22/x25/x26 twins: same nlist,
+    * assignment argmax (struct-max = max score, tie → max cid) becomes
+    * ROW_NUMBER ... ORDER BY sc DESC, cid DESC. */
+  private def assignedCte: String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $nlist),
        |scored AS (
@@ -139,7 +230,11 @@ object AdvancedQueries {
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT vec_id, embedding, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn
-       |    FROM scored) WHERE rn = 1),
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** GENERATED x22 oracle: probe ranking mirrors the Spark orderBy exactly. */
+  private def ivfOracle: String =
+    s"""$assignedCte,
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |probe AS (
        |  SELECT c.cid FROM cents c, q
@@ -147,10 +242,38 @@ object AdvancedQueries {
        |SELECT a.vec_id, ROUND(${dotSql("a.embedding", "q.qe")}, 4) AS sim
        |FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
-  }
+
+  /** GENERATED x25 oracle: identical centroids/assignment/threshold, drop
+    * policy "higher vec_id of a within-cluster near-dup pair". */
+  private def semDedupOracle: String =
+    s"""$assignedCte,
+       |nd AS (
+       |  SELECT DISTINCT b.vec_id AS b_id
+       |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ROUND($cosPairSql, 4) > $semTau)
+       |SELECT a.vec_id, a.cid,
+       |  CASE WHEN nd.b_id IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM assigned a LEFT JOIN nd ON a.vec_id = nd.b_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** GENERATED x26 oracle: ROW_NUMBER over (rounded sim DESC, nbr_id) — the
+    * TopK Aggregator's exact comparator. */
+  private def knnGraphOracle: String =
+    s"""$assignedCte,
+       |sims AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id, ROUND($cosPairSql, 4) AS sim
+       |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, nbr_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn
+       |  FROM sims)
+       |SELECT vec_id, CAST(rn AS BIGINT) AS rn, nbr_id, sim FROM ranked
+       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x22_ann_ivf" -> ivfOracle,
+    "x25_semantic_dedup" -> semDedupOracle,
+    "x26_knn_graph" -> knnGraphOracle,
     "q35_percentiles" ->
       """WITH g AS (
         |  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n

@@ -80,6 +80,74 @@ class AdvancedSpec extends SparkSpec {
     assert(parsed.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
   }
 
+  /** Independent Scala recompute of the x25/x26 shared front: centroid
+    * assignment (argmax dot, tie -> max cid) and within-cluster cosines, in
+    * the same double op order as the Spark/DuckDB formulations. */
+  private def clusteredCosines() = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cents = embs.filter(_._1 < 16)
+    val cid = embs.map { case (id, e) =>
+      // max score, tie -> max cid (the struct-max comparator)
+      id -> cents.map { case (c, ce) => (dot(e, ce), c) }.max._2
+    }.toMap
+    val cos = (a: Array[Float], b: Array[Float]) =>
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    (embs, cid, cos)
+  }
+
+  test("x25 semantic dedup: keep flags match a brute-force within-cluster recompute") {
+    val (embs, cid, cos) = clusteredCosines()
+    val byId = embs.toMap
+    val expected = embs.map { case (id, e) =>
+      val dropped = embs.exists { case (oid, oe) =>
+        oid < id && cid(oid) == cid(id) &&
+          math.floor(cos(oe, e) * 1e4 + (if (cos(oe, e) >= 0) 0.5 else -0.5)) / 1e4 > 0.3
+      }
+      id -> (if (dropped) 0L else 1L)
+    }.toMap
+    val got = AdvancedQueries.x25(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(got.length == embs.length) // one row per vector
+    got.foreach { case (id, (c, keep)) =>
+      assert(c == cid(id), s"vec $id cluster: got $c want ${cid(id)}")
+      assert(keep == expected(id), s"vec $id keep: got $keep want ${expected(id)}")
+    }
+    assert(got.count(_._2._2 == 0L) > 0, "threshold should drop at least one near-dup")
+    assert(byId.nonEmpty)
+  }
+
+  test("x26 knn graph: every vector ranked, sims non-increasing, top-1 exact") {
+    val (embs, cid, cos) = clusteredCosines()
+    val rows = AdvancedQueries.x26(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.keySet.size == embs.length, "every vector gets neighbors (no empty clusters at this nlist)")
+    byVec.foreach { case (_, nbrs) =>
+      val sims = nbrs.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims non-increasing in rank")
+    }
+    // top-1 neighbor matches the brute-force within-cluster argmax
+    embs.foreach { case (id, e) =>
+      val mates = embs.filter { case (oid, _) => oid != id && cid(oid) == cid(id) }
+      if (mates.nonEmpty) {
+        val best = mates.map { case (oid, oe) =>
+          val s = cos(oe, e)
+          (math.floor(s * 1e4 + (if (s >= 0) 0.5 else -0.5)) / 1e4, oid)
+        }.maxBy { case (s, oid) => (s, -oid) } // max sim, tie -> min id
+        val got = byVec(id).minBy(_._2)
+        assert(got._3 == best._2 && got._4 == best._1,
+          s"vec $id top-1: got (${got._3},${got._4}) want (${best._2},${best._1})")
+      }
+    }
+  }
+
   test("x24 quantization: error bounded by half a quant step, zero vectors safe") {
     val rows = operators.VectorQueries.x24(spark, sfDir).collect()
     assert(rows.nonEmpty)
