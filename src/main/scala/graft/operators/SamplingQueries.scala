@@ -229,12 +229,38 @@ object SamplingQueries {
         sum(toks.cast("long")).as("total_tokens"))
   }
 
+  /** x75 — quality-weighted sampling (E47): keep each document with
+    * probability proportional to its quality score — the data-mixing verb
+    * for up/down-weighting quality strata, without an RNG: keep iff
+    * bucket(doc_id) < floor(quality·10000 + 0.5). Deterministic per-row
+    * predicate — no shuffle, stable under AQE re-execution, identical on
+    * every engine; E[kept per stratum] = Σw/10000 with exact
+    * reproducibility (re-runs keep the SAME documents, so downstream
+    * caches/splits stay valid — the property rand()-based sampling loses).
+    * The weight derives from TextQueries.rawQuality — single source with
+    * x30's published score. The bit_xor(h60(doc_id)) checksum verifies the
+    * exact kept SET, not just its size. */
+  val x75: Q = (s, d) => {
+    val w = floor(TextQueries.rawQuality * 10000.0 + lit(0.5)).cast("long")
+    t(s, d, "documents")
+      .withColumn("w", w)
+      .filter(bucket(col("doc_id")) < col("w"))
+      .withColumn("h", graft.Tables.h60(col("doc_id")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("kept"),
+        sum(col("w")).cast("long").as("w_sum"),
+        expr("bit_xor(h)").as("kept_xor"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
     "x72_quantile_bins" -> x72,
     "x73_stratified_sample" -> x73,
     "x74_corpus_profile" -> x74,
+    "x75_weighted_sample" -> x75,
     "x48_source_mix" -> x48)
 
   private val b = bucketSql.format("doc_id")
@@ -278,6 +304,14 @@ object SamplingQueries {
          |pre AS (SELECT source, COUNT(*) AS n_before FROM b GROUP BY source)
          |SELECT k.source, pre.n_before, k.n_after, k.chars_after
          |FROM k JOIN pre ON pre.source = k.source ORDER BY k.source""".stripMargin,
+    "x75_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${TextQueries.qualityWeightSql} AS BIGINT) AS w
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS kept, CAST(SUM(w) AS BIGINT) AS w_sum,
+         |  bit_xor(${graft.Tables.h60Sql("CAST(doc_id AS VARCHAR)")}) AS kept_xor
+         |FROM w WHERE $b < w GROUP BY lang ORDER BY lang""".stripMargin,
     "x74_corpus_profile" ->
       """SELECT COUNT(*) AS docs,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,

@@ -13,7 +13,7 @@ object TextQueries {
   import CoreQueries.Q
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Q30 — per-language corpus stats: docs, chars, whitespace tokens (E21). */
   val q30: Q = (s, d) =>
@@ -33,6 +33,28 @@ object TextQueries {
     * double) disagree; the floor form is the same IEEE ops in both engines. */
   /** Per-doc quality scores for the WHOLE corpus (x30 is the first-200
     * query contract over this; CurationDemo gates on it unlimited). */
+  /** Raw (pre-round) quality score — the single source for x30's published
+    * `quality` column AND x75's sampling weight, so the weight can never
+    * drift from the score a user reads. */
+  private[operators] def rawQuality: Column = {
+    val nToks = size(split(col("text"), " "))
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
+    val avgTokLen = (length(col("text")) - (nToks - lit(1))) / nToks
+    nStop / nToks * 0.4 +
+      least(avgTokLen / 10.0, lit(1.0)) * 0.3 +
+      least(nToks / 100.0, lit(1.0)) * 0.3
+  }
+
+  /** DuckDB twin of floor(rawQuality * 10000 + 0.5) — the integer sampling
+    * weight in [0,10000] (same IEEE double ops in the same order as the
+    * Spark side; the x30 oracle proved the inner expression's parity). */
+  private[operators] def qualityWeightSql: String =
+    s"""floor((CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text,' ')) * 0.4
+       |  + least((CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text,' '))) / 10.0, 1.0) * 0.3
+       |  + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.3) * 10000 + 0.5)""".stripMargin
+
   def qualityScores(s: SparkSession, d: String): DataFrame = {
     def r4(c: org.apache.spark.sql.Column) = graft.Tables.fround(c, 4)
     val nToks = size(split(col("text"), " "))
@@ -44,10 +66,7 @@ object TextQueries {
         nToks.cast("long").as("n_tokens"),
         r4(nStop / nToks).as("stop_ratio"),
         r4(avgTokLen).as("avg_tok_len"),
-        r4(
-          nStop / nToks * 0.4
-            + least(avgTokLen / 10.0, lit(1.0)) * 0.3
-            + least(nToks / 100.0, lit(1.0)) * 0.3).as("quality"))
+        r4(rawQuality).as("quality"))
   }
 
   val x30: Q = (s, d) =>
@@ -199,6 +218,40 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Canonical token array of a text column — lowercase, punctuation→space,
+    * whitespace collapse (empty-token filter), stopword strip. Shared by
+    * x36 and its planted-variant spec. */
+  def canonToks(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+      tok => tok =!= "" && !tok.isin(stopwords: _*))
+
+  /** x36 — text normalization / canonicalization (E46): the pre-dedup
+    * canonical form (C4/CCNet-style normalize step) every exact-dedup
+    * pipeline runs before hashing. Per-row expressions only — no shuffle
+    * before the final per-lang aggregation; embarrassingly parallel at
+    * 100 TB. The bit_xor(h60(canon)) checksum is order-independent and
+    * verifies every row's canonical form bit-for-bit, so the oracle
+    * exercises the full normalize chain even though this synthetic corpus
+    * (already lowercase, single-spaced) gains no new merges from it —
+    * the MERGE behavior itself is pinned by the planted case/punct/
+    * stopword variants in the spec. */
+  val x36: Q = (s, d) => {
+    val base = t(s, d, "documents")
+      .withColumn("toks", canonToks(col("text")))
+      .select(col("lang"),
+        graft.Tables.h60(col("text")).as("rh"),
+        graft.Tables.h60(array_join(col("toks"), " ")).as("ch"),
+        size(col("toks")).cast("long").as("n_toks"))
+    base.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("rh")).as("raw_distinct"),
+        countDistinct(col("ch")).as("canon_distinct"),
+        sum(col("n_toks")).cast("long").as("canon_tokens"),
+        expr("bit_xor(ch)").as("canon_xor"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
@@ -206,6 +259,7 @@ object TextQueries {
     "x32_lang_id" -> x32,
     "x33_fingerprint" -> x33,
     "x34_bm25" -> x34,
+    "x36_normalize" -> x36,
     "x47_repetition" -> x47)
 
   val oracles: Map[String, String] = Map(
@@ -229,6 +283,22 @@ object TextQueries {
       """SELECT lang, COUNT(*) AS docs,
         |CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x36_normalize" -> {
+      val h60 = graft.Tables.h60Sql _
+      val toksSql =
+        s"list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '' AND t NOT IN ($stopList))"
+      s"""WITH c AS (
+         |  SELECT lang, text,
+         |    array_to_string($toksSql, ' ') AS canon,
+         |    len($toksSql) AS n_toks
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS docs,
+         |  COUNT(DISTINCT ${h60("text")}) AS raw_distinct,
+         |  COUNT(DISTINCT ${h60("canon")}) AS canon_distinct,
+         |  CAST(SUM(n_toks) AS BIGINT) AS canon_tokens,
+         |  bit_xor(${h60("canon")}) AS canon_xor
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // NON-distinct shingles (rolling hashes), unlike the dedup CTE's
     // list_distinct — min/max are duplicate-insensitive but
     // n_distinct_shingles counts over the distinct set explicitly.

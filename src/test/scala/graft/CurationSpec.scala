@@ -102,6 +102,23 @@ class CurationSpec extends SparkSpec {
     assert(byId(2L) == ((9L, 2L, 5L, 0.5556, 0.7778)), s"mixed: ${byId(2L)}")
   }
 
+  test("x36 normalization merges planted case/punct/stopword variants") {
+    val rows = Seq(
+      (0L, "en", "The  Quick, BROWN fox!"),   // case+punct+double-space noise
+      (1L, "en", "quick brown fox"),           // already canonical — must merge with 0
+      (2L, "en", "the a of and"),              // all stopwords -> empty canon
+      (3L, "en", "unique words here"))
+    val dir = plant(rows, "norm")
+    val got = operators.TextQueries.x36(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 4L, "docs")
+    assert(r.getLong(2) == 4L, "raw texts all distinct")
+    assert(r.getLong(3) == 3L, "canon merges 0 and 1")
+    assert(r.getLong(4) == 9L, "canon tokens: 3 + 3 + 0 + 3")
+  }
+
   test("x46 scrubs planted PII and counts hits per class") {
     val rows = Seq(
       (0L, "en", "contact alice.smith+x@example.org for the report"),

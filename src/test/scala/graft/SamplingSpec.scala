@@ -133,4 +133,30 @@ class SamplingSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD") && !p.contains("InMemoryTableScan"),
       s"x72 must not materialize the table:\n$p")
   }
+
+  test("x75 keeps exactly the docs whose bucket clears their quality weight") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 10000
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    // weight from the PUBLISHED x30 quality column (single-source check)
+    val w = TextQueries.qualityScores(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(4) * 10000)).toMap
+    val all = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = all.filter { case (id, _) => bucket(id) < w(id) }
+    assert(kept.nonEmpty && kept.length < all.length, "weighting must be partial")
+    val expect = kept.groupBy(_._2).map { case (lang, xs) =>
+      lang -> (xs.length.toLong, xs.map(x => h60(x._1.toString)).reduce(_ ^ _))
+    }
+    val got = SamplingQueries.x75(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (lang, (n, x)) =>
+      assert(got(lang) == ((n, x)), s"$lang: got ${got(lang)} want ($n, $x)")
+    }
+  }
 }
