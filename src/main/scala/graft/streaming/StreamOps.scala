@@ -9,6 +9,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Event row for streaming ops (mirrors testdata `events`). */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Document row for streaming curation ops (testdata `documents` columns
+  * plus the ingest event time the dedup watermark rides on). */
+case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
 case class UserRunningCount(user_id: Long, n: Long, total_value: Double)
 
 /** E23–E28 — streaming semantics (SURVEY §2.2). Each op takes a streaming
@@ -91,6 +95,22 @@ object StreamOps {
   def dedupEventsWithinWatermark(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** E27c — normalization-aware streaming dedup: dedup-on-ingest, the
+    * continuous form of x36 + x40. Key = h60 of the x36 canonical form
+    * (lowercase / punct→space / ws collapse / stopword strip), so case,
+    * punctuation and stopword variants of a document collapse to one kept
+    * copy ACROSS micro-batches, not just within one. State is bounded the
+    * E27b way: at 100 TB/day the store holds only the 8-byte canon-hash
+    * keys seen within the delivery-retry horizon — never the text, which
+    * stays out of both the state store and the exchange. */
+  def dedupDocsCanonical(docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("canon_h", graft.Tables.h60(
+        array_join(graft.operators.TextQueries.canonToks(col("text")), " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_h")
 
   /** E28 (transformWithState form) — the same running per-user totals on
     * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit

@@ -84,6 +84,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("E27c: normalization-aware streaming dedup drops cross-batch canonical dups") {
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dedupDocsCanonical(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("docdedup").outputMode("append").start()
+    input.addData(Seq(
+      Doc(0L, ts(0), "en", "The  Quick, BROWN fox!"),
+      Doc(1L, ts(1), "en", "other text here")))
+    q.processAllAvailable()
+    input.addData(Seq(
+      Doc(2L, ts(2), "en", "quick brown fox"), // canonical dup of doc 0, later batch
+      Doc(3L, ts(3), "en", "third doc")))
+    q.processAllAvailable()
+    val kept = spark.table("docdedup").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(0L, 1L, 3L), s"canonical dup doc 2 must be dropped: $kept")
+  }
+
   test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
     val input = MemoryStream[Event]
     val q = StreamOps.runningUserCounts(input.toDS())
