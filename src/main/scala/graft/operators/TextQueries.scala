@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -218,6 +219,37 @@ object TextQueries {
       .limit(20)
   }
 
+  /** x37 — vocabulary induction (E48): the word-level vocab-prep verb a
+    * tokenizer-training / OOV-budget pass runs — top-V tokens by corpus
+    * frequency with cumulative coverage (what fraction of all token
+    * occurrences the first k vocab entries explain).
+    *
+    * 100 TB shape: one map-side-combined hash aggregation keyed by token
+    * (the only shuffle — partial counts cross the exchange, never text
+    * rows), then TakeOrderedAndProject for the top-V; the coverage window
+    * runs over the V-row result, not the data. Determinism: ties in n
+    * break by token ascending on both engines.
+    *
+    * Parity: counts are exact longs; cum/total is ONE double division per
+    * output row (same IEEE op both engines), floor-form rounded. */
+  private val vocabV = 16
+
+  val x37: Q = (s, d) => {
+    val counts = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot")) // scalar broadcast row
+    val top = counts.orderBy(desc("n"), col("token")).limit(vocabV)
+    val w = Window.orderBy(desc("n"), col("token")) // V rows — not data
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cov",
+        graft.Tables.fround(sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) / col("tot"), 6))
+      .select(col("rank"), col("token"), col("n"), col("cum_cov"))
+      .orderBy(col("rank"))
+  }
+
   /** Canonical token array of a text column — lowercase, punctuation→space,
     * whitespace collapse (empty-token filter), stopword strip. Shared by
     * x36 and its planted-variant spec. */
@@ -260,6 +292,7 @@ object TextQueries {
     "x33_fingerprint" -> x33,
     "x34_bm25" -> x34,
     "x36_normalize" -> x36,
+    "x37_vocab" -> x37,
     "x47_repetition" -> x47)
 
   val oracles: Map[String, String] = Map(
@@ -299,6 +332,18 @@ object TextQueries {
          |  bit_xor(${h60("canon")}) AS canon_xor
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "x37_vocab" ->
+      s"""WITH tc AS (
+         |  SELECT token, COUNT(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY token),
+         |tot AS (SELECT SUM(n) AS tot FROM tc),
+         |top AS (
+         |  SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+         |  FROM tc ORDER BY n DESC, token LIMIT $vocabV)
+         |SELECT CAST(rank AS BIGINT) AS rank, token, n,
+         |  floor(SUM(n) OVER (ORDER BY rank) / tot * 1000000 + 0.5) / 1000000 AS cum_cov
+         |FROM top, tot ORDER BY rank""".stripMargin,
     // NON-distinct shingles (rolling hashes), unlike the dedup CTE's
     // list_distinct — min/max are duplicate-insensitive but
     // n_distinct_shingles counts over the distinct set explicitly.

@@ -119,6 +119,21 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(4) == 9L, "canon tokens: 3 + 3 + 0 + 3")
   }
 
+  test("x37 vocab induction: exact ranks, tie-break by token, cumulative coverage") {
+    val rows = Seq(
+      (0L, "en", "b b b a"),
+      (1L, "en", "a c b"),
+      (2L, "en", "d d")) // d ties a at n=2 -> token-ascending order
+    val dir = plant(rows, "vocab")
+    val got = operators.TextQueries.x37(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "b", 4L, 0.444444),
+      (2L, "a", 2L, 0.666667),
+      (3L, "d", 2L, 0.888889),
+      (4L, "c", 1L, 1.0)), got.toSeq.toString)
+  }
+
   test("x46 scrubs planted PII and counts hits per class") {
     val rows = Seq(
       (0L, "en", "contact alice.smith+x@example.org for the report"),
