@@ -128,9 +128,15 @@ object AdvancedQueries {
   private val semTau = 0.3
 
   /** Corpus with norm + nearest-centroid assignment — the shared front of
-    * x25/x26 (scan once, one expression-only projection, no shuffle yet). */
+    * x25/x26. `spread` BEFORE the self-join: the embeddings table is one
+    * small scan split, and the within-cluster join output is quadratic in
+    * cluster size — without the fan-out the (broadcast-eligible) join runs
+    * every pair on that single split's ONE task (measured: 37 s for x26 at
+    * sf1; ~3 s spread — SemProbe). At 100 TB the scan has real splits and
+    * the join is a co-partitioned exchange, but compute-proportional
+    * fan-out of a compact input is exactly what spread is for. */
   private def assignedCorpus(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = graft.Tables.spread(t(s, d, "embeddings"))
     val cents = centroidSeeds(e)
     e.select(col("vec_id"), col("embedding"),
       VectorQueries.norm(col("embedding")).as("nrm"),

@@ -254,6 +254,29 @@ object SamplingQueries {
       .orderBy(col("lang"))
   }
 
+  /** x76 — per-source data card (E49): the per-stratum profile a mixture
+    * designer reads before weighting sources — docs, volume, language
+    * spread, exact-dup count, and mean quality. x74's global profile,
+    * computed per source. One hash aggregation; every stat is an exact
+    * integer until the single avg division (quality aggregates as the
+    * x75 integer weight, so the cross-row sum is order-independent —
+    * never a double reduction). exact_dups counts docs minus distinct
+    * content hashes WITHIN the source, the per-stratum x40. */
+  val x76: Q = (s, d) => {
+    val w = floor(TextQueries.rawQuality * 10000.0 + lit(0.5)).cast("long")
+    t(s, d, "documents")
+      .withColumn("w", w)
+      .withColumn("th", graft.Tables.h60(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(col("lang")).as("langs"),
+        (count(lit(1)) - countDistinct(col("th"))).as("exact_dups"),
+        graft.Tables.fround(sum(col("w")) / count(lit(1)), 2).as("avg_quality_bp"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
@@ -261,6 +284,7 @@ object SamplingQueries {
     "x73_stratified_sample" -> x73,
     "x74_corpus_profile" -> x74,
     "x75_weighted_sample" -> x75,
+    "x76_source_card" -> x76,
     "x48_source_mix" -> x48)
 
   private val b = bucketSql.format("doc_id")
@@ -312,6 +336,18 @@ object SamplingQueries {
          |SELECT lang, COUNT(*) AS kept, CAST(SUM(w) AS BIGINT) AS w_sum,
          |  bit_xor(${graft.Tables.h60Sql("CAST(doc_id AS VARCHAR)")}) AS kept_xor
          |FROM w WHERE $b < w GROUP BY lang ORDER BY lang""".stripMargin,
+    "x76_source_card" ->
+      s"""WITH c AS (
+         |  SELECT source, lang, n_chars,
+         |    CAST(${TextQueries.qualityWeightSql} AS BIGINT) AS w,
+         |    ${graft.Tables.h60Sql("text")} AS th
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+         |  CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS exact_dups,
+         |  floor(SUM(w) / COUNT(*) * 100 + 0.5) / 100 AS avg_quality_bp
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "x74_corpus_profile" ->
       """SELECT COUNT(*) AS docs,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,

@@ -134,6 +134,31 @@ class SamplingSpec extends SparkSpec {
       s"x72 must not materialize the table:\n$p")
   }
 
+  test("x76 source card: within-source dup count and exact integer-weight mean quality") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "en", "srcA", "same text here"),
+      (1L, "en", "srcA", "same text here"), // within-source exact dup
+      (2L, "fr", "srcA", "different text entirely"),
+      (3L, "en", "srcB", "same text here")) // same text in ANOTHER source: no dup there
+    val dir = tmpDir("card")
+    rows.toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SamplingQueries.x76(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set("srcA", "srcB"))
+    val (docsA, charsA, langsA, dupsA, _) = got("srcA")
+    assert((docsA, charsA, langsA, dupsA) == ((3L, 14L + 14L + 23L, 2L, 1L)), got("srcA").toString)
+    assert(got("srcB")._4 == 0L, "cross-source copy must not count as a within-source dup")
+    // mean quality recomputed from the published x30 weights
+    val w = TextQueries.qualityScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(4) * 10000)).toMap
+    val expA = math.floor((w(0) + w(1) + w(2)).toDouble / 3 * 100 + 0.5) / 100
+    assert(got("srcA")._5 == expA, s"got ${got("srcA")._5} want $expA")
+  }
+
   test("x75 keeps exactly the docs whose bucket clears their quality weight") {
     import java.security.MessageDigest
     def md5hex(s: String): String = MessageDigest.getInstance("MD5")
