@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *      held-out test split (x45's gram join)
   *   5. dedup: near-dup clusters (x44's edges + connectedComponents),
   *      keep the longest member per cluster, drop the rest
-  *   6. split survivors 80/10/10 by key hash (x71's buckets)
-  *   7. write one parquet dir per split
+  *   6. quality-weighted mixing: downsample survivors in proportion to
+  *      their quality score (x75's RNG-free keep predicate)
+  *   7. split the sampled set 80/10/10 by key hash (x71's buckets)
+  *   8. write one parquet dir per split + a per-source data card of the
+  *      shipped corpus (x76) — the audit artifact a consumer reads
   *
   * Every stage is deterministic (hash buckets, fixed thresholds, exact
   * reductions), so re-running reproduces identical splits — asserted in
@@ -30,14 +33,16 @@ object CurationDemo {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft-curation")
     val spark = Engine.session()
-    val (raw, kept, clean, surv) = run(spark, sfDir, outDir)
+    val (raw, kept, clean, surv, sampled) = run(spark, sfDir, outDir)
     println(s"[curation] $raw raw -> $kept quality-kept -> " +
-      s"$clean decontaminated -> $surv after dedup")
+      s"$clean decontaminated -> $surv after dedup -> $sampled sampled")
     spark.stop()
   }
 
-  /** Returns (raw, after quality gate, after decontamination, after dedup). */
-  def run(spark: SparkSession, sfDir: String, outDir: String): (Long, Long, Long, Long) = {
+  /** Returns (raw, after quality gate, after decontamination, after dedup,
+    * after quality-weighted sampling). */
+  def run(spark: SparkSession, sfDir: String,
+      outDir: String): (Long, Long, Long, Long, Long) = {
     import graft.operators._
 
     val profile = SamplingQueries.x74(spark, sfDir).collect()(0)
@@ -64,9 +69,18 @@ object CurationDemo {
     val survivors = cleanIds.join(nonKeepers, Seq("doc_id"), "left_anti")
     val nSurv = survivors.count()
 
+    // quality-weighted mixing over the RAW text (the published x30 score
+    // x75's weight derives from is a raw-text statistic; scrubbing below
+    // only rewrites the shipped text, never the sampling decision)
+    val sampled = graft.Tables.t(spark, sfDir, "documents")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(SamplingQueries.qualityWeightedKeep)
+      .select(col("doc_id"))
+    val nSampled = sampled.count()
+
     // output text is the SCRUBBED text (x46's replace chain)
     val out = graft.Tables.t(spark, sfDir, "documents")
-      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(sampled, Seq("doc_id"), "left_semi")
       .join(CurationQueries.scrubbed(spark, sfDir)
         .select(col("doc_id"), col("scrubbed")), "doc_id")
       .withColumn("text", col("scrubbed")).drop("scrubbed")
@@ -75,6 +89,10 @@ object CurationDemo {
       out.filter(col("split") === s).drop("split")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$s")
     }
-    (raw, nKept, nClean, nSurv)
+    // per-source data card of the SHIPPED corpus (x76) — what a consumer
+    // audits: volumes, residual dups (zero post-dedup), quality mix
+    SamplingQueries.sourceCard(out.drop("split"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cards")
+    (raw, nKept, nClean, nSurv, nSampled)
   }
 }

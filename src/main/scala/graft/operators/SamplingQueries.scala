@@ -240,6 +240,12 @@ object SamplingQueries {
     * The weight derives from TextQueries.rawQuality — single source with
     * x30's published score. The bit_xor(h60(doc_id)) checksum verifies the
     * exact kept SET, not just its size. */
+  /** The x75 keep predicate over documents columns (doc_id, text) —
+    * shared with CurationDemo's mixing stage. */
+  def qualityWeightedKeep: Column =
+    bucket(col("doc_id")) <
+      floor(TextQueries.rawQuality * 10000.0 + lit(0.5)).cast("long")
+
   val x75: Q = (s, d) => {
     val w = floor(TextQueries.rawQuality * 10000.0 + lit(0.5)).cast("long")
     t(s, d, "documents")
@@ -262,9 +268,11 @@ object SamplingQueries {
     * x75 integer weight, so the cross-row sum is order-independent —
     * never a double reduction). exact_dups counts docs minus distinct
     * content hashes WITHIN the source, the per-stratum x40. */
-  val x76: Q = (s, d) => {
+  /** The x76 card over any documents-shaped frame (source, lang, n_chars,
+    * text) — shared with CurationDemo's final-corpus audit artifact. */
+  def sourceCard(docs: DataFrame): DataFrame = {
     val w = floor(TextQueries.rawQuality * 10000.0 + lit(0.5)).cast("long")
-    t(s, d, "documents")
+    docs
       .withColumn("w", w)
       .withColumn("th", graft.Tables.h60(col("text")))
       .groupBy(col("source"))
@@ -276,6 +284,8 @@ object SamplingQueries {
         graft.Tables.fround(sum(col("w")) / count(lit(1)), 2).as("avg_quality_bp"))
       .orderBy(col("source"))
   }
+
+  val x76: Q = (s, d) => sourceCard(t(s, d, "documents"))
 
   val queries: Map[String, Q] = Map(
     "x70_hash_sample" -> x70,

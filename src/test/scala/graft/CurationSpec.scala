@@ -10,15 +10,21 @@ class CurationSpec extends SparkSpec {
 
   test("curation pipeline filters monotonically and reproduces identical splits") {
     val out1 = tmpDir("curation1")
-    val (raw, kept, clean, surv) = CurationDemo.run(spark, sfDir, out1)
-    assert(raw > 0 && kept <= raw && clean <= kept && surv <= clean,
-      s"($raw, $kept, $clean, $surv)")
-    assert(surv > 0, "pipeline must not drop everything")
+    val (raw, kept, clean, surv, sampled) = CurationDemo.run(spark, sfDir, out1)
+    assert(raw > 0 && kept <= raw && clean <= kept && surv <= clean && sampled <= surv,
+      s"($raw, $kept, $clean, $surv, $sampled)")
+    assert(sampled > 0, "pipeline must not drop everything")
 
     val splitCounts = Seq("train", "val", "test").map { s =>
       s -> spark.read.parquet(s"$out1/$s").count()
     }.toMap
-    assert(splitCounts.values.sum == surv, s"$splitCounts vs $surv")
+    assert(splitCounts.values.sum == sampled, s"$splitCounts vs $sampled")
+
+    // the shipped data card accounts for every shipped doc, with zero
+    // residual within-source exact dups (dedup ran upstream)
+    val cards = spark.read.parquet(s"$out1/cards").collect()
+    assert(cards.map(_.getLong(1)).sum == sampled, "cards must cover the shipped corpus")
+    assert(cards.forall(_.getLong(4) == 0L), "no residual within-source exact dups")
 
     // reproducibility: second run writes value-identical splits
     val out2 = tmpDir("curation2")

@@ -33,6 +33,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("canonToks is idempotent: the canonical form is a fixed point") {
+    // seeded noisy strings over the classes canonicalization handles:
+    // case, punctuation, repeated whitespace, stopwords, digits
+    val atoms = Seq("The", "QUICK", "fox,", "jump42", "  ", "a", "of", "--",
+      "word", "WORD!", "9", "mid-dash", "tail.")
+    (1 to trials * 3).foreach { _ =>
+      val s = List.fill(rnd.between(0, 12))(atoms(rnd.nextInt(atoms.length))).mkString(" ")
+      val once = Seq(s).toDF("text")
+        .select(array_join(operators.TextQueries.canonToks($"text"), " ").as("c"))
+        .head().getString(0)
+      val twice = Seq(once).toDF("text")
+        .select(array_join(operators.TextQueries.canonToks($"text"), " ").as("c"))
+        .head().getString(0)
+      assert(twice == once, s"canon not a fixed point for '$s': '$once' -> '$twice'")
+      assert(once == once.trim && !once.contains("  "), s"canon not normalized: '$once'")
+    }
+  }
+
   test("FloatDot equals the HOF zip_with/aggregate dot for any float vectors") {
     (1 to trials).foreach { _ =>
       val a = List.fill(16)(rnd.between(-1000, 1000) / 100.0f)
