@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.VectorQueries.dot
@@ -208,6 +209,52 @@ object AdvancedQueries {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** x27 — ANN retrieval join (E50): top-3 IVF-probed cosine neighbors for
+    * a SET of query vectors against the whole corpus — the batch retrieval
+    * verb (RAG index backfill, hard-negative mining) that generalizes x22
+    * (one query) and bounds x23 (probed candidates instead of the full
+    * corpus per query).
+    *
+    * 100 TB shape: the corpus is assigned once (expression-only) and
+    * shuffled once by cluster id; the probe table (q_id → nprobe cluster
+    * ids, nprobe·|Q| rows) and the query vectors are broadcast — so each
+    * query touches nprobe/nlist of the corpus and the corpus never moves
+    * per-query. Ranking through the bounded TopK Aggregator: k rows per
+    * query cross the exchange. Self-matches excluded (the benchmark-honest
+    * form — a query finding itself is not retrieval). */
+  private val retrievalQ = 100
+
+  val x27: Q = (s, d) => {
+    val base = assignedCorpus(s, d)
+    val cents = centroidSeeds(t(s, d, "embeddings"))
+    val q = base.filter(col("vec_id") < retrievalQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    // probe sets: nprobe centroids nearest to each query vector
+    // (tie → lower cid, mirroring x22's deterministic probe ranking)
+    val probes = q.select(col("q_id"),
+        explode(array(cents.map { case (cid, c) =>
+          struct(dot(col("qe"), centCol(c)).as("sc"), lit(cid).as("cid"))
+        }: _*)).as("s"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("s.cid").as("cid"))
+    val topk = udaf(new UdfQueries.TopK(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    base.join(broadcast(probes), Seq("cid")) // bucket-pruned candidates
+      .join(broadcast(q), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"),
+        col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("vec_id"), col("col._1").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q35_percentiles" -> q35,
     "q36_scalar_subquery" -> q36,
@@ -215,6 +262,7 @@ object AdvancedQueries {
     "x22_ann_ivf" -> x22,
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
+    "x27_retrieval_join" -> x27,
     "x64_approx_percentiles" -> x64)
 
   private def dotSql(a: String, b: String): String =
@@ -276,10 +324,37 @@ object AdvancedQueries {
        |SELECT vec_id, CAST(rn AS BIGINT) AS rn, nbr_id, sim FROM ranked
        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
+  /** GENERATED x27 oracle: per-query probe ranking (sc DESC, cid — the
+    * Spark window's exact comparator) + probed-candidate join +
+    * ROW_NUMBER over the TopK comparator. */
+  private def retrievalOracle: String = {
+    val cosQ =
+      s"${dotSql("a.embedding", "q.qe")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")}))"
+    s"""$assignedCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $retrievalQ),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("q.qe", "c.cemb")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN cents c) WHERE pr <= $nprobe),
+       |sims AS (
+       |  SELECT p.q_id, a.vec_id, ROUND($cosQ, 4) AS sim
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim FROM ranked
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x22_ann_ivf" -> ivfOracle,
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
+    "x27_retrieval_join" -> retrievalOracle,
     "q35_percentiles" ->
       """WITH g AS (
         |  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n

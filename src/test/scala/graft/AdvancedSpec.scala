@@ -148,6 +148,33 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("x27 retrieval join equals brute force restricted to each query's probe set") {
+    val (embs, cid, cos) = clusteredCosines()
+    val cents = embs.filter(_._1 < 16)
+    def dotA(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val got = AdvancedQueries.x27(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    embs.filter(_._1 < 100).foreach { case (qid, qe) =>
+      // probe set: top-6 centroids by dot, tie -> lower cid
+      val probes = cents.map { case (c, ce) => (dotA(qe, ce), c) }
+        .sortBy { case (sc, c) => (-sc, c) }.take(6).map(_._2).toSet
+      val best = embs
+        .filter { case (oid, _) => oid != qid && probes.contains(cid(oid)) }
+        .map { case (oid, oe) =>
+          val s = cos(oe, qe)
+          (math.floor(s * 1e4 + (if (s >= 0) 0.5 else -0.5)) / 1e4, oid)
+        }
+        .sortBy { case (s, oid) => (-s, oid) }.take(3)
+      val mine = got(qid).sortBy(_._2).map(r => (r._4, r._3)).toSeq
+      assert(mine == best.toSeq, s"q$qid: got $mine want ${best.toSeq}")
+    }
+  }
+
   test("x24 quantization: error bounded by half a quant step, zero vectors safe") {
     val rows = operators.VectorQueries.x24(spark, sfDir).collect()
     assert(rows.nonEmpty)
