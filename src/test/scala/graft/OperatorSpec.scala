@@ -43,6 +43,25 @@ class OperatorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)), "descending scores")
   }
 
+  test("x37 vocab: top-V plans as TakeOrderedAndProject over a partial-agg count") {
+    val p = plan(TextQueries.x37(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "token counts must map-side combine: " + p)
+  }
+
+  test("x25/x26/x27 pair generation: spread fan-out present, no cartesian product") {
+    Seq(AdvancedQueries.x25(spark, sfDir), AdvancedQueries.x26(spark, sfDir),
+        AdvancedQueries.x27(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      // the compute-proportional fan-out that keeps pair generation off a
+      // single scan split (the 37 s x26 episode at sf1)
+      assert(p.contains("Exchange RoundRobinPartitioning") || p.contains("REPARTITION"),
+        "spread repartition missing: " + p)
+      assert(!p.contains("CartesianProduct"), "pair generation must be keyed: " + p)
+    }
+  }
+
   test("x51 metadata query prunes the text column from the scan") {
     val p = plan(MultimodalQueries.x51(spark, sfDir))
     assert(p.contains("ReadSchema") && !p.contains("text"), p)
