@@ -255,6 +255,66 @@ object AdvancedQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Session-scoped persisted-IVF-index cache (the Tables.t / x72-cuts
+    * pattern): build once per (session, table dir), serve many. The index
+    * IS the assigned corpus written as parquet PARTITIONED BY cluster id —
+    * at 100 TB this is the one-time index-build job whose output layout
+    * makes every retrieval query touch only its probed partitions. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def ivfIndexDir(s: SparkSession, d: String): String = {
+    ivfIndexCache.filterInPlace { case ((owner, _), _) => !owner.sparkContext.isStopped }
+    ivfIndexCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      assignedCorpus(s, d).write.mode("overwrite").partitionBy("cid").parquet(dir)
+      dir
+    })
+  }
+
+  /** x28 — indexed ANN retrieval (E51): x27's EXACT contract served from
+    * the persisted IVF index instead of recomputing assignment per query —
+    * the build-once / serve-many split a production vector store runs. The
+    * probe cluster ids are collected (bounded by nlist) into a STATIC
+    * partition filter, so the index scan reads only the probed partitions
+    * (partition pruning asserted in the spec); everything downstream of
+    * the scan is the x27 plan. Same oracle as x27: serving from the index
+    * must be indistinguishable from computing fresh. */
+  val x28: Q = (s, d) => {
+    val idx = s.read.parquet(ivfIndexDir(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").cast("long").as("cid"))
+    val cents = centroidSeeds(t(s, d, "embeddings"))
+    val q = idx.filter(col("vec_id") < retrievalQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probes = q.select(col("q_id"),
+        explode(array(cents.map { case (cid, c) =>
+          struct(dot(col("qe"), centCol(c)).as("sc"), lit(cid).as("cid"))
+        }: _*)).as("s"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("s.cid").as("cid"))
+    // bounded collect (≤ nlist distinct ids) → static partition filter
+    val probeCids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val topk = udaf(new UdfQueries.TopK(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    s.read.parquet(ivfIndexDir(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").cast("long").as("cid"))
+      .filter(col("cid").isin(probeCids: _*)) // prunes index partitions
+      .join(broadcast(probes), Seq("cid"))
+      .join(broadcast(q), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"),
+        col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("vec_id"), col("col._1").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q35_percentiles" -> q35,
     "q36_scalar_subquery" -> q36,
@@ -263,6 +323,7 @@ object AdvancedQueries {
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
     "x27_retrieval_join" -> x27,
+    "x28_indexed_retrieval" -> x28,
     "x64_approx_percentiles" -> x64)
 
   private def dotSql(a: String, b: String): String =
@@ -355,6 +416,8 @@ object AdvancedQueries {
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
     "x27_retrieval_join" -> retrievalOracle,
+    // x28 serves the SAME contract from the persisted index — one oracle
+    "x28_indexed_retrieval" -> retrievalOracle,
     "q35_percentiles" ->
       """WITH g AS (
         |  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n

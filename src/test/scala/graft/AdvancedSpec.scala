@@ -175,6 +175,15 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("x28 serves x27's exact output from the persisted index, partitions pruned") {
+    val fresh = AdvancedQueries.x27(spark, sfDir).collect().toSeq
+    val served = AdvancedQueries.x28(spark, sfDir).collect().toSeq
+    assert(served == fresh, "index serving must be indistinguishable from fresh compute")
+    val p = AdvancedQueries.x28(spark, sfDir).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "index scan must carry a static cid partition filter:\n" + p)
+  }
+
   test("x24 quantization: error bounded by half a quant step, zero vectors safe") {
     val rows = operators.VectorQueries.x24(spark, sfDir).collect()
     assert(rows.nonEmpty)
