@@ -315,6 +315,49 @@ object AdvancedQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** x29 — ANN recall@k evaluation (E52): per-query recall of the IVF-probed
+    * retrieval (x27's contract) against exact brute-force top-k over the full
+    * corpus — the index-quality eval a vector pipeline runs before trusting
+    * an approximate index, and re-runs as the corpus drifts. One row per
+    * query: hit count and recall@3.
+    *
+    * 100 TB shape: the approx side IS x27 (corpus shuffled once by cluster
+    * id, probes broadcast); the exact side is the x23 brute-force shape over
+    * the query batch — the corpus never moves, the query set is broadcast,
+    * and the bounded TopK Aggregator caps the exchange at k rows per query.
+    * Brute force over the full corpus is the eval price, which is why the
+    * queries are a bounded SAMPLE (retrievalQ) — the corpus-side scan is one
+    * pass however many queries ride it. The hit join and recall arithmetic
+    * touch two k·|Q|-row frames — driver-scale, not data-scale.
+    *
+    * Oracle-checked end-to-end: both sides' comparators (rounded sim DESC,
+    * vec_id) are the shared x23/x27 constants, so the DuckDB twin reproduces
+    * the identical approx and exact sets and the recall arithmetic. */
+  val x29: Q = (s, d) => {
+    val base = assignedCorpus(s, d)
+    val q = base.filter(col("vec_id") < retrievalQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val topk = udaf(new UdfQueries.TopK(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val exact = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"),
+        col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top._2")).as("vec_id"))
+    val approx = x27(s, d).select(col("q_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q35_percentiles" -> q35,
     "q36_scalar_subquery" -> q36,
@@ -324,6 +367,7 @@ object AdvancedQueries {
     "x26_knn_graph" -> x26,
     "x27_retrieval_join" -> x27,
     "x28_indexed_retrieval" -> x28,
+    "x29_ann_recall" -> x29,
     "x64_approx_percentiles" -> x64)
 
   private def dotSql(a: String, b: String): String =
@@ -411,6 +455,49 @@ object AdvancedQueries {
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** GENERATED x29 oracle: the retrievalOracle CTE chain (approx set) plus
+    * a brute-force CTE ranked by the SAME comparator, intersected per query.
+    * COALESCE covers a query whose approx top-3 misses the exact set
+    * entirely (n_hit=0 must still emit a row). */
+  private def recallOracle: String = {
+    val cosQ =
+      s"${dotSql("a.embedding", "q.qe")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")}))"
+    val cosE =
+      s"${dotSql("e.embedding", "q.qe")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")}))"
+    s"""$assignedCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $retrievalQ),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("q.qe", "c.cemb")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN cents c) WHERE pr <= $nprobe),
+       |asims AS (
+       |  SELECT p.q_id, a.vec_id, ROUND($cosQ, 4) AS sim
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM asims) WHERE rn <= 3),
+       |bsims AS (
+       |  SELECT q.q_id, e.vec_id, ROUND($cosE, 4) AS sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM bsims) WHERE rn <= 3),
+       |hits AS (
+       |  SELECT a.q_id, COUNT(*) AS n_hit
+       |  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.q_id)
+       |SELECT q.q_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  ROUND(COALESCE(h.n_hit, 0) / 3.0, 4) AS recall
+       |FROM q LEFT JOIN hits h ON q.q_id = h.q_id ORDER BY q.q_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x22_ann_ivf" -> ivfOracle,
     "x25_semantic_dedup" -> semDedupOracle,
@@ -418,6 +505,7 @@ object AdvancedQueries {
     "x27_retrieval_join" -> retrievalOracle,
     // x28 serves the SAME contract from the persisted index — one oracle
     "x28_indexed_retrieval" -> retrievalOracle,
+    "x29_ann_recall" -> recallOracle,
     "q35_percentiles" ->
       """WITH g AS (
         |  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n

@@ -175,6 +175,32 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("x29 recall@3 equals a Scala brute-force intersection with x27") {
+    val (embs, _, cos) = clusteredCosines()
+    val approx = AdvancedQueries.x27(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = AdvancedQueries.x29(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == approx.size, "one row per query, including zero-hit queries")
+    got.foreach { case (qid, nHit, recall) =>
+      val qe = embs.find(_._1 == qid).get._2
+      val exact = embs.filter(_._1 != qid)
+        .map { case (oid, oe) =>
+          val s = cos(oe, qe)
+          (math.floor(s * 1e4 + (if (s >= 0) 0.5 else -0.5)) / 1e4, oid)
+        }
+        .sortBy { case (s, oid) => (-s, oid) }.take(3).map(_._2).toSet
+      val want = approx(qid).intersect(exact).size
+      assert(nHit == want, s"q$qid: n_hit=$nHit want $want")
+      assert(math.abs(recall - math.floor(nHit / 3.0 * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+    // the eval must be informative: IVF with 6/16 probes on this corpus
+    // should recover well over half the true neighbors overall
+    val mean = got.map(_._3).sum / got.length
+    assert(mean > 0.5, s"suspiciously low mean recall $mean")
+  }
+
   test("x28 serves x27's exact output from the persisted index, partitions pruned") {
     val fresh = AdvancedQueries.x27(spark, sfDir).collect().toSeq
     val served = AdvancedQueries.x28(spark, sfDir).collect().toSeq
