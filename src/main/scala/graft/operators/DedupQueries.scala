@@ -41,10 +41,11 @@ object DedupQueries {
   def shingles3(toks: Column): Column = shinglesN(toks, 3)
 
   /** DuckDB twin of [[shinglesN]] over `documents` (shared by the x41/x43
-    * shingle CTE and x45's 13-gram decontamination twin). */
-  def shingleSql(n: Int): String = {
+    * shingle CTE, x45's 13-gram decontamination twin and x38's source
+    * overlap twin — `key` is the carried grouping column). */
+  def shingleSql(n: Int, key: String = "doc_id"): String = {
     val terms = (0 until n).map(k => s"string_split(text,' ')[i+$k]").mkString(" || ' ' || ")
-    s"""SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= $n
+    s"""SELECT $key, list_distinct(CASE WHEN len(string_split(text,' ')) >= $n
        |    THEN list_transform(range(1, len(string_split(text,' ')) - ${n - 2}), i -> $terms)
        |    ELSE [text] END) AS s
        |  FROM documents""".stripMargin

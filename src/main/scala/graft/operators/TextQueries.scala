@@ -284,6 +284,40 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** x38 — cross-source n-gram overlap / containment matrix (E53): for each
+    * ordered source pair (a,b), the fraction of a's distinct 3-gram hashes
+    * that also occur in b — the corpus-mixing diagnostic read next to the
+    * per-source cards (x76) before weighting sources (x48): high
+    * containment means b restates a's content, and mixing both over-weights
+    * it. It is x45's decontamination shape turned source×source.
+    *
+    * 100 TB shape: the gram HASH (8-byte h60), never gram text, is the only
+    * thing shuffled — distinct (source, gh), then a self-equi-join on gh
+    * for pair counts: co-partitioned, no cross product; per-gram join
+    * fan-out is bounded by S² (sources carrying that gram), independent of
+    * corpus size. Per-source totals reuse the same deduped frame, and the
+    * S²-row result is where the division happens. */
+  private val overlapN = 3
+
+  val x38: Q = (s, d) => {
+    val g = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"),
+        explode(array_distinct(DedupQueries.shinglesN(col("toks"), overlapN))).as("gram"))
+      .select(col("source"), graft.Tables.h60(col("gram")).as("gh"))
+      .distinct()
+    val n = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val common = g.select(col("source").as("a_src"), col("gh"))
+      .join(g.select(col("source").as("b_src"), col("gh")), Seq("gh"))
+      .filter(col("a_src") =!= col("b_src"))
+      .groupBy(col("a_src"), col("b_src")).agg(count(lit(1)).as("common"))
+    common
+      .join(n.select(col("source").as("a_src"), col("n_grams").as("a_grams")), Seq("a_src"))
+      .select(col("a_src"), col("b_src"), col("common"), col("a_grams"),
+        graft.Tables.fround(col("common") / col("a_grams").cast("double"), 4).as("containment"))
+      .orderBy(col("a_src"), col("b_src"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
@@ -293,9 +327,29 @@ object TextQueries {
     "x34_bm25" -> x34,
     "x36_normalize" -> x36,
     "x37_vocab" -> x37,
+    "x38_source_overlap" -> x38,
     "x47_repetition" -> x47)
 
+  /** GENERATED x38 oracle: the shared shingle twin keyed by source, the
+    * shared h60 gram hash, floor-form containment division. */
+  private def sourceOverlapOracle: String =
+    s"""WITH sh AS (
+       |  ${DedupQueries.shingleSql(overlapN, "source")}),
+       |g AS (SELECT DISTINCT source, gh FROM (
+       |  SELECT source, unnest(list_transform(s, x -> ${graft.Tables.h60Sql("x")})) AS gh
+       |  FROM sh)),
+       |n AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+       |c AS (
+       |  SELECT a.source AS a_src, b.source AS b_src, COUNT(*) AS common
+       |  FROM g a JOIN g b ON a.gh = b.gh AND a.source <> b.source
+       |  GROUP BY 1, 2)
+       |SELECT c.a_src, c.b_src, c.common, n.n_grams AS a_grams,
+       |  floor(CAST(c.common AS DOUBLE) / n.n_grams * 10000 + 0.5) / 10000 AS containment
+       |FROM c JOIN n ON n.source = c.a_src
+       |ORDER BY c.a_src, c.b_src""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x38_source_overlap" -> sourceOverlapOracle,
     "q30_text_stats" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS toks

@@ -140,6 +140,26 @@ class CurationSpec extends SparkSpec {
       (4L, "c", 1L, 1.0)), got.toSeq.toString)
   }
 
+  test("x38 source overlap: planted containment matrix, direction-sensitive") {
+    // A: grams {w1w2w3, w2w3w4, w3w4w5} (w2w3w4 appears in both A docs —
+    // counted once); B: {w1w2w3, w2w3zz}; C: short doc -> whole-text gram,
+    // overlaps nothing and must not appear in the matrix.
+    val dir = tmpDir("overlap")
+    import spark.implicits._
+    Seq(
+      (0L, "en", "w1 w2 w3 w4", "A"),
+      (1L, "en", "w2 w3 w4 w5", "A"),
+      (2L, "en", "w1 w2 w3 zz", "B"),
+      (3L, "en", "aa bb", "C"))
+      .toDF("doc_id", "lang", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextQueries.x38(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 1L, 3L, 0.3333),
+      ("B", "A", 1L, 2L, 0.5)), got.toSeq.toString)
+  }
+
   test("x46 scrubs planted PII and counts hits per class") {
     val rows = Seq(
       (0L, "en", "contact alice.smith+x@example.org for the report"),
