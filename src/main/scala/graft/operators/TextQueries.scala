@@ -318,6 +318,37 @@ object TextQueries {
       .orderBy(col("a_src"), col("b_src"))
   }
 
+  /** x39 — sequence packing (E54): concatenate each source's token stream
+    * (docs in doc_id order) and cut it into fixed token-budget sequences —
+    * how pretraining samples are actually built from a curated corpus
+    * (x49 chunks ONE long doc; packing is its inverse, fusing many short
+    * docs so no sequence ships mostly padding). Per doc: the sequence its
+    * first token lands in, the offset there, and the sequence its last
+    * token lands in (start_seq ≠ end_seq ⇔ the doc straddles a boundary).
+    *
+    * 100 TB shape: ONE window partitioned by source ordered by doc_id —
+    * the running prefix sum is the whole computation, and every derived
+    * column is integer arithmetic on it (codegen'd, no second pass, no
+    * join). Partition-by-source is the natural parallelism (sources are
+    * many and bounded); a single outsized source is x72's documented
+    * range-split-prefix-sum case. Everything is exact longs — no rounding
+    * contract with the twin at all. */
+  private val packBudget = 512L
+
+  val x39: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prev",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"prev div $packBudget").as("start_seq"),
+        (col("prev") % packBudget).as("start_off"),
+        expr(s"(prev + n_tokens - 1) div $packBudget").as("end_seq"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
@@ -328,7 +359,27 @@ object TextQueries {
     "x36_normalize" -> x36,
     "x37_vocab" -> x37,
     "x38_source_overlap" -> x38,
+    "x39_seq_pack" -> x39,
     "x47_repetition" -> x47)
+
+  /** GENERATED x39 oracle: same whitespace token count twin as q30/x30,
+    * same prefix-sum window, and the same packBudget constant; `//` is
+    * DuckDB's exact integer division, mirroring Spark's `div`. */
+  private def seqPackOracle: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+       |  FROM d)
+       |SELECT source, doc_id, n_tokens,
+       |  prev // $packBudget AS start_seq,
+       |  prev % $packBudget AS start_off,
+       |  (prev + n_tokens - 1) // $packBudget AS end_seq
+       |FROM p ORDER BY source, doc_id""".stripMargin
 
   /** GENERATED x38 oracle: the shared shingle twin keyed by source, the
     * shared h60 gram hash, floor-form containment division. */
@@ -350,6 +401,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "x38_source_overlap" -> sourceOverlapOracle,
+    "x39_seq_pack" -> seqPackOracle,
     "q30_text_stats" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS toks

@@ -160,6 +160,28 @@ class CurationSpec extends SparkSpec {
       ("B", "A", 1L, 2L, 0.5)), got.toSeq.toString)
   }
 
+  test("x39 sequence packing: prefix sums, boundary straddle, per-source reset") {
+    // Source A: doc0 has 500 tokens (seq 0, off 0..499), doc1 has 20 tokens
+    // (starts seq 0 off 500, ends in seq 1 -> straddles), doc2 has 4 tokens
+    // (seq 1). Source B restarts at prev=0.
+    val rows = Seq(
+      (0L, "en", Seq.fill(500)("w").mkString(" "), "A"),
+      (1L, "en", Seq.fill(20)("w").mkString(" "), "A"),
+      (2L, "en", "w w w w", "A"),
+      (3L, "en", "y y y", "B"))
+    val dir = tmpDir("pack")
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextQueries.x39(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("A", 0L, 500L, 0L, 0L, 0L),
+      ("A", 1L, 20L, 0L, 500L, 1L),
+      ("A", 2L, 4L, 1L, 8L, 1L),
+      ("B", 3L, 3L, 0L, 0L, 0L)), got.toSeq.toString)
+  }
+
   test("x46 scrubs planted PII and counts hits per class") {
     val rows = Seq(
       (0L, "en", "contact alice.smith+x@example.org for the report"),
