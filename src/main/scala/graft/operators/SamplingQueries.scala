@@ -287,6 +287,42 @@ object SamplingQueries {
 
   val x76: Q = (s, d) => sourceCard(t(s, d, "documents"))
 
+  /** x77 — length-bucketed batching (E55): the padding-accounting
+    * counterpart to x39's packing. When samples can't be fused (SFT,
+    * inference), docs are bucketed by token length (64-token bands) and
+    * cut into fixed 32-doc batches within each bucket in doc_id order;
+    * each batch pads to its own max, so the per-batch padding fraction
+    * (docs·max − sum) / (docs·max) is the throughput the batch shape
+    * costs. Numerator and denominator are exact longs; the one division
+    * goes through `fround`.
+    *
+    * 100 TB shape: one window per bucket — parallelism = number of
+    * occupied 64-token bands, skew bounded by the heaviest band; a hot
+    * band decomposes by the x72 range-rank pattern (offsets per bucket
+    * broadcast + local rank), same as x39's outsized-source case. Only
+    * (doc_id, n_tokens, bucket) ever shuffles; text never leaves the
+    * scan. */
+  private val bandTokens = 64L
+  private val batchDocs = 32L
+
+  val x77: Q = (s, d) => {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"(n_tokens - 1) div $bandTokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr(s"(rn - 1) div $batchDocs"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .withColumn("pad", col("docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("pad_frac",
+        graft.Tables.fround(col("pad").cast("double") / (col("docs") * col("max_tokens")), 4))
+      .orderBy(col("bucket"), col("batch"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
@@ -295,11 +331,35 @@ object SamplingQueries {
     "x74_corpus_profile" -> x74,
     "x75_weighted_sample" -> x75,
     "x76_source_card" -> x76,
+    "x77_length_batches" -> x77,
     "x48_source_mix" -> x48)
+
+  /** GENERATED x77 oracle: shared whitespace token twin, same band/batch
+    * constants, `//` mirroring Spark's `div`; the single division is the
+    * exact-long pad over the exact-long cell count, floor-rounded the
+    * shared fround way. */
+  private def lengthBatchesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT n_tokens, (n_tokens - 1) // $bandTokens AS bucket,
+       |    (row_number() OVER (PARTITION BY ((n_tokens - 1) // $bandTokens)
+       |       ORDER BY doc_id) - 1) // $batchDocs AS batch
+       |  FROM d)
+       |SELECT bucket, batch, COUNT(*) AS docs,
+       |  MAX(n_tokens) AS max_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad,
+       |  floor(CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+       |    / (COUNT(*) * MAX(n_tokens)) * 10000 + 0.5) / 10000 AS pad_frac
+       |FROM r GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin
 
   private val b = bucketSql.format("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "x77_length_batches" -> lengthBatchesOracle,
     "x70_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE $b < 200 ORDER BY doc_id""".stripMargin,

@@ -184,4 +184,24 @@ class SamplingSpec extends SparkSpec {
       assert(got(lang) == ((n, x)), s"$lang: got ${got(lang)} want ($n, $x)")
     }
   }
+
+  test("x77 length batches: band assignment, 32-doc batch cut, exact padding") {
+    import spark.implicits._
+    // Bucket 0 (1–64 tokens): 34 docs, n_tokens = 1 + (id % 4) -> batch 0
+    // holds ids 0..31 (8 full 1,2,3,4 cycles: sum 80, max 4), batch 1
+    // holds ids 32,33 (n=1,2). Doc 34 has 70 tokens -> bucket 1, alone.
+    val rows = (0L until 34L).map(i =>
+      (i, "en", Seq.fill((1 + i % 4).toInt)("w").mkString(" "))) :+
+      ((34L, "en", Seq.fill(70)("w").mkString(" ")))
+    val dir = tmpDir("batches")
+    rows.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.SamplingQueries.x77(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 32L, 4L, 80L, 48L, 0.375),
+      (0L, 1L, 2L, 2L, 3L, 1L, 0.25),
+      (1L, 0L, 1L, 70L, 70L, 0L, 0.0)), got.toSeq.toString)
+  }
 }
