@@ -349,6 +349,40 @@ object TextQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** x78 — boilerplate / common-span density (E56): per doc, the fraction
+    * of its distinct 3-grams whose corpus document-frequency is ≥ 3 — the
+    * span-hash form of C4's "line appears ≥ 3 times in the corpus"
+    * boilerplate rule (this corpus has no line structure, so the repeated
+    * unit is the n-gram span). Filters threshold on common_frac: a doc
+    * made mostly of corpus-common spans is boilerplate/template text even
+    * when no single whole-doc duplicate exists (x40) and no pairwise
+    * near-dup fires (x41/x42).
+    *
+    * 100 TB shape: gram TEXT never crosses an exchange — docs explode to
+    * (doc_id, 8-byte h60) pairs; document frequency is ONE map-side-
+    * combinable count per gh; the df frame joins back co-partitioned on
+    * gh (per-gram fan-out = that gram's df, the join output is exactly the
+    * exploded frame), and the per-doc re-agg shuffles (doc_id, flag)
+    * pairs. Same skeleton as x45's decontamination join, turned
+    * corpus-reflexive. */
+  private val commonDf = 3
+
+  val x78: Q = (s, d) => {
+    val g = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("gram"))
+      .select(col("doc_id"), graft.Tables.h60(col("gram")).as("gh"))
+    val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    g.join(df, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= commonDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_frac",
+        graft.Tables.fround(col("n_common").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
@@ -360,7 +394,24 @@ object TextQueries {
     "x37_vocab" -> x37,
     "x38_source_overlap" -> x38,
     "x39_seq_pack" -> x39,
-    "x47_repetition" -> x47)
+    "x47_repetition" -> x47,
+    "x78_boilerplate" -> x78)
+
+  /** GENERATED x78 oracle: shared shingle CTE + h60 gram hash, same df
+    * threshold, floor-form division. */
+  private def boilerplateOracle: String =
+    s"""WITH sh AS (
+       |  ${DedupQueries.shingleSql(3)}),
+       |g AS (SELECT DISTINCT doc_id, gh FROM (
+       |  SELECT doc_id, unnest(list_transform(s, x -> ${graft.Tables.h60Sql("x")})) AS gh
+       |  FROM sh)),
+       |df AS (SELECT gh, COUNT(*) AS df FROM g GROUP BY gh)
+       |SELECT g.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN df.df >= $commonDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  floor(CAST(SUM(CASE WHEN df.df >= $commonDf THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) * 10000 + 0.5) / 10000 AS common_frac
+       |FROM g JOIN df USING (gh)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** GENERATED x39 oracle: same whitespace token count twin as q30/x30,
     * same prefix-sum window, and the same packBudget constant; `//` is
@@ -402,6 +453,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "x38_source_overlap" -> sourceOverlapOracle,
     "x39_seq_pack" -> seqPackOracle,
+    "x78_boilerplate" -> boilerplateOracle,
     "q30_text_stats" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS toks

@@ -182,6 +182,24 @@ class CurationSpec extends SparkSpec {
       ("B", 3L, 3L, 0L, 0L, 0L)), got.toSeq.toString)
   }
 
+  test("x78 boilerplate density: df>=3 span flagged, unique spans not") {
+    // "a b c" appears in docs 0,1,2 (df=3 -> common); every other 3-gram
+    // is unique (df=1). Doc 3 shares no span at threshold.
+    val rows = Seq(
+      (0L, "en", "a b c d e"),
+      (1L, "en", "a b c x y"),
+      (2L, "en", "a b c z w"),
+      (3L, "en", "p q r s"))
+    val dir = plant(rows, "boiler")
+    val got = operators.TextQueries.x78(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 1L, 0.3333),
+      (1L, 3L, 1L, 0.3333),
+      (2L, 3L, 1L, 0.3333),
+      (3L, 2L, 0L, 0.0)), got.toSeq.toString)
+  }
+
   test("x46 scrubs planted PII and counts hits per class") {
     val rows = Seq(
       (0L, "en", "contact alice.smith+x@example.org for the report"),
