@@ -323,7 +323,34 @@ object SamplingQueries {
       .orderBy(col("bucket"), col("batch"))
   }
 
+  /** x79 — training-shard assignment (E57): the last step of the curation
+    * chain — give every kept doc a deterministic pseudorandom position in
+    * a fixed set of loader shards. shard = md5-bucket(doc_id) mod S
+    * (uniform, shuffle-free, re-run/AQE-replay stable — the x70 predicate
+    * family); position within the shard is rank by (bucket, doc_id), i.e.
+    * hash order with a total tie-break, so the training order is shuffled
+    * relative to ingest order but byte-identical on every run. The
+    * downstream writer is `.repartition(S, col("shard"))` + sortWithin-
+    * Partitions — one shuffle of (doc_id, shard, pos) triples.
+    *
+    * 100 TB shape: S in the thousands keeps every window partition a
+    * loader-shard-sized slice (corpus/S, uniform by the hash); only ids
+    * and two small longs shuffle, payload is joined back by the writer at
+    * file-materialization time. */
+  private val nShards = 16L
+
+  val x79: Q = (s, d) => {
+    val b = t(s, d, "documents").select(col("doc_id"))
+      .withColumn("bk", bucket(col("doc_id")))
+      .withColumn("shard", col("bk") % nShards)
+    b.withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("bk"), col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x79_shard_assign" -> x79,
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
     "x72_quantile_bins" -> x72,
@@ -358,7 +385,17 @@ object SamplingQueries {
 
   private val b = bucketSql.format("doc_id")
 
+  /** GENERATED x79 oracle: the shared md5-bucket twin, same shard count,
+    * same (bucket, doc_id) order — all exact integers. */
+  private def shardAssignOracle: String =
+    s"""WITH b AS (SELECT doc_id, ${bucketSql.format("doc_id")} AS bk FROM documents)
+       |SELECT doc_id, bk % $nShards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY bk % $nShards
+       |    ORDER BY bk, doc_id) - 1 AS BIGINT) AS pos
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x79_shard_assign" -> shardAssignOracle,
     "x77_length_batches" -> lengthBatchesOracle,
     "x70_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -185,6 +185,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("x79 shard assignment matches an independent md5 recompute exactly") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 10000
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expect: Map[Long, (Long, Long)] = ids.map(id => (id, bucket(id)))
+      .groupBy(_._2 % 16).flatMap { case (shard, xs) =>
+        xs.sortBy(x => (x._2, x._1)).zipWithIndex
+          .map { case ((id, _), i) => id -> (shard, i.toLong) }
+      }
+    val got = SamplingQueries.x79(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == ids.length && got == expect)
+  }
+
   test("x77 length batches: band assignment, 32-doc batch cut, exact padding") {
     import spark.implicits._
     // Bucket 0 (1–64 tokens): 34 docs, n_tokens = 1 + (id % 4) -> batch 0
