@@ -93,6 +93,10 @@ object CurationDemo {
     // audits: volumes, residual dups (zero post-dedup), quality mix
     SamplingQueries.sourceCard(out.drop("split"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cards")
+    // loader shards of the shipped train split (x79): deterministic
+    // pseudorandom training order, byte-identical across runs
+    SamplingQueries.shardAssign(out.filter(col("split") === "train"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/shards")
     (raw, nKept, nClean, nSurv, nSampled)
   }
 }

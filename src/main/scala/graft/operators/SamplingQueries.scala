@@ -339,15 +339,19 @@ object SamplingQueries {
     * file-materialization time. */
   private val nShards = 16L
 
-  val x79: Q = (s, d) => {
-    val b = t(s, d, "documents").select(col("doc_id"))
+  /** Core of x79 over any (doc_id)-bearing frame — reused by CurationDemo
+    * to shard the shipped train split. */
+  def shardAssign(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("doc_id"))
       .withColumn("bk", bucket(col("doc_id")))
       .withColumn("shard", col("bk") % nShards)
     b.withColumn("pos", (row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("bk"), col("doc_id"))) - 1).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("doc_id"))
   }
+
+  val x79: Q = (s, d) =>
+    shardAssign(t(s, d, "documents")).orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "x79_shard_assign" -> x79,

@@ -26,6 +26,18 @@ class CurationSpec extends SparkSpec {
     assert(cards.map(_.getLong(1)).sum == sampled, "cards must cover the shipped corpus")
     assert(cards.forall(_.getLong(4) == 0L), "no residual within-source exact dups")
 
+    // train shards (x79) cover exactly the train split, with contiguous
+    // per-shard positions
+    val shards = spark.read.parquet(s"$out1/shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val trainIds = spark.read.parquet(s"$out1/train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shards.map(_._1).toSet == trainIds, "shards must cover the train split")
+    shards.groupBy(_._2).foreach { case (sh, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (0L until xs.length).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+
     // reproducibility: second run writes value-identical splits
     val out2 = tmpDir("curation2")
     CurationDemo.run(spark, sfDir, out2)
