@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   *
   *   1. profile the raw corpus (x74)
   *   2. quality gate: drop docs under a stopword/length floor (x30 scores)
-  *   3. PII/unsafe-content scrub: downstream text is the scrubbed text
+  *   3. boilerplate gate: drop docs dominated by corpus-common 3-grams
+  *      (x78's df≥3 density — the C4-style rule; a doc that is mostly
+  *      boilerplate passes length/stopword floors but teaches nothing)
+  *   4. PII/unsafe-content scrub: downstream text is the scrubbed text
   *      (x46's per-row replace chain)
-  *   4. decontamination: drop train-split docs sharing a 13-gram with the
+  *   5. decontamination: drop train-split docs sharing a 13-gram with the
   *      held-out test split (x45's gram join)
-  *   5. dedup: near-dup clusters (x44's edges + connectedComponents),
+  *   6. dedup: near-dup clusters (x44's edges + connectedComponents),
   *      keep the longest member per cluster, drop the rest
-  *   6. quality-weighted mixing: downsample survivors in proportion to
+  *   7. quality-weighted mixing: downsample survivors in proportion to
   *      their quality score (x75's RNG-free keep predicate)
-  *   7. split the sampled set 80/10/10 by key hash (x71's buckets)
-  *   8. write one parquet dir per split + a per-source data card of the
+  *   8. split the sampled set 80/10/10 by key hash (x71's buckets)
+  *   9. write one parquet dir per split + a per-source data card of the
   *      shipped corpus (x76) — the audit artifact a consumer reads
   *
   * Every stage is deterministic (hash buckets, fixed thresholds, exact
@@ -33,16 +36,22 @@ object CurationDemo {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft-curation")
     val spark = Engine.session()
-    val (raw, kept, clean, surv, sampled) = run(spark, sfDir, outDir)
+    val (raw, kept, deboiled, clean, surv, sampled) = run(spark, sfDir, outDir)
     println(s"[curation] $raw raw -> $kept quality-kept -> " +
-      s"$clean decontaminated -> $surv after dedup -> $sampled sampled")
+      s"$deboiled after boilerplate gate -> $clean decontaminated -> " +
+      s"$surv after dedup -> $sampled sampled")
     spark.stop()
   }
 
-  /** Returns (raw, after quality gate, after decontamination, after dedup,
-    * after quality-weighted sampling). */
+  /** x78 gate: a doc whose 3-grams are ≥70% corpus-common (df≥3) is
+    * treated as boilerplate and dropped — the doc-level form of C4's
+    * duplicated-line rule. */
+  private val boilerplateTau = 0.7
+
+  /** Returns (raw, after quality gate, after boilerplate gate, after
+    * decontamination, after dedup, after quality-weighted sampling). */
   def run(spark: SparkSession, sfDir: String,
-      outDir: String): (Long, Long, Long, Long, Long) = {
+      outDir: String): (Long, Long, Long, Long, Long, Long) = {
     import graft.operators._
 
     val profile = SamplingQueries.x74(spark, sfDir).collect()(0)
@@ -50,9 +59,18 @@ object CurationDemo {
     println(s"[curation] raw docs: $raw, langs: ${profile.getLong(1)}, " +
       s"avg chars: ${profile.getDouble(7)}")
 
-    val kept = TextQueries.qualityScores(spark, sfDir)
+    val scored = TextQueries.qualityScores(spark, sfDir)
       .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
       .select(col("doc_id"))
+    val nScored = scored.count()
+
+    // boilerplate gate (x78): density of corpus-common 3-grams, the
+    // C4-style df filter between the per-doc quality floor and the
+    // cross-doc stages
+    val boiler = TextQueries.boilerplateStats(spark, sfDir)
+      .filter(col("common_frac") >= boilerplateTau)
+      .select(col("doc_id"))
+    val kept = scored.join(boiler, Seq("doc_id"), "left_anti")
     val nKept = kept.count()
 
     // decontamination: drop train docs leaking held-out test content (the
@@ -78,12 +96,15 @@ object CurationDemo {
       .select(col("doc_id"))
     val nSampled = sampled.count()
 
-    // output text is the SCRUBBED text (x46's replace chain)
+    // output text is the SCRUBBED text (x46's replace chain); n_chars is
+    // recomputed from it so the shipped parquet and its data card describe
+    // the bytes actually shipped, not the pre-scrub lengths
     val out = graft.Tables.t(spark, sfDir, "documents")
       .join(sampled, Seq("doc_id"), "left_semi")
       .join(CurationQueries.scrubbed(spark, sfDir)
         .select(col("doc_id"), col("scrubbed")), "doc_id")
       .withColumn("text", col("scrubbed")).drop("scrubbed")
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
     Seq("train", "val", "test").foreach { s =>
       out.filter(col("split") === s).drop("split")
@@ -97,6 +118,6 @@ object CurationDemo {
     // pseudorandom training order, byte-identical across runs
     SamplingQueries.shardAssign(out.filter(col("split") === "train"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/shards")
-    (raw, nKept, nClean, nSurv, nSampled)
+    (raw, nScored, nKept, nClean, nSurv, nSampled)
   }
 }

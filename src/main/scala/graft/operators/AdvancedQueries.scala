@@ -259,18 +259,68 @@ object AdvancedQueries {
     * pattern): build once per (session, table dir), serve many. The index
     * IS the assigned corpus written as parquet PARTITIONED BY cluster id —
     * at 100 TB this is the one-time index-build job whose output layout
-    * makes every retrieval query touch only its probed partitions. */
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+    * makes every retrieval query touch only its probed partitions. The
+    * centroids and the query-vector batch are collected ONCE at build time
+    * (both bounded: nlist·dim floats, retrievalQ rows) and cached alongside
+    * the dir, so serving never re-derives them from a table scan.
+    *
+    * Deployment notes: (1) the default index path is a driver-local temp
+    * dir — correct in local mode where driver and executors share a
+    * filesystem; on a real cluster set `graft.ivf.indexBase` to a
+    * shared-FS/object-store path and the partitioned write/read goes there
+    * instead. (2) the cache assumes the source table dir is immutable for
+    * the life of the session (true for this engine's snapshot-log tables,
+    * where a new snapshot is a new dir) — mutating parquet in place under
+    * a cached index would serve stale results. Evicted/shutdown entries
+    * delete their temp dirs. */
+  private case class IvfIndex(dir: String, cents: Array[(Long, Seq[Float])],
+                              queryRows: Array[(Long, Seq[Float], Double)])
 
-  def ivfIndexDir(s: SparkSession, d: String): String = {
-    ivfIndexCache.filterInPlace { case ((owner, _), _) => !owner.sparkContext.isStopped }
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IvfIndex]
+
+  private def deleteDir(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
+
+  private lazy val ivfCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfIndexCache.values.foreach(ix => deleteDir(ix.dir))))
+
+  private def ivfIndex(s: SparkSession, d: String): IvfIndex = {
+    ivfCleanupHook
+    ivfIndexCache.filterInPlace { case ((owner, _), ix) =>
+      val live = !owner.sparkContext.isStopped
+      if (!live) deleteDir(ix.dir)
+      live
+    }
     ivfIndexCache.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      val base = s.conf.get("graft.ivf.indexBase", "")
+      val dir =
+        if (base.nonEmpty) {
+          val p = java.nio.file.Paths.get(base, s"graft-ivf-${math.abs(d.hashCode)}")
+          java.nio.file.Files.createDirectories(p)
+          p.toString
+        } else java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       assignedCorpus(s, d).write.mode("overwrite").partitionBy("cid").parquet(dir)
-      dir
+      val cents = centroidSeeds(t(s, d, "embeddings"))
+      val qRows = s.read.parquet(dir)
+        .filter(col("vec_id") < retrievalQ)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+      IvfIndex(dir, cents, qRows)
     })
   }
+
+  /** The index dir alone (spec/inspection surface). */
+  def ivfIndexDir(s: SparkSession, d: String): String = ivfIndex(s, d).dir
 
   /** x28 — indexed ANN retrieval (E51): x27's EXACT contract served from
     * the persisted IVF index instead of recomputing assignment per query —
@@ -281,24 +331,27 @@ object AdvancedQueries {
     * the scan is the x27 plan. Same oracle as x27: serving from the index
     * must be indistinguishable from computing fresh. */
   val x28: Q = (s, d) => {
-    val idx = s.read.parquet(ivfIndexDir(s, d))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").cast("long").as("cid"))
-    val cents = centroidSeeds(t(s, d, "embeddings"))
-    val q = idx.filter(col("vec_id") < retrievalQ)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val ix = ivfIndex(s, d)
+    import s.implicits._
+    // query batch + probe ranking run over a LocalRelation (the cached
+    // collected rows) — zero table scans before the single pruned serving
+    // scan below; the expressions are byte-for-byte x27's, so the ranking
+    // and the served sims are bit-identical to computing fresh.
+    val q = ix.queryRows.toSeq.toDF("q_id", "qe", "qnrm")
     val probes = q.select(col("q_id"),
-        explode(array(cents.map { case (cid, c) =>
+        explode(array(ix.cents.map { case (cid, c) =>
           struct(dot(col("qe"), centCol(c)).as("sc"), lit(cid).as("cid"))
         }: _*)).as("s"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("s.cid").as("cid"))
-    // bounded collect (≤ nlist distinct ids) → static partition filter
+    // bounded collect (≤ nlist distinct ids) → static partition filter;
+    // a LocalRelation job, no file scan
     val probeCids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val topk = udaf(new UdfQueries.TopK(3),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-    s.read.parquet(ivfIndexDir(s, d))
+    s.read.parquet(ix.dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").cast("long").as("cid"))
       .filter(col("cid").isin(probeCids: _*)) // prunes index partitions
       .join(broadcast(probes), Seq("cid"))

@@ -299,9 +299,10 @@ object SamplingQueries {
     * 100 TB shape: one window per bucket — parallelism = number of
     * occupied 64-token bands, skew bounded by the heaviest band; a hot
     * band decomposes by the x72 range-rank pattern (offsets per bucket
-    * broadcast + local rank), same as x39's outsized-source case. Only
-    * (doc_id, n_tokens, bucket) ever shuffles; text never leaves the
-    * scan. */
+    * broadcast + local rank) — IMPLEMENTED as [[x77Decomposed]], proven
+    * byte-identical on a planted 80%-one-band distribution in ScaleSpec —
+    * same as x39's outsized-source case. Only (doc_id, n_tokens, bucket)
+    * ever shuffles; text never leaves the scan. */
   private val bandTokens = 64L
   private val batchDocs = 32L
 
@@ -312,6 +313,54 @@ object SamplingQueries {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"(n_tokens - 1) div $bandTokens"))
       .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr(s"(rn - 1) div $batchDocs"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .withColumn("pad", col("docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("pad_frac",
+        graft.Tables.fround(col("pad").cast("double") / (col("docs") * col("max_tokens")), 4))
+      .orderBy(col("bucket"), col("batch"))
+  }
+
+  /** Salt-range fan-out for the decomposed rank paths: a hot window
+    * partition is sub-split into up to this many range slices. At 100 TB
+    * set ∝ executor count; the offsets side stays ≤ partitions·R rows. */
+  private val saltRanges = 8L
+
+  /** x77 with the hot-band decomposition its docstring describes — the
+    * x72 range-rank pattern, output byte-identical to [[x77]] (asserted
+    * in ScaleSpec on a planted 80%-one-band corpus):
+    *
+    *   1. salt = doc_id div W (W from one bounded max(doc_id) scalar) —
+    *      monotone in doc_id, so concatenating salt slices in salt order
+    *      IS the per-bucket doc_id order;
+    *   2. rank locally per (bucket, salt) — parallelism = bands × R, a
+    *      hot band's window partition shrinks by R×;
+    *   3. global rank = local rank + broadcast per-(bucket, salt)
+    *      exclusive prefix offset (≤ bands·R rows cross the driver).
+    *
+    * Same downstream batch arithmetic and aggregation as x77. */
+  val x77Decomposed: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"(n_tokens - 1) div $bandTokens"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val width = math.max(1L, maxId / saltRanges + 1)
+    val salted = docs.withColumn("salt", expr(s"doc_id div $width"))
+    val offs = salted.groupBy(col("bucket"), col("salt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("bucket")).orderBy(col("salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("salt"), col("off"))
+    salted
+      .withColumn("rn_local", row_number().over(
+        Window.partitionBy(col("bucket"), col("salt")).orderBy(col("doc_id"))))
+      .join(broadcast(offs), Seq("bucket", "salt"))
+      .withColumn("rn", col("off") + col("rn_local"))
       .withColumn("batch", expr(s"(rn - 1) div $batchDocs"))
       .groupBy(col("bucket"), col("batch"))
       .agg(count(lit(1)).as("docs"),
@@ -336,7 +385,8 @@ object SamplingQueries {
     * 100 TB shape: S in the thousands keeps every window partition a
     * loader-shard-sized slice (corpus/S, uniform by the hash); only ids
     * and two small longs shuffle, payload is joined back by the writer at
-    * file-materialization time. */
+    * file-materialization time. An outsized shard (pathological S or a
+    * skew-adversarial id set) decomposes via [[shardAssignDecomposed]]. */
   private val nShards = 16L
 
   /** Core of x79 over any (doc_id)-bearing frame — reused by CurationDemo
@@ -352,6 +402,32 @@ object SamplingQueries {
 
   val x79: Q = (s, d) =>
     shardAssign(t(s, d, "documents")).orderBy(col("doc_id"))
+
+  /** [[shardAssign]] with the outsized-shard decomposition its docstring
+    * describes (the x72/x77Decomposed range-rank pattern): salt = bk div W
+    * over the bounded [0,10000) bucket space — monotone in the (bk, doc_id)
+    * shard order, so local rank per (shard, salt) + broadcast exclusive
+    * prefix offsets reproduce the global position exactly. Byte-identity
+    * with shardAssign asserted in ScaleSpec on a planted corpus whose ids
+    * all hash into few salt slices of one shard. */
+  def shardAssignDecomposed(docs: DataFrame): DataFrame = {
+    val width = math.max(1L, 10000L / saltRanges)
+    val b = docs.select(col("doc_id"))
+      .withColumn("bk", bucket(col("doc_id")))
+      .withColumn("shard", col("bk") % nShards)
+      .withColumn("salt", expr(s"bk div $width"))
+    val offs = b.groupBy(col("shard"), col("salt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("shard")).orderBy(col("salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("salt"), col("off"))
+    b.withColumn("rn_local", row_number().over(
+        Window.partitionBy(col("shard"), col("salt")).orderBy(col("bk"), col("doc_id"))))
+      .join(broadcast(offs), Seq("shard", "salt"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("rn_local") - 1).cast("long").as("pos"))
+  }
 
   val queries: Map[String, Q] = Map(
     "x79_shard_assign" -> x79,

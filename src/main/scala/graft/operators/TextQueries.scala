@@ -367,12 +367,18 @@ object TextQueries {
     * corpus-reflexive. */
   private val commonDf = 3
 
-  val x78: Q = (s, d) => {
+  /** x78 body without the presentation sort — the reusable per-doc
+    * boilerplate-density frame (CurationDemo's gate filters on it). */
+  def boilerplateStats(s: SparkSession, d: String): DataFrame = {
     val g = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("gram"))
       .select(col("doc_id"), graft.Tables.h60(col("gram")).as("gh"))
+      // distinct AFTER hashing (as x38 does): the oracle counts distinct
+      // hashes, so an h60 collision between two grams of one doc must
+      // collapse on this side too.
+      .distinct()
     val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     g.join(df, Seq("gh"))
       .groupBy(col("doc_id"))
@@ -380,8 +386,9 @@ object TextQueries {
         sum(when(col("df") >= commonDf, 1L).otherwise(0L)).as("n_common"))
       .withColumn("common_frac",
         graft.Tables.fround(col("n_common").cast("double") / col("n_grams"), 4))
-      .orderBy(col("doc_id"))
   }
+
+  val x78: Q = (s, d) => boilerplateStats(s, d).orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
@@ -550,7 +557,7 @@ object TextQueries {
          |  FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(s, x -> ${h60("x")})) AS g FROM sh),
          |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
-         |SELECT doc_id, SUM(c) AS n_2grams, COUNT(*) AS distinct_2grams,
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams, COUNT(*) AS distinct_2grams,
          |  MAX(c) AS top_2gram_count,
          |  floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000 + 0.5) / 10000 AS top_2gram_frac,
          |  floor((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 10000 + 0.5) / 10000 AS dup_2gram_frac

@@ -10,10 +10,22 @@ class CurationSpec extends SparkSpec {
 
   test("curation pipeline filters monotonically and reproduces identical splits") {
     val out1 = tmpDir("curation1")
-    val (raw, kept, clean, surv, sampled) = CurationDemo.run(spark, sfDir, out1)
-    assert(raw > 0 && kept <= raw && clean <= kept && surv <= clean && sampled <= surv,
-      s"($raw, $kept, $clean, $surv, $sampled)")
+    val (raw, scored, kept, clean, surv, sampled) = CurationDemo.run(spark, sfDir, out1)
+    assert(raw > 0 && scored <= raw && kept <= scored && clean <= kept &&
+      surv <= clean && sampled <= surv,
+      s"($raw, $scored, $kept, $clean, $surv, $sampled)")
     assert(sampled > 0, "pipeline must not drop everything")
+    // the boilerplate gate (x78, df≥3 density ≥ 0.7) must actually fire on
+    // this corpus: the sf tables contain docs above the threshold
+    assert(kept < scored, s"boilerplate gate dropped nothing ($scored -> $kept)")
+
+    // shipped parquet is self-consistent: n_chars describes the scrubbed
+    // text that ships, not the pre-scrub lengths
+    Seq("train", "val", "test").foreach { s =>
+      val bad = spark.read.parquet(s"$out1/$s")
+        .filter(col("n_chars") =!= length(col("text"))).count()
+      assert(bad == 0L, s"split $s has $bad rows where n_chars != len(text)")
+    }
 
     val splitCounts = Seq("train", "val", "test").map { s =>
       s -> spark.read.parquet(s"$out1/$s").count()

@@ -39,4 +39,59 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("skew=true"),
       s"expected AQE skew-split in final plan:\n$finalPlan")
   }
+
+  /** Planted documents table: 80% of docs in ONE 64-token band (the
+    * degenerate distribution x77's docstring bounds by), the rest spread
+    * over distinct bands. */
+  private lazy val skewDir: String = {
+    val dir = tmpDir("skewdocs")
+    import spark.implicits._
+    val rows = (0L until 500L).map { id =>
+      val n = if (id % 5 != 0) 70 // 400 docs -> band 1 (tokens 65..128)
+              else 140 + (id.toInt / 5 % 30) * 64 // spread over bands >= 2
+      (id, "en", (1 to n).map(j => s"d${id}w$j").mkString(" "))
+    }
+    rows.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x77Decomposed is byte-identical to x77 on an 80%-one-band corpus") {
+    // the decomposition must actually engage: the hot band's doc_ids span
+    // several salt ranges (so its window partition genuinely sub-splits)
+    val width = math.max(1L, 499L / 8L + 1)
+    val hotSalts = (0L until 500L).filter(_ % 5 != 0).map(_ / width).distinct
+    assert(hotSalts.length >= 4, s"hot band spans only $hotSalts")
+
+    val plain = operators.SamplingQueries.x77(spark, skewDir).collect().toSeq
+    val decomp = operators.SamplingQueries.x77Decomposed(spark, skewDir).collect().toSeq
+    assert(plain.nonEmpty)
+    assert(decomp == plain, "decomposed x77 diverged from the window form")
+    // and the hot band really is 80% of the corpus, cut into full batches
+    val hot = plain.filter(_.getLong(0) == 1L)
+    assert(hot.map(_.getLong(2)).sum == 400L, s"hot band docs: $hot")
+  }
+
+  test("x77Decomposed matches x77 on the real documents table") {
+    val plain = operators.SamplingQueries.x77(spark, sfDir).collect().toSeq
+    val decomp = operators.SamplingQueries.x77Decomposed(spark, sfDir).collect().toSeq
+    assert(decomp == plain)
+  }
+
+  test("shardAssignDecomposed is byte-identical to shardAssign (planted + real)") {
+    import spark.implicits._
+    val planted = (0L until 500L).toDF("doc_id")
+    val a = operators.SamplingQueries.shardAssign(planted)
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = operators.SamplingQueries.shardAssignDecomposed(planted)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a.nonEmpty && b == a)
+
+    val real = graft.Tables.t(spark, sfDir, "documents")
+    val ra = operators.SamplingQueries.shardAssign(real)
+      .orderBy(col("doc_id")).collect().toSeq
+    val rb = operators.SamplingQueries.shardAssignDecomposed(real)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(rb == ra)
+  }
 }

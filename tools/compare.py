@@ -23,14 +23,50 @@ def norm(v):
         return int(v)
     return str(v)
 
-def main(sf_dir, out_dir):
+# Types the driver's canonical hash handles losslessly. Anything outside this
+# set (HUGEINT from an uncast integer SUM, DECIMAL from unparameterized
+# arithmetic) hashes differently from the Spark parquet even when every value
+# is identical — exactly the defect class that shipped x47 red in round 6.
+BANNED_TYPE_MARKERS = ("HUGEINT", "DECIMAL")
+KNOWN_OK = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+            "DOUBLE", "FLOAT", "VARCHAR", "DATE", "BOOLEAN",
+            "TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"}
+
+def check_twin_types(con, oracle):
+    """DESCRIBE every oracle twin and fail on any output column whose DuckDB
+    type the driver hash cannot compare against an int64/float64 parquet."""
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"TYPE-ERR  {name}: {str(e)[:160]}")
+            n_bad += 1
+            continue
+        for col, typ, *_ in desc:
+            t = typ.upper()
+            if any(m in t for m in BANNED_TYPE_MARKERS):
+                print(f"TYPE-FAIL {name}.{col}: {typ} (cast this in the twin SQL)")
+                n_bad += 1
+            else:
+                base = t.split("(")[0].rstrip("[]").strip()
+                if base not in KNOWN_OK and not (t.startswith("STRUCT") or "[]" in t):
+                    print(f"TYPE-WARN {name}.{col}: {typ} not in known-good set")
+    return n_bad
+
+def main(sf_dir, out_dir, types_only=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_type_bad = check_twin_types(con, oracle)
+    print(f"twin-type check: {'OK' if n_type_bad == 0 else f'{n_type_bad} BAD'} over {len(oracle)} twins")
+    if types_only:
+        return 1 if n_type_bad else 0
+    n_pass = 0
+    n_fail = n_type_bad
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
@@ -82,4 +118,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], types_only="--types-only" in sys.argv))
