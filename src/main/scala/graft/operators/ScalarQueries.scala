@@ -52,10 +52,20 @@ object ScalarQueries {
       .orderBy(col("event_id"))
       .limit(100)
 
-  /** Q27 — JSON extraction + group on extracted key (E18). */
+  /** Q27 — JSON extraction + group on extracted key (E18). `from_json`
+    * with the known one-field schema — the idiomatic schema'd extraction
+    * (typed field, no string→long cast). A/B-probed vs `get_json_object`
+    * at sf0.1 in one JVM: parity (~0.37 s hot both — the time is the
+    * cached-scan + Jackson-parse floor, not JsonPath overhead; accepted
+    * as floor, 20× DuckDB's vectorized `->>`). Malformed rows yield a
+    * null struct → null key, the same groups as the JsonPath form. */
   val q27: Q = (s, d) =>
     t(s, d, "events")
-      .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .getField("k").as("k"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k"))
 

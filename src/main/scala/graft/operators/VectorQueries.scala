@@ -180,12 +180,129 @@ object VectorQueries {
     topKByCosine(e, qs, 3)
   }
 
+  /** Product-quantization constants shared by x55/x56 and their GENERATED
+    * DuckDB twins. 64-dim embeddings → pqM=8 subspaces × pqDims=8 dims;
+    * pqK=16 codebook entries per subspace (a 4-bit code per subspace, so a
+    * vector compresses to one packed BIGINT — 256 B → 4 B, 64×).
+    * Codebooks are the deterministic seed convention centroidSeeds uses
+    * for IVF: entry j of subspace i = vector j's i-th subvector (a real
+    * deployment k-means-trains these; the seeds keep both engines
+    * bit-reproducible, which is what the oracle gate needs). */
+  private[operators] val pqM = 8
+  private[operators] val pqDims = 8
+  private[operators] val pqK = 16
+
+  /** [subspace][code] = (float subvector, its ‖c‖² as a double computed
+    * left-to-right). Bounded collect: pqK rows, like centroidSeeds. */
+  private def pqCodebooks(e: DataFrame): Array[Array[(Array[Float], Double)]] = {
+    val seeds = e.filter(col("vec_id") < pqK)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    Array.tabulate(pqM) { i =>
+      seeds.map { v =>
+        val sub = v.slice(i * pqDims, (i + 1) * pqDims)
+        val cc = sub.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        (sub, cc)
+      }
+    }
+  }
+
+  /** ‖sub_i(x) − c‖² via the dot expansion ⟨s,s⟩ − 2⟨s,c⟩ + ‖c‖² — every
+    * term rides the codegen'd floatDot, and the GENERATED twin uses the
+    * identical formulation, so a vector's distance to its OWN seed
+    * subvector is exactly 0.0 on both engines (⟨s,s⟩, ⟨s,c⟩, ‖c‖² are the
+    * same accumulation). */
+  private def pqSubDist(sv: Column, entry: (Array[Float], Double)): Column = {
+    val cLit = array(entry._1.map(lit): _*) // float literals -> array<float>
+    (dot(sv, sv) - lit(2.0) * dot(sv, cLit)) + lit(entry._2)
+  }
+
+  /** Per-vector PQ encoding: vec_id, c0..c7 (int codes), d0..d7 (chosen
+    * per-subspace distances). Argmin per subspace = array_min over
+    * (dist, code) structs — lowest dist, tie → lowest code, mirrored by
+    * the twin's ROW_NUMBER (d ASC, code ASC). Map-only: codebooks are
+    * expression literals, nothing shuffles. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val cbs = pqCodebooks(t(s, d, "embeddings"))
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val withMin = (0 until pqM).foldLeft(base) { (df, i) =>
+      val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
+      val m = array_min(array(cbs(i).zipWithIndex.map { case (entry, j) =>
+        struct(pqSubDist(sv, entry).as("d"), lit(j).as("c"))
+      }: _*))
+      df.withColumn(s"m$i", m)
+    }
+    withMin.select(col("vec_id") +:
+      (0 until pqM).flatMap(i => Seq(
+        col(s"m$i.c").as(s"c$i"), col(s"m$i.d").as(s"d$i"))): _*)
+  }
+
+  /** x55 — product-quantization encode (E58): the compression step between
+    * IVF bucketing (x22/x28) and a memory-resident 100 TB serving index —
+    * FAISS's IVF-PQ layout, re-expressed as Spark expressions. Output per
+    * vector: the packed 32-bit code (8 × 4-bit subspace codes in one
+    * BIGINT) and the total quantization distortion (Σ of the 8 chosen
+    * subspace distances, fixed left-to-right order, floor-rounded).
+    *
+    * 100 TB shape: map-only — the codebook is a broadcast-sized literal
+    * (pqM·pqK·pqDims floats), the scan writes 4 B/vector of codes, and
+    * the distortion column is the index-quality audit a build job ships
+    * with the index. Seed vectors encode to their own codes with
+    * distortion exactly 0 (asserted in the spec). */
+  val x55: Q = (s, d) =>
+    pqCodes(s, d).select(
+      col("vec_id"),
+      (0 until pqM).map(i => col(s"c$i").cast("long") * lit(1L << (4 * i)))
+        .reduce(_ + _).as("code"),
+      graft.Tables.fround(
+        (0 until pqM).map(i => col(s"d$i")).reduce(_ + _), 6).as("distortion"))
+      .orderBy(col("vec_id"))
+
+  /** x56 — ADC top-k search over PQ codes (E59): asymmetric distance
+    * computation — the query stays full-precision, the corpus is its
+    * 4-bit codes, and per-vector distance is 8 table lookups + 7 adds
+    * against a per-query LUT (pqM × pqK driver-computed distances, the
+    * standard ADC recipe). Approximate counterpart of q29's brute-force
+    * scan: ~64× less corpus traffic at recall measured in the spec.
+    *
+    * 100 TB shape: the LUT is 128 doubles broadcast as literals; the scan
+    * reads ONLY the 4 B code column (column pruning does the 64×); top-k
+    * is TakeOrderedAndProject. Ordering is on the raw double (identical
+    * bits both engines); the shipped column is floor-rounded. */
+  val x56: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val cbs = pqCodebooks(e)
+    // lut(i)(j) = ‖sub_i(q) − c_ij‖², driver-computed; the SAME doubles are
+    // interpolated into the twin, so there is no cross-engine arithmetic
+    val lut: Array[Array[Double]] = Array.tabulate(pqM) { i =>
+      cbs(i).map { case (c, _) =>
+        val sub = qv.slice(i * pqDims, (i + 1) * pqDims)
+        sub.zip(c).foldLeft(0.0) { case (acc, (x, cc)) =>
+          val t0 = x.toDouble - cc.toDouble; acc + t0 * t0
+        }
+      }
+    }
+    val adist = (0 until pqM).map { i =>
+      element_at(array(lut(i).map(lit): _*), col(s"c$i") + 1)
+    }.reduce(_ + _)
+    pqCodes(s, d)
+      .select(col("vec_id"), adist.as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_cosine_topk" -> q29,
     "x20_cosine_neardup" -> x20,
     "x21_ann_lsh" -> x21,
     "x23_multi_query_topk" -> x23,
-    "x24_quantize" -> x24)
+    "x24_quantize" -> x24,
+    "x55_pq_encode" -> x55,
+    "x56_pq_search" -> x56)
 
   private val cosSql =
     """list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
@@ -216,8 +333,77 @@ object VectorQueries {
        |WHERE sim > 0.3 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Shared by the GENERATED x55/x56 twins: double-accumulated dot (the
+    * proven q28/x21 list_aggregate form — same left-to-right order as
+    * floatDot). */
+  private def pqDotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+
+  /** GENERATED x55/x56 shared CTE chain: codebook from the same seed
+    * convention (vec_id < pqK subvectors), distance via the same
+    * ⟨s,s⟩ − 2⟨s,c⟩ + ‖c‖² expansion (‖c‖² here is the in-SQL dot whose
+    * accumulation order equals the Scala foldLeft literal on the Spark
+    * side), argmin via ROW_NUMBER (d ASC, code ASC) = array_min struct
+    * ordering, then a per-vector pivot to c0..c7/d0..d7. */
+  private def pqCte: String = {
+    val sv = s"list_slice(e.embedding, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
+    val cPiv = (0 until pqM).map(i =>
+      s"MAX(CASE WHEN sub=$i THEN code END) AS c$i").mkString(", ")
+    val dPiv = (0 until pqM).map(i =>
+      s"MAX(CASE WHEN sub=$i THEN d END) AS d$i").mkString(", ")
+    s"""WITH cb AS (
+       |  SELECT s.sub, e.vec_id AS code,
+       |    list_slice(e.embedding, s.sub*$pqDims+1, s.sub*$pqDims+$pqDims) AS cvec
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub) s
+       |  WHERE e.vec_id < $pqK),
+       |dists AS (
+       |  SELECT e.vec_id, cb.sub, cb.code,
+       |    (${pqDotSql(sv, sv)}
+       |     - 2.0 * ${pqDotSql(sv, "cb.cvec")})
+       |     + ${pqDotSql("cb.cvec", "cb.cvec")} AS d
+       |  FROM embeddings e CROSS JOIN cb),
+       |chosen AS (
+       |  SELECT vec_id, sub, code, d FROM (
+       |    SELECT vec_id, sub, code, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |pq AS (
+       |  SELECT vec_id, $cPiv, $dPiv
+       |  FROM chosen GROUP BY vec_id)""".stripMargin
+  }
+
+  private def pqEncodeOracle: String = {
+    val pack = (0 until pqM).map(i => s"c$i * ${1L << (4 * i)}").mkString(" + ")
+    val dsum = (0 until pqM).map(i => s"d$i").mkString(" + ")
+    s"""$pqCte
+       |SELECT vec_id, CAST($pack AS BIGINT) AS code,
+       |  floor(($dsum) * 1000000 + 0.5) / 1000000 AS distortion
+       |FROM pq ORDER BY vec_id""".stripMargin
+  }
+
+  private def pqSearchOracle: String = {
+    val joins = (0 until pqM).map(i =>
+      s"JOIN lut l$i ON l$i.sub = $i AND l$i.code = p.c$i").mkString("\n")
+    val asum = (0 until pqM).map(i => s"l$i.v").mkString(" + ")
+    val qsv = s"list_slice(q.qe, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
+    s"""$pqCte,
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT cb.sub, cb.code,
+       |    list_aggregate(list_transform(list_zip($qsv, cb.cvec),
+       |      s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), 'sum') AS v
+       |  FROM cb CROSS JOIN q)
+       |SELECT vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS adist FROM (
+       |  SELECT p.vec_id, ($asum) AS raw
+       |  FROM pq p
+       |  $joins) t
+       |ORDER BY t.raw, t.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x21_ann_lsh" -> lshOracle,
+    "x55_pq_encode" -> pqEncodeOracle,
+    "x56_pq_search" -> pqSearchOracle,
     // same association order / floor-form rounding / zero-vector CASE as
     // the Spark side — the whole audit row is deterministic IEEE arithmetic
     "x24_quantize" ->

@@ -167,6 +167,39 @@ class OperatorSpec extends SparkSpec {
     if (brute.nonEmpty) assert(lsh.nonEmpty)
   }
 
+  test("PQ: seed vectors self-encode with distortion 0; ADC ranks the query first") {
+    val enc = VectorQueries.x55(spark, sfDir).collect()
+    assert(enc.length == graft.Tables.t(spark, sfDir, "embeddings").count())
+    // seed vector j's subvectors ARE codebook entry j in every subspace:
+    // code = j repeated 8 times (packed), distortion exactly 0
+    enc.filter(_.getLong(0) < 16).foreach { r =>
+      val j = r.getLong(0)
+      val expected = (0 until 8).map(i => j * (1L << (4 * i))).sum
+      assert(r.getLong(1) == expected, s"seed $j code ${r.getLong(1)} != $expected")
+      assert(r.getDouble(2) == 0.0, s"seed $j distortion ${r.getDouble(2)}")
+    }
+    // every packed code stays in the 32-bit range of 8 x 4-bit fields
+    assert(enc.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)))
+
+    val adc = VectorQueries.x56(spark, sfDir).collect()
+    assert(adc.length == 10)
+    // the query vector's own code has ADC distance = its quantization
+    // distortion floor -> vec 0 must rank first with adist ~ 0 vs itself
+    assert(adc.head.getLong(0) == 0L, s"ADC top-1 is ${adc.head.getLong(0)}")
+    // ADC top-10 must overlap the exact L2 top-10 (recall sanity, not
+    // exactness — ADC approximates L2 distance to the query)
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val q = vecs.find(_._1 == 0L).get._2
+    val exact = vecs.map { case (id, v) =>
+      id -> v.zip(q).foldLeft(0.0) { case (a, (x, y)) =>
+        val t = x.toDouble - y.toDouble; a + t * t
+      }
+    }.sortBy { case (id, dist) => (dist, id) }.take(10).map(_._1).toSet
+    val hits = adc.map(_.getLong(0)).count(exact.contains)
+    assert(hits >= 3, s"ADC recall@10 too low: $hits/10 vs exact L2 set")
+  }
+
   test("dedup is idempotent (E14)") {
     val d1 = WindowQueries.q23(spark, sfDir).collect().toSeq
     val d2 = WindowQueries.q23(spark, sfDir).collect().toSeq
