@@ -368,6 +368,46 @@ object AdvancedQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** x57 — IVF-PQ retrieval (E60): the full FAISS serving shape in one
+    * plan — the coarse quantizer prunes the corpus to nprobe clusters
+    * (x22's probe), then ADC scores ONLY the probed vectors from their
+    * 4-bit PQ codes against the query's LUT (x56's arithmetic). This is
+    * the composition a production vector store actually runs: IVF bounds
+    * the candidate set, PQ bounds the bytes per candidate.
+    *
+    * 100 TB shape: one map-only pass annotates the corpus with (cid,
+    * c0..c7) — at scale this is the persisted index layout (x28's
+    * cid-partitioned parquet with a 4 B code column instead of the raw
+    * vector); serving reads nprobe/nlist of the rows × 4 B of code per
+    * row, the probe set is a broadcast, and top-k is
+    * TakeOrderedAndProject. Candidate traffic vs q29's brute scan:
+    * (nprobe/nlist) × (4 B / 256 B) ≈ 1/170 at these constants.
+    * Oracle-checked end-to-end: probe ranking, assignment argmax, code
+    * argmin, and the LUT all mirror their proven x22/x55/x56 twins. */
+  val x57: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val cents = centroidSeeds(e)
+    val cbs = VectorQueries.pqCodebooks(e)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probeCids = q.select(
+        array(cents.map { case (cid, c) =>
+          struct(dot(col("qe"), centCol(c)).as("sc"), lit(cid).as("cid"))
+        }: _*).as("all"))
+      .select(explode(col("all")).as("s"))
+      .orderBy(desc("s.sc"), col("s.cid")).limit(nprobe)
+      .select(col("s.cid").as("cid"))
+    val coded = VectorQueries.withPqCodes(
+      e.select(col("vec_id"), col("embedding"),
+        assign(cents, col("embedding")).as("cid")), cbs)
+    coded.join(broadcast(probeCids), "cid") // cluster-pruned candidates
+      .select(col("vec_id"),
+        VectorQueries.pqAdist(VectorQueries.pqLut(qv, cbs)).as("raw"))
+      .orderBy(col("raw"), col("vec_id")).limit(10)
+      .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
+  }
+
   /** x29 — ANN recall@k evaluation (E52): per-query recall of the IVF-probed
     * retrieval (x27's contract) against exact brute-force top-k over the full
     * corpus — the index-quality eval a vector pipeline runs before trusting
@@ -416,6 +456,7 @@ object AdvancedQueries {
     "q36_scalar_subquery" -> q36,
     "q37_in_subquery" -> q37,
     "x22_ann_ivf" -> x22,
+    "x57_ivfpq_search" -> x57,
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
     "x27_retrieval_join" -> x27,
@@ -551,8 +592,21 @@ object AdvancedQueries {
        |FROM q LEFT JOIN hits h ON q.q_id = h.q_id ORDER BY q.q_id""".stripMargin
   }
 
+  /** GENERATED x57 oracle: the proven x55 code chain + x22 assignment/probe
+    * chain + x56 LUT, with the ADC ranking restricted to assigned∩probed. */
+  private def ivfPqOracle: String =
+    s"""${VectorQueries.pqCte},
+       |${assignedCte.stripPrefix("WITH ")},
+       |${VectorQueries.pqQLutCtes},
+       |probe AS (
+       |  SELECT c.cid FROM cents c, q
+       |  ORDER BY ${dotSql("q.qe", "c.cemb")} DESC, c.cid LIMIT $nprobe)
+       |${VectorQueries.pqAdcTailSql(
+            "pq p JOIN assigned a ON a.vec_id = p.vec_id JOIN probe pr ON a.cid = pr.cid")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x22_ann_ivf" -> ivfOracle,
+    "x57_ivfpq_search" -> ivfPqOracle,
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
     "x27_retrieval_join" -> retrievalOracle,

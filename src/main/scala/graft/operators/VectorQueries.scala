@@ -194,7 +194,7 @@ object VectorQueries {
 
   /** [subspace][code] = (float subvector, its ‖c‖² as a double computed
     * left-to-right). Bounded collect: pqK rows, like centroidSeeds. */
-  private def pqCodebooks(e: DataFrame): Array[Array[(Array[Float], Double)]] = {
+  private[operators] def pqCodebooks(e: DataFrame): Array[Array[(Array[Float], Double)]] = {
     val seeds = e.filter(col("vec_id") < pqK)
       .select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0))
@@ -213,7 +213,7 @@ object VectorQueries {
     * identical formulation, so a vector's distance to its OWN seed
     * subvector is exactly 0.0 on both engines (⟨s,s⟩, ⟨s,c⟩, ‖c‖² are the
     * same accumulation). */
-  private def pqSubDist(sv: Column, entry: (Array[Float], Double)): Column = {
+  private[operators] def pqSubDist(sv: Column, entry: (Array[Float], Double)): Column = {
     val cLit = array(entry._1.map(lit): _*) // float literals -> array<float>
     (dot(sv, sv) - lit(2.0) * dot(sv, cLit)) + lit(entry._2)
   }
@@ -259,25 +259,23 @@ object VectorQueries {
         (0 until pqM).map(i => col(s"d$i")).reduce(_ + _), 6).as("distortion"))
       .orderBy(col("vec_id"))
 
-  /** x56 — ADC top-k search over PQ codes (E59): asymmetric distance
-    * computation — the query stays full-precision, the corpus is its
-    * 4-bit codes, and per-vector distance is 8 table lookups + 7 adds
-    * against a per-query LUT (pqM × pqK driver-computed distances, the
-    * standard ADC recipe). Approximate counterpart of q29's brute-force
-    * scan: ~64× less corpus traffic at recall measured in the spec.
-    *
-    * 100 TB shape: the LUT is 128 doubles broadcast as literals; the scan
-    * reads ONLY the 4 B code column (column pruning does the 64×); top-k
-    * is TakeOrderedAndProject. Ordering is on the raw double (identical
-    * bits both engines); the shipped column is floor-rounded. */
-  val x56: Q = (s, d) => {
-    val e = t(s, d, "embeddings")
-    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
-      .head.getSeq[Float](0).toArray
-    val cbs = pqCodebooks(e)
-    // lut(i)(j) = ‖sub_i(q) − c_ij‖², driver-computed; the SAME doubles are
-    // interpolated into the twin, so there is no cross-engine arithmetic
-    val lut: Array[Array[Double]] = Array.tabulate(pqM) { i =>
+  /** Append c0..c7 PQ code columns to any frame with an `embedding`
+    * column (map-only; shared by x56's pqCodes and x57's IVF-PQ corpus). */
+  private[operators] def withPqCodes(df: DataFrame,
+      cbs: Array[Array[(Array[Float], Double)]]): DataFrame =
+    (0 until pqM).foldLeft(df) { (acc, i) =>
+      val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
+      acc.withColumn(s"c$i", array_min(array(cbs(i).zipWithIndex.map { case (entry, j) =>
+        struct(pqSubDist(sv, entry).as("d"), lit(j).as("c"))
+      }: _*)).getField("c"))
+    }
+
+  /** lut(i)(j) = ‖sub_i(q) − c_ij‖², driver-computed (pqM·pqK doubles, the
+    * standard ADC table); the SAME doubles are interpolated into the twin,
+    * so there is no cross-engine arithmetic. */
+  private[operators] def pqLut(qv: Array[Float],
+      cbs: Array[Array[(Array[Float], Double)]]): Array[Array[Double]] =
+    Array.tabulate(pqM) { i =>
       cbs(i).map { case (c, _) =>
         val sub = qv.slice(i * pqDims, (i + 1) * pqDims)
         sub.zip(c).foldLeft(0.0) { case (acc, (x, cc)) =>
@@ -285,9 +283,33 @@ object VectorQueries {
         }
       }
     }
-    val adist = (0 until pqM).map { i =>
+
+  /** ADC distance column over c0..c7 code columns: 8 lookups + 7 adds. */
+  private[operators] def pqAdist(lut: Array[Array[Double]]): Column =
+    (0 until pqM).map { i =>
       element_at(array(lut(i).map(lit): _*), col(s"c$i") + 1)
     }.reduce(_ + _)
+
+  /** x56 — ADC top-k search over PQ codes (E59): asymmetric distance
+    * computation — the query stays full-precision, the corpus is its
+    * 4-bit codes, and per-vector distance is 8 table lookups + 7 adds
+    * against a per-query LUT (pqM × pqK driver-computed distances, the
+    * standard ADC recipe). Approximate counterpart of q29's brute-force
+    * scan: ~64× less corpus traffic at recall measured in the spec.
+    *
+    * 100 TB shape: the LUT is 128 doubles broadcast as literals; in the
+    * deployed layout the codes are PERSISTED (x28's index with a 4 B code
+    * column instead of raw vectors) so serving scans 1/64 of the bytes —
+    * here encode+search run in one plan over the local corpus, which
+    * exercises the identical arithmetic; top-k is TakeOrderedAndProject.
+    * Ordering is on the raw double (identical bits both engines); the
+    * shipped column is floor-rounded. */
+  val x56: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val cbs = pqCodebooks(e)
+    val adist = pqAdist(pqLut(qv, cbs))
     pqCodes(s, d)
       .select(col("vec_id"), adist.as("raw"))
       .orderBy(col("raw"), col("vec_id"))
@@ -336,7 +358,7 @@ object VectorQueries {
   /** Shared by the GENERATED x55/x56 twins: double-accumulated dot (the
     * proven q28/x21 list_aggregate form — same left-to-right order as
     * floatDot). */
-  private def pqDotSql(a: String, b: String): String =
+  private[operators] def pqDotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
 
   /** GENERATED x55/x56 shared CTE chain: codebook from the same seed
@@ -345,7 +367,7 @@ object VectorQueries {
     * accumulation order equals the Scala foldLeft literal on the Spark
     * side), argmin via ROW_NUMBER (d ASC, code ASC) = array_min struct
     * ordering, then a per-vector pivot to c0..c7/d0..d7. */
-  private def pqCte: String = {
+  private[operators] def pqCte: String = {
     val sv = s"list_slice(e.embedding, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
     val cPiv = (0 until pqM).map(i =>
       s"MAX(CASE WHEN sub=$i THEN code END) AS c$i").mkString(", ")
@@ -381,24 +403,35 @@ object VectorQueries {
        |FROM pq ORDER BY vec_id""".stripMargin
   }
 
-  private def pqSearchOracle: String = {
-    val joins = (0 until pqM).map(i =>
-      s"JOIN lut l$i ON l$i.sub = $i AND l$i.code = p.c$i").mkString("\n")
-    val asum = (0 until pqM).map(i => s"l$i.v").mkString(" + ")
+  /** GENERATED q + lut CTEs shared by the x56/x57 twins: the in-SQL LUT
+    * with the identical (q−c)² accumulation as the Scala pqLut. */
+  private[operators] def pqQLutCtes: String = {
     val qsv = s"list_slice(q.qe, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
-    s"""$pqCte,
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |lut AS (
        |  SELECT cb.sub, cb.code,
        |    list_aggregate(list_transform(list_zip($qsv, cb.cvec),
        |      s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), 'sum') AS v
-       |  FROM cb CROSS JOIN q)
-       |SELECT vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS adist FROM (
+       |  FROM cb CROSS JOIN q)""".stripMargin
+  }
+
+  /** GENERATED ranked-ADC tail shared by the x56/x57 twins: `from` must
+    * bind p (the pq codes row source). */
+  private[operators] def pqAdcTailSql(from: String): String = {
+    val joins = (0 until pqM).map(i =>
+      s"JOIN lut l$i ON l$i.sub = $i AND l$i.code = p.c$i").mkString("\n  ")
+    val asum = (0 until pqM).map(i => s"l$i.v").mkString(" + ")
+    s"""SELECT vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS adist FROM (
        |  SELECT p.vec_id, ($asum) AS raw
-       |  FROM pq p
+       |  FROM $from
        |  $joins) t
        |ORDER BY t.raw, t.vec_id LIMIT 10""".stripMargin
   }
+
+  private def pqSearchOracle: String =
+    s"""$pqCte,
+       |$pqQLutCtes
+       |${pqAdcTailSql("pq p")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x21_ann_lsh" -> lshOracle,

@@ -200,6 +200,24 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= 3, s"ADC recall@10 too low: $hits/10 vs exact L2 set")
   }
 
+  test("IVF-PQ search: query ranks first, distances nondecreasing, subset of full ADC ranking") {
+    val r = operators.AdvancedQueries.queries("x57_ivfpq_search")(spark, sfDir).collect()
+    assert(r.length == 10)
+    // the query's own cluster is its top probe and its code is the LUT
+    // argmin -> vec 0 is in the candidate set with the minimal distance
+    assert(r.head.getLong(0) == 0L, s"IVF-PQ top-1 is ${r.head.getLong(0)}")
+    val dists = r.map(_.getDouble(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, "adist not sorted")
+    // cluster pruning only SHRINKS the candidate set: every x57 hit that the
+    // full ADC ranking (x56) also surfaces must carry the same distance
+    val full = VectorQueries.x56(spark, sfDir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { row =>
+      full.get(row.getLong(0)).foreach(d =>
+        assert(d == row.getDouble(1), s"adist mismatch for ${row.getLong(0)}"))
+    }
+  }
+
   test("dedup is idempotent (E14)") {
     val d1 = WindowQueries.q23(spark, sfDir).collect().toSeq
     val d2 = WindowQueries.q23(spark, sfDir).collect().toSeq
