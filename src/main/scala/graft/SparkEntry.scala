@@ -32,7 +32,8 @@ object SparkEntry {
       AdvancedQueries.queries ++
       SamplingQueries.queries ++
       PivotQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      LmQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -49,5 +50,6 @@ object SparkEntry {
       AdvancedQueries.oracles ++
       SamplingQueries.oracles ++
       PivotQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      LmQueries.oracles
 }

@@ -42,12 +42,16 @@ object DedupQueries {
 
   /** DuckDB twin of [[shinglesN]] over `documents` (shared by the x41/x43
     * shingle CTE, x45's 13-gram decontamination twin and x38's source
-    * overlap twin — `key` is the carried grouping column). */
-  def shingleSql(n: Int, key: String = "doc_id"): String = {
+    * overlap twin — `key` is the carried grouping column). `distinct=false`
+    * keeps every OCCURRENCE (x58's LM counts need occurrence frequencies,
+    * not the dedup pipelines' distinct shingle sets). */
+  def shingleSql(n: Int, key: String = "doc_id", distinct: Boolean = true): String = {
     val terms = (0 until n).map(k => s"string_split(text,' ')[i+$k]").mkString(" || ' ' || ")
-    s"""SELECT $key, list_distinct(CASE WHEN len(string_split(text,' ')) >= $n
+    val lst = s"""CASE WHEN len(string_split(text,' ')) >= $n
        |    THEN list_transform(range(1, len(string_split(text,' ')) - ${n - 2}), i -> $terms)
-       |    ELSE [text] END) AS s
+       |    ELSE [text] END""".stripMargin
+    val body = if (distinct) s"list_distinct($lst)" else lst
+    s"""SELECT $key, $body AS s
        |  FROM documents""".stripMargin
   }
 

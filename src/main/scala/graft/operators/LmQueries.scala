@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, h60, h60Sql, fround, spread}
+
+/** Model-based corpus filtering (E61/E62): the two scoring families a
+  * pretraining curation pipeline runs AFTER the heuristic filters (x30) and
+  * BEFORE mixing (x48) —
+  *
+  *  - x58: an n-gram language-model quality score in the shape of CCNet's
+  *    "perplexity against an LM trained on a reference corpus" filter
+  *    (Wenzek et al., CCNet; the reference corpus here is a deterministic
+  *    hash slice standing in for Wikipedia);
+  *  - x59: DSIR-style importance weights (Xie et al., "Data Selection for
+  *    Language Models via Importance Resampling") — hashed-feature
+  *    target-vs-raw distribution ratios.
+  *
+  * Both are formulated in RATIONAL arithmetic (integer counts, IEEE
+  * divisions, fixed-point sums) rather than log-space: ln/log2 are libm
+  * calls whose last-ulp behavior differs between JVM and DuckDB, while
+  * +,-,*,/ on identical doubles are bit-identical everywhere — so both
+  * operators hash-match their twins exactly. Monotonicity is what the
+  * downstream filter consumes (rank/threshold docs), and 1/avg_p is a
+  * perplexity-shaped magnitude if one is wanted.
+  */
+object LmQueries {
+  import CoreQueries.Q
+
+  /** LM-training slice: bucket(doc_id) < 5000 = a deterministic 50% of the
+    * corpus (same md5 bucketing as x70/x71, replayable by the twin). */
+  private val refBuckets = 5000
+  /** Fixed-point scale for cross-engine-exact sums of per-row doubles:
+    * floor(x*1e8+0.5) is the same IEEE ops on both engines (see
+    * Tables.fround), and the resulting longs sum exactly in any order. */
+  private val fixPoint = 1e8
+
+  /** x58 — bigram-LM quality scoring (E61): train a bigram LM with add-one
+    * smoothing on the reference slice, score EVERY doc by its mean smoothed
+    * bigram probability and its out-of-vocabulary bigram rate. Docs whose
+    * n-gram statistics diverge from the reference slice (the CCNet
+    * "head/middle/tail" signal) surface with low avg_p / high oov_rate.
+    *
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), all counts from the
+    * reference slice, V = |distinct successor tokens| there.
+    *
+    * 100 TB shape: bigram occurrences cross the exchange as 8-byte h60
+    * hashes only (never gram text — x38's rule); the LM tables are
+    * TYPE-bounded (distinct bigrams « bigram occurrences), so the two
+    * count aggs are map-side-combined and the score joins are
+    * co-partitioned equi-joins on the hash that AQE broadcasts when the
+    * vocab is small (as here); V is a one-row broadcast scalar (x34's
+    * pattern). The per-doc agg partial-aggregates map-side to one row per
+    * doc. No all-pairs anywhere; every stage is linear in corpus tokens. */
+  val x58: Q = (s, d) => {
+    val docs = spread(t(s, d, "documents"))
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(DedupQueries.shinglesN(col("toks"), 2)).as("g"))
+      .select(col("doc_id"),
+        h60(col("g")).as("gh"),
+        h60(element_at(split(col("g"), " "), 1)).as("w1h"),
+        element_at(split(col("g"), " "), 2).as("w2"))
+    val ref = grams.filter(SamplingQueries.bucket(col("doc_id")) < refBuckets)
+    val c2 = ref.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    val v = ref.agg(countDistinct(col("w2")).as("v")) // successor vocab size
+    grams
+      .join(c2, Seq("gh"), "left")
+      .join(c1, Seq("w1h"), "left")
+      .crossJoin(broadcast(v)) // single-row scalar
+      .select(col("doc_id"), col("c2"),
+        ((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(floor(col("p") * lit(fixPoint) + lit(0.5)).cast("long")).as("fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        fround(col("n_oov").cast("double") / col("n_bigrams"), 4).as("oov_rate"),
+        fround(col("fp").cast("double") / lit(fixPoint) / col("n_bigrams"), 6).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x59 — DSIR importance weights (E62): hashed token features (h60 mod
+    * 256 buckets), target distribution = the `src0` stratum, raw = the
+    * whole corpus; a doc's weight is its mean per-token density ratio
+    * r(b) = p̂_target(b) / p̂_raw(b), add-one smoothed. High-weight docs
+    * "look like" the target domain — the selection signal DSIR resamples
+    * by (x75 is the resampling half: feed it these weights).
+    *
+    * 100 TB shape: the feature space is FIXED (256 buckets by
+    * construction), so the two distribution aggs reduce to 256 rows
+    * map-side and the ratio table + the one-row totals are broadcasts; the
+    * scoring pass is map-only per token, and the only shuffle is the
+    * per-doc partial-aggregated mean. Nothing scales with vocab at all —
+    * that is DSIR's point (hashed features bound the model size). */
+  private val dsirBuckets = 256
+  private val dsirTarget = "src0"
+
+  val x59: Q = (s, d) => {
+    val toks = spread(t(s, d, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("source"),
+        (h60(col("tok")) % dsirBuckets).as("bk")) // h60 ≥ 0: true bucket
+    val tot = toks.agg(
+      count(lit(1)).as("tr"),
+      sum(when(col("source") === dsirTarget, 1L).otherwise(0L)).as("tt"))
+    val raw = toks.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source") === dsirTarget)
+      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+    val ratio = raw.join(tgt, Seq("bk"), "left")
+      .crossJoin(broadcast(tot)) // single-row scalar
+      .select(col("bk"),
+        (((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tt") + lit(dsirBuckets.toLong)).cast("double")) /
+          ((col("cr") + lit(1L)).cast("double") /
+            (col("tr") + lit(dsirBuckets.toLong)).cast("double"))).as("r"))
+    toks.join(broadcast(ratio), Seq("bk")) // ≤256 rows — always broadcast
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(floor(col("r") * lit(fixPoint) + lit(0.5)).cast("long")).as("fs"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        fround(col("fs").cast("double") / lit(fixPoint) / col("n_toks"), 6)
+          .as("imp_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x58_lm_score" -> x58,
+    "x59_dsir_weights" -> x59)
+
+  /** GENERATED x58 twin: the occurrence-preserving shingle chain (shared
+    * shingleSql, distinct=false) + the identical count/smooth/fix-point
+    * arithmetic. Integer SUMs are CAST AS BIGINT (HUGEINT rule iii). */
+  private def lmScoreOracle: String =
+    s"""WITH sh AS (
+       |  ${DedupQueries.shingleSql(2, "doc_id", distinct = false)}),
+       |bg AS (
+       |  SELECT doc_id, ${h60Sql("g")} AS gh,
+       |    ${h60Sql("string_split(g,' ')[1]")} AS w1h,
+       |    string_split(g,' ')[2] AS w2
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+       |ref AS (SELECT * FROM bg WHERE ${SamplingQueries.bucketSqlFor("doc_id")} < $refBuckets),
+       |c2 AS (SELECT gh, COUNT(*) AS c2 FROM ref GROUP BY gh),
+       |c1 AS (SELECT w1h, COUNT(*) AS c1 FROM ref GROUP BY w1h),
+       |v AS (SELECT COUNT(DISTINCT w2) AS v FROM ref),
+       |sc AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(SUM(CAST(floor(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS fp
+       |  FROM bg b LEFT JOIN c2 ON b.gh = c2.gh LEFT JOIN c1 ON b.w1h = c1.w1h CROSS JOIN v
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, n_bigrams, n_oov,
+       |  floor(CAST(n_oov AS DOUBLE) / n_bigrams * 10000 + 0.5) / 10000 AS oov_rate,
+       |  floor(CAST(fp AS DOUBLE) / 100000000.0 / n_bigrams * 1000000 + 0.5) / 1000000 AS avg_p
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** GENERATED x59 twin: identical bucketing, totals, smoothing, and
+    * fix-point mean. */
+  private def dsirOracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, ${h60Sql("tok")} % $dsirBuckets AS bk
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) u),
+       |tot AS (
+       |  SELECT COUNT(*) AS tr,
+       |    CAST(SUM(CASE WHEN source = '$dsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+       |  FROM tk),
+       |raw AS (SELECT bk, COUNT(*) AS cr FROM tk GROUP BY bk),
+       |tgt AS (SELECT bk, COUNT(*) AS ct FROM tk WHERE source = '$dsirTarget' GROUP BY bk),
+       |rt AS (
+       |  SELECT r.bk,
+       |    (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + $dsirBuckets AS DOUBLE)) /
+       |    (CAST(r.cr + 1 AS DOUBLE) / CAST(tot.tr + $dsirBuckets AS DOUBLE)) AS r
+       |  FROM raw r LEFT JOIN tgt t ON r.bk = t.bk CROSS JOIN tot),
+       |sc AS (
+       |  SELECT tk.doc_id, tk.source, COUNT(*) AS n_toks,
+       |    CAST(SUM(CAST(floor(rt.r * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS fs
+       |  FROM tk JOIN rt ON tk.bk = rt.bk
+       |  GROUP BY tk.doc_id, tk.source)
+       |SELECT doc_id, source, n_toks,
+       |  floor(CAST(fs AS DOUBLE) / 100000000.0 / n_toks * 1000000 + 0.5) / 1000000 AS imp_weight
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x58_lm_score" -> lmScoreOracle,
+    "x59_dsir_weights" -> dsirOracle)
+}

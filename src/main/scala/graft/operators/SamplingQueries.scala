@@ -33,8 +33,9 @@ import graft.Tables.t
 object SamplingQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic bucket in [0, 10000): md5 of the key's decimal string. */
-  private def bucket(c: Column): Column =
+  /** Deterministic bucket in [0, 10000): md5 of the key's decimal string.
+    * Package-visible: x58's LM-training slice replays the same assignment. */
+  private[operators] def bucket(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 10000
 

@@ -200,6 +200,38 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= 3, s"ADC recall@10 too low: $hits/10 vs exact L2 set")
   }
 
+  test("x58 LM score: reference-slice docs have zero OOV, scores well-formed, LM discriminates") {
+    val r = LmQueries.x58(spark, sfDir).collect()
+    assert(r.length == 500 && r.map(_.getLong(0)).distinct.length == 500)
+    // the same md5 bucketing the operator (and x70/x71) uses
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    r.foreach { row =>
+      val (id, nBi, nOov) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(nOov <= nBi && row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+      assert(row.getDouble(4) > 0.0 && row.getDouble(4) < 1.0)
+      // every bigram of an LM-training doc is in the LM by construction
+      if (bucket(id) < 5000) assert(nOov == 0L, s"ref doc $id has OOV $nOov")
+    }
+    // docs outside the reference slice score lower on average (the filter signal)
+    val (refP, outP) = r.partition(row => bucket(row.getLong(0)) < 5000)
+    def mean(a: Array[org.apache.spark.sql.Row]) = a.map(_.getDouble(4)).sum / a.length
+    assert(mean(refP) > mean(outP), "LM should favor its own training slice")
+  }
+
+  test("x59 DSIR weights: target-source docs weigh more, weights positive") {
+    val r = LmQueries.x59(spark, sfDir).collect()
+    assert(r.length == 500)
+    r.foreach(row => assert(row.getDouble(3) > 0.0 && row.getLong(2) > 0L))
+    val (tgt, rest) = r.partition(_.getString(1) == "src0")
+    def mean(a: Array[org.apache.spark.sql.Row]) = a.map(_.getDouble(3)).sum / a.length
+    assert(tgt.nonEmpty && rest.nonEmpty && mean(tgt) > mean(rest),
+      s"DSIR should up-weight the target source: ${mean(tgt)} vs ${mean(rest)}")
+  }
+
   test("IVF-PQ search: query ranks first, distances nondecreasing, subset of full ADC ranking") {
     val r = operators.AdvancedQueries.queries("x57_ivfpq_search")(spark, sfDir).collect()
     assert(r.length == 10)
