@@ -12,16 +12,20 @@ import org.apache.spark.sql.functions._
   *   3. boilerplate gate: drop docs dominated by corpus-common 3-grams
   *      (x78's df≥3 density — the C4-style rule; a doc that is mostly
   *      boilerplate passes length/stopword floors but teaches nothing)
-  *   4. PII/unsafe-content scrub: downstream text is the scrubbed text
+  *   4. LM gate: drop docs whose bigram statistics diverge from the
+  *      reference slice (x58's CCNet-shaped scores — low mean smoothed
+  *      probability or high OOV rate; the model-based filter that
+  *      catches fluency outliers the heuristic floors miss)
+  *   5. PII/unsafe-content scrub: downstream text is the scrubbed text
   *      (x46's per-row replace chain)
-  *   5. decontamination: drop train-split docs sharing a 13-gram with the
+  *   6. decontamination: drop train-split docs sharing a 13-gram with the
   *      held-out test split (x45's gram join)
-  *   6. dedup: near-dup clusters (x44's edges + connectedComponents),
+  *   7. dedup: near-dup clusters (x44's edges + connectedComponents),
   *      keep the longest member per cluster, drop the rest
-  *   7. quality-weighted mixing: downsample survivors in proportion to
+  *   8. quality-weighted mixing: downsample survivors in proportion to
   *      their quality score (x75's RNG-free keep predicate)
-  *   8. split the sampled set 80/10/10 by key hash (x71's buckets)
-  *   9. write one parquet dir per split + a per-source data card of the
+  *   9. split the sampled set 80/10/10 by key hash (x71's buckets)
+  *  10. write one parquet dir per split + a per-source data card of the
   *      shipped corpus (x76) — the audit artifact a consumer reads
   *
   * Every stage is deterministic (hash buckets, fixed thresholds, exact
@@ -36,10 +40,10 @@ object CurationDemo {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft-curation")
     val spark = Engine.session()
-    val (raw, kept, deboiled, clean, surv, sampled) = run(spark, sfDir, outDir)
+    val (raw, kept, deboiled, lmKept, clean, surv, sampled) = run(spark, sfDir, outDir)
     println(s"[curation] $raw raw -> $kept quality-kept -> " +
-      s"$deboiled after boilerplate gate -> $clean decontaminated -> " +
-      s"$surv after dedup -> $sampled sampled")
+      s"$deboiled after boilerplate gate -> $lmKept after LM gate -> " +
+      s"$clean decontaminated -> $surv after dedup -> $sampled sampled")
     spark.stop()
   }
 
@@ -48,10 +52,18 @@ object CurationDemo {
     * duplicated-line rule. */
   private val boilerplateTau = 0.7
 
-  /** Returns (raw, after quality gate, after boilerplate gate, after
-    * decontamination, after dedup, after quality-weighted sampling). */
+  /** x58 gate: CCNet-shaped LM thresholds — a doc whose mean smoothed
+    * bigram probability falls under the floor (its n-gram statistics
+    * diverge from the reference slice) or whose OOV-bigram rate exceeds
+    * the cap is dropped as a fluency outlier. */
+  private val lmMinAvgP = 0.031
+  private val lmMaxOov = 0.05
+
+  /** Returns (raw, after quality gate, after boilerplate gate, after LM
+    * gate, after decontamination, after dedup, after quality-weighted
+    * sampling). */
   def run(spark: SparkSession, sfDir: String,
-      outDir: String): (Long, Long, Long, Long, Long, Long) = {
+      outDir: String): (Long, Long, Long, Long, Long, Long, Long) = {
     import graft.operators._
 
     val profile = SamplingQueries.x74(spark, sfDir).collect()(0)
@@ -73,12 +85,21 @@ object CurationDemo {
     val kept = scored.join(boiler, Seq("doc_id"), "left_anti")
     val nKept = kept.count()
 
+    // LM gate (x58): model-based fluency filter — the CCNet stage that
+    // runs after the heuristic floors; its reference slice is defined on
+    // raw doc_ids, so like decon it sees pre-scrub text
+    val lmPass = operators.LmQueries.x58(spark, sfDir)
+      .filter(col("avg_p") >= lmMinAvgP && col("oov_rate") <= lmMaxOov)
+      .select(col("doc_id"))
+    val lmKept = kept.join(lmPass, Seq("doc_id"), "left_semi")
+    val nLm = lmKept.count()
+
     // decontamination: drop train docs leaking held-out test content (the
     // gate runs on raw text — scrubbing replaces PII spans but must not
     // hide eval overlap, so decon sees the pre-scrub grams)
     val contaminated = CurationQueries.decontamination(spark, sfDir)
       .select(col("doc_id"))
-    val cleanIds = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val cleanIds = lmKept.join(contaminated, Seq("doc_id"), "left_anti")
     val nClean = cleanIds.count()
 
     // dedup keep-best: drop every cluster member that is not the keeper
@@ -118,6 +139,6 @@ object CurationDemo {
     // pseudorandom training order, byte-identical across runs
     SamplingQueries.shardAssign(out.filter(col("split") === "train"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/shards")
-    (raw, nScored, nKept, nClean, nSurv, nSampled)
+    (raw, nScored, nKept, nLm, nClean, nSurv, nSampled)
   }
 }

@@ -10,14 +10,16 @@ class CurationSpec extends SparkSpec {
 
   test("curation pipeline filters monotonically and reproduces identical splits") {
     val out1 = tmpDir("curation1")
-    val (raw, scored, kept, clean, surv, sampled) = CurationDemo.run(spark, sfDir, out1)
-    assert(raw > 0 && scored <= raw && kept <= scored && clean <= kept &&
-      surv <= clean && sampled <= surv,
-      s"($raw, $scored, $kept, $clean, $surv, $sampled)")
+    val (raw, scored, kept, lm, clean, surv, sampled) = CurationDemo.run(spark, sfDir, out1)
+    assert(raw > 0 && scored <= raw && kept <= scored && lm <= kept &&
+      clean <= lm && surv <= clean && sampled <= surv,
+      s"($raw, $scored, $kept, $lm, $clean, $surv, $sampled)")
     assert(sampled > 0, "pipeline must not drop everything")
     // the boilerplate gate (x78, df≥3 density ≥ 0.7) must actually fire on
     // this corpus: the sf tables contain docs above the threshold
     assert(kept < scored, s"boilerplate gate dropped nothing ($scored -> $kept)")
+    // the LM gate (x58, avg_p/oov thresholds) must actually fire too
+    assert(lm < kept, s"LM gate dropped nothing ($kept -> $lm)")
 
     // shipped parquet is self-consistent: n_chars describes the scrubbed
     // text that ships, not the pre-scrub lengths
