@@ -33,7 +33,8 @@ object SparkEntry {
       SamplingQueries.queries ++
       PivotQueries.queries ++
       CurationQueries.queries ++
-      LmQueries.queries
+      LmQueries.queries ++
+      NoveltyQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -51,5 +52,6 @@ object SparkEntry {
       SamplingQueries.oracles ++
       PivotQueries.oracles ++
       CurationQueries.oracles ++
-      LmQueries.oracles
+      LmQueries.oracles ++
+      NoveltyQueries.oracles
 }

@@ -222,6 +222,40 @@ class OperatorSpec extends SparkSpec {
     assert(mean(refP) > mean(outP), "LM should favor its own training slice")
   }
 
+  test("x65 source novelty: first source fully novel, coverage accumulates to the corpus total") {
+    val r = NoveltyQueries.x65(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    // lexicographically-first source has no earlier source: all grams new
+    assert(r.head.getLong(1) == r.head.getLong(2) && r.head.getDouble(4) == 1.0)
+    // cum_cover is nondecreasing and ends at the sum of contributions
+    val cums = r.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == r.map(_.getLong(2)).sum)
+  }
+
+  test("x66 doc novelty: doc 0 fully novel, exact-dup copies score zero") {
+    val nov = NoveltyQueries.x66(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(0L) == 1.0, s"doc 0 novelty ${nov(0L)}")
+    assert(nov.values.forall(v => v >= 0.0 && v <= 1.0))
+    // grams ARE shared across this corpus: somebody scores below 1
+    assert(nov.values.exists(_ < 1.0), "no shared grams at all is implausible")
+    // a verbatim copy of an earlier doc introduces nothing: x40's keeper is
+    // min(doc_id) per content group, so every other member scores 0
+    // (sf0.001 has no exact dups — the invariant is exercised wherever
+    // dup groups exist, e.g. the driver's sf0.01 corpus)
+    val keepers = DedupQueries.x40(spark, sfDir).collect()
+      .filter(_.getLong(2) > 1).map(_.getLong(1)).toSet
+    if (keepers.nonEmpty) {
+      val dupAll = graft.Tables.t(spark, sfDir, "documents")
+        .groupBy(md5(col("text"))).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1).collect()
+        .flatMap(_.getSeq[Long](1))
+      (dupAll.toSet -- keepers).foreach(id =>
+        assert(nov(id) == 0.0, s"copy $id novelty ${nov(id)}"))
+    }
+  }
+
   test("x59 DSIR weights: target-source docs weigh more, weights positive") {
     val r = LmQueries.x59(spark, sfDir).collect()
     assert(r.length == 500)
