@@ -129,9 +129,64 @@ object LmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x67 — BPE merge induction (E65): the first K byte-pair-encoding
+    * merges over the corpus vocabulary — how a tokenizer is actually
+    * trained from a curated corpus (Sennrich et al.; x37's frequency vocab
+    * is the word-level complement). Each word becomes a space-delimited
+    * character-symbol string; per round, the (count-weighted) most
+    * frequent adjacent symbol pair merges, ties broken lexicographically.
+    *
+    * 100 TB shape: the ONE corpus-scale stage is the word-count aggregate
+    * (map-side combined, cached); the K merge rounds run on the vocab
+    * table, which is TYPE-bounded (millions of rows at web scale, not
+    * corpus-sized) — exactly how production BPE trainers split the work.
+    * Each round's top-pair pick is a 1-row bounded collect (centroidSeeds'
+    * pattern); merge application is a map-only double literal-replace.
+    *
+    * Engine parity: merge application is non-overlapping left-to-right
+    * literal replacement, applied twice (the second pass catches
+    * occurrences that shared a delimiter space with a replaced one) —
+    * Spark's UTF8String.replace and DuckDB's replace() both scan
+    * left-to-right and continue after the match, so the vocab states are
+    * byte-identical every round; counts and strings are exact, no doubles
+    * anywhere. */
+  private val bpeK = 6
+
+  val x67: Q = (s, d) => {
+    import org.apache.spark.sql.DataFrame
+    // corpus-scale stage: word counts, then char-symbol strings " a b c "
+    val vocab0 = spread(t(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+        col("cnt"))
+      .persist()
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("cnt"), split(trim(col("syms")), " ").as("a"))
+      .select(col("cnt"), explode(when(size(col("a")) >= 2,
+          transform(sequence(lit(1), size(col("a")) - 1),
+            i => concat(element_at(col("a"), i), lit(" "), element_at(col("a"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+    var v = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    (1 to bpeK).foreach { k =>
+      val top = pairCounts(v).orderBy(desc("n"), col("p")).limit(1).collect()(0)
+      val (p, n) = (top.getString(0), top.getLong(1))
+      merges += ((k.toLong, p, n))
+      val m = p.replace(" ", "")
+      v = v.withColumn("syms",
+        expr(s"replace(replace(syms, ' $p ', ' $m '), ' $p ', ' $m ')"))
+    }
+    vocab0.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("step", "pair", "n").orderBy(col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x58_lm_score" -> x58,
-    "x59_dsir_weights" -> x59)
+    "x59_dsir_weights" -> x59,
+    "x67_bpe_merges" -> x67)
 
   /** GENERATED x58 twin: the occurrence-preserving shingle chain (shared
     * shingleSql, distinct=false) + the identical count/smooth/fix-point
@@ -186,7 +241,34 @@ object LmQueries {
        |  floor(CAST(fs AS DOUBLE) / 100000000.0 / n_toks * 1000000 + 0.5) / 1000000 AS imp_weight
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** GENERATED x67 twin: the same K merge rounds as chained CTE pairs —
+    * p_k picks the top pair from v_{k-1}, v_k applies the identical double
+    * literal-replace. All strings and integer counts, no doubles. */
+  private def bpeOracle: String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS syms, cnt FROM (
+        |    SELECT w, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |    GROUP BY w) wc)""".stripMargin
+    val stages = (1 to bpeK).map { k =>
+      val repl = s"' ' || p$k.p || ' ', ' ' || replace(p$k.p, ' ', '') || ' '"
+      s"""p$k AS (
+         |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS p
+         |    FROM (SELECT cnt, string_split(trim(syms), ' ') AS a FROM v${k - 1}) sp) g
+         |  GROUP BY p ORDER BY n DESC, p LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(replace(v.syms, $repl), $repl) AS syms, v.cnt
+         |  FROM v${k - 1} v, p$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to bpeK).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, p AS pair, n FROM p$k").mkString("\nUNION ALL\n")
+    s"WITH $v0,\n$stages\n$sel\nORDER BY step"
+  }
+
   val oracles: Map[String, String] = Map(
     "x58_lm_score" -> lmScoreOracle,
-    "x59_dsir_weights" -> dsirOracle)
+    "x59_dsir_weights" -> dsirOracle,
+    "x67_bpe_merges" -> bpeOracle)
 }

@@ -256,6 +256,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x67 BPE merges match an independent greedy reference implementation") {
+    val got = LmQueries.x67(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to 6L), "steps must be 1..K")
+    // top-pair counts never increase: a later pair's count is bounded by
+    // the count of some pair already present (and outranked) earlier
+    val ns = got.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.mkString(","))
+
+    // independent reference: plain-Scala BPE over the same word counts,
+    // TRUE greedy left-to-right non-overlapping merge application
+    val wc = graft.Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).map(_.toString).toList -> r.getLong(1))
+    var vocab = wc
+    val expected = (1 to 6).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + cnt)
+      }
+      val (pair, n) = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      def mergeGreedy(s: List[String]): List[String] = s match {
+        case a :: b :: rest if (a, b) == pair => (a + b) :: mergeGreedy(rest)
+        case a :: rest => a :: mergeGreedy(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.map { case (syms, cnt) => mergeGreedy(syms) -> cnt }
+      (k.toLong, s"${pair._1} ${pair._2}", n)
+    }
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+  }
+
   test("x59 DSIR weights: target-source docs weigh more, weights positive") {
     val r = LmQueries.x59(spark, sfDir).collect()
     assert(r.length == 500)
