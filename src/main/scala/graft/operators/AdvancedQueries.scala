@@ -408,6 +408,50 @@ object AdvancedQueries {
       .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
   }
 
+  /** x69 — embedding outlier detection (E67): per vector, the squared L2
+    * distance to its assigned IVF centroid, the cluster's mean distance,
+    * and an outlier flag (distance > τ=1.25× cluster mean — the far-tail
+    * cut for this corpus; production picks τ from the distance
+    * distribution) — the embedding-space
+    * quality gate a pipeline runs before trusting vectors for retrieval or
+    * semantic dedup (a vector far from every centroid is noise, a bad
+    * encode, or out-of-domain).
+    *
+    * d² = ⟨x,x⟩ − 2⟨x,c⟩ + ‖c‖² on the codegen'd floatDot (x55's proven
+    * expansion); per-row distances round to exact scale-6 longs
+    * (floor-fix-point) so the per-cluster sums are order-independent and
+    * the mean is bit-identical on both engines.
+    *
+    * 100 TB shape: assignment + distance are one map-only pass (centroids
+    * are broadcast literals); cluster stats are an nlist-row aggregate;
+    * the stats join back is an nlist-row broadcast. Nothing quadratic,
+    * nothing collected beyond the nlist centroid seeds. */
+  val x69: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val cents = centroidSeeds(e).sortBy(_._1) // cids are 0..nlist-1: positional
+    val cn: Map[Long, Double] = cents.map { case (cid, c) =>
+      cid -> c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+    }.toMap
+    val d2ByCid = array(cents.map { case (cid, c) =>
+      (dot(col("embedding"), col("embedding")) -
+        lit(2.0) * dot(col("embedding"), centCol(c))) + lit(cn(cid))
+    }: _*)
+    val dists = e
+      .select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
+      .select(col("vec_id"), col("cid"),
+        floor(element_at(d2ByCid, col("cid").cast("int") + 1) * lit(1e6) + lit(0.5))
+          .cast("long").as("d2f"))
+    val stats = dists.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d2f")).as("sf"))
+    dists.join(broadcast(stats), Seq("cid")) // nlist rows — always broadcast
+      .select(col("vec_id"), col("cid"),
+        (col("d2f").cast("double") / lit(1e6)).as("d2"),
+        graft.Tables.fround(col("sf").cast("double") / lit(1e6) / col("n"), 6).as("cl_mean"),
+        ((col("d2f").cast("double") / lit(1e6)) >
+          lit(1.25) * (col("sf").cast("double") / lit(1e6) / col("n"))).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** x29 — ANN recall@k evaluation (E52): per-query recall of the IVF-probed
     * retrieval (x27's contract) against exact brute-force top-k over the full
     * corpus — the index-quality eval a vector pipeline runs before trusting
@@ -457,6 +501,7 @@ object AdvancedQueries {
     "q37_in_subquery" -> q37,
     "x22_ann_ivf" -> x22,
     "x57_ivfpq_search" -> x57,
+    "x69_embed_outliers" -> x69,
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
     "x27_retrieval_join" -> x27,
@@ -604,9 +649,28 @@ object AdvancedQueries {
        |${VectorQueries.pqAdcTailSql(
             "pq p JOIN assigned a ON a.vec_id = p.vec_id JOIN probe pr ON a.cid = pr.cid")}""".stripMargin
 
+  /** GENERATED x69 twin: assignment via the shared CTE, the identical
+    * ⟨x,x⟩−2⟨x,c⟩+‖c‖² expansion (dotSql is the proven accumulation), and
+    * the same fix-point cluster stats. */
+  private def outlierOracle: String = {
+    val d2 = s"${dotSql("a.embedding", "a.embedding")} - 2.0 * ${dotSql("a.embedding", "c.cemb")} + ${dotSql("c.cemb", "c.cemb")}"
+    s"""$assignedCte,
+       |dd AS (
+       |  SELECT a.vec_id, a.cid,
+       |    CAST(floor(($d2) * 1000000.0 + 0.5) AS BIGINT) AS d2f
+       |  FROM assigned a JOIN cents c ON a.cid = c.cid),
+       |st AS (SELECT cid, COUNT(*) AS n, CAST(SUM(d2f) AS BIGINT) AS sf FROM dd GROUP BY cid)
+       |SELECT dd.vec_id, dd.cid,
+       |  CAST(dd.d2f AS DOUBLE) / 1000000.0 AS d2,
+       |  floor(CAST(st.sf AS DOUBLE) / 1000000.0 / st.n * 1000000 + 0.5) / 1000000 AS cl_mean,
+       |  (CAST(dd.d2f AS DOUBLE) / 1000000.0) > (1.25 * (CAST(st.sf AS DOUBLE) / 1000000.0 / st.n)) AS is_outlier
+       |FROM dd JOIN st ON dd.cid = st.cid ORDER BY dd.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x22_ann_ivf" -> ivfOracle,
     "x57_ivfpq_search" -> ivfPqOracle,
+    "x69_embed_outliers" -> outlierOracle,
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
     "x27_retrieval_join" -> retrievalOracle,

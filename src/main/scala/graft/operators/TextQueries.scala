@@ -390,6 +390,35 @@ object TextQueries {
 
   val x78: Q = (s, d) => boilerplateStats(s, d).orderBy(col("doc_id"))
 
+  /** x68 — tf-idf keyword extraction (E66): top-3 terms per doc by
+    * tf·(N/df) — the per-doc descriptor a corpus browser/labeler reads, and
+    * the feature x76's cards summarize per source. Linear idf (N/df) rather
+    * than log-idf: ln is a libm call whose last-ulp behavior differs
+    * across engines, while the rational form ranks with exact inputs —
+    * ranking is on the raw IEEE-identical double with a term-asc tie-break.
+    *
+    * 100 TB shape: tf is one map-side-combined agg keyed (doc, term); df
+    * is TYPE-bounded (vocab rows) and AQE-broadcast into the score join;
+    * N is a one-row broadcast; top-3 is a row_number window partitioned by
+    * doc — fully parallel, no global sort before the final presentation
+    * ORDER BY. */
+  val x68: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("w_raw"), col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nd)) // single-row scalar
+      .withColumn("w_raw", (col("tf") * col("nd")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"), col("tf"),
+        col("df"), graft.Tables.fround(col("w_raw"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
@@ -402,7 +431,8 @@ object TextQueries {
     "x38_source_overlap" -> x38,
     "x39_seq_pack" -> x39,
     "x47_repetition" -> x47,
-    "x78_boilerplate" -> x78)
+    "x78_boilerplate" -> x78,
+    "x68_tfidf_keywords" -> x68)
 
   /** GENERATED x78 oracle: shared shingle CTE + h60 gram hash, same df
     * threshold, floor-form division. */
@@ -457,7 +487,27 @@ object TextQueries {
        |FROM c JOIN n ON n.source = c.a_src
        |ORDER BY c.a_src, c.b_src""".stripMargin
 
+  /** GENERATED x68 twin: identical score expression inside the window
+    * ORDER BY so both engines rank the same raw doubles. */
+  private def tfidfOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |  GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    CAST(tf.tf * nd.nd AS DOUBLE) / df.df AS w_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf * nd.nd AS DOUBLE) / df.df DESC, tf.tok) AS rank
+       |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nd)
+       |SELECT doc_id, rank, tok AS term, tf, df,
+       |  floor(w_raw * 10000 + 0.5) / 10000 AS tfidf
+       |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x68_tfidf_keywords" -> tfidfOracle,
     "x38_source_overlap" -> sourceOverlapOracle,
     "x39_seq_pack" -> seqPackOracle,
     "x78_boilerplate" -> boilerplateOracle,

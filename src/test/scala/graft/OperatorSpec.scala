@@ -256,6 +256,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x68 tf-idf keywords: 3 ranked terms per doc, scores consistent with tf*N/df") {
+    val r = TextQueries.x68(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3), x.getLong(4), x.getDouble(5)))
+    val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+    assert(r.length == 3 * nDocs)
+    r.groupBy(_._1).foreach { case (doc, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"doc $doc ranks")
+      val byRank = rows.sortBy(_._2).map(_._6)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"doc $doc tfidf not nonincreasing: ${byRank.mkString(",")}")
+    }
+    // spot-check the score arithmetic on one row
+    val (_, _, _, tf0, df0, w0) = r.head
+    assert(math.abs(w0 - math.floor(tf0.toDouble * nDocs / df0 * 10000 + 0.5) / 10000) < 1e-9)
+  }
+
+  test("x69 embedding outliers: distances nonnegative, seeds self-centered, flag matches rule") {
+    val r = operators.AdvancedQueries.queries("x69_embed_outliers")(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getBoolean(4)))
+    assert(r.length == graft.Tables.t(spark, sfDir, "embeddings").count())
+    r.foreach { case (vid, _, d2, m, _) =>
+      assert(d2 >= 0.0 && m > 0.0, s"vec $vid d2=$d2 mean=$m")
+    }
+    // a centroid seed assigned to its own cluster is at distance exactly 0
+    val selfSeeds = r.filter { case (vid, cid, _, _, _) => vid == cid && vid < 16 }
+    assert(selfSeeds.nonEmpty)
+    selfSeeds.foreach { case (vid, _, d2, _, _) =>
+      assert(d2 == 0.0, s"seed $vid self-distance $d2") }
+    // flag agrees with the 1.25x rule away from the rounding boundary
+    r.filter { case (_, _, d2, m, _) => math.abs(d2 - 1.25 * m) > 1e-4 }
+      .foreach { case (vid, _, d2, m, f) =>
+        assert(f == d2 > 1.25 * m, s"vec $vid flag $f d2=$d2 mean=$m") }
+  }
+
   test("x67 BPE merges match an independent greedy reference implementation") {
     val got = LmQueries.x67(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
