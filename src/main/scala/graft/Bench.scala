@@ -69,7 +69,10 @@ object Bench {
         -1.0
       }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // local tooling only (driver never sets it): restrict to a comma list
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(SparkEntry.queries.keys.toSeq).sorted
     def pass(): Seq[(String, Double)] = names.map(n => n -> runOnce(n))
     def tot(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
 

@@ -398,8 +398,10 @@ object AdvancedQueries {
       .select(explode(col("all")).as("s"))
       .orderBy(desc("s.sc"), col("s.cid")).limit(nprobe)
       .select(col("s.cid").as("cid"))
+    // spread the encode pass: assignment (nlist dots) + 128 subspace
+    // distances per row over a one-split scan would run single-task
     val coded = VectorQueries.withPqCodes(
-      e.select(col("vec_id"), col("embedding"),
+      graft.Tables.spread(e).select(col("vec_id"), col("embedding"),
         assign(cents, col("embedding")).as("cid")), cbs)
     coded.join(broadcast(probeCids), "cid") // cluster-pruned candidates
       .select(col("vec_id"),
@@ -436,7 +438,7 @@ object AdvancedQueries {
       (dot(col("embedding"), col("embedding")) -
         lit(2.0) * dot(col("embedding"), centCol(c))) + lit(cn(cid))
     }: _*)
-    val dists = e
+    val dists = graft.Tables.spread(e) // 2*nlist dots/row on a one-split scan: fan out
       .select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
       .select(col("vec_id"), col("cid"),
         floor(element_at(d2ByCid, col("cid").cast("int") + 1) * lit(1e6) + lit(0.5))

@@ -225,7 +225,11 @@ object VectorQueries {
     * expression literals, nothing shuffles. */
   private def pqCodes(s: SparkSession, d: String): DataFrame = {
     val cbs = pqCodebooks(t(s, d, "embeddings"))
-    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // spread BEFORE the encode: 128 subspace distances per row over a
+    // one-split scan would run single-task (the x25/x26 lesson; measured
+    // 3.8 s single-task vs sub-second spread at sf1)
+    val base = graft.Tables.spread(t(s, d, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
     val withMin = (0 until pqM).foldLeft(base) { (df, i) =>
       val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
       val m = array_min(array(cbs(i).zipWithIndex.map { case (entry, j) =>

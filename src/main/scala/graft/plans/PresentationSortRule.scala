@@ -16,9 +16,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * stage 0.18 s → 0.12 s at sf0.1, ~0.05 s × every sorted query in the
   * suite).
   *
-  * The rewrite `Sort(global) → Sort(local) ∘ Coalesce(1)` is exactly
-  * equivalent (one partition ⇒ local order = total order). It applies ONLY
-  * when:
+  * The rewrite `Sort(global) → Sort(local) ∘ Repartition(1, shuffle)` is
+  * exactly equivalent (one partition ⇒ local order = total order). The
+  * single-partition exchange (not a no-shuffle coalesce) matters: a
+  * coalesce(1) pulls the ENTIRE last stage — including an expensive
+  * producing projection like x55's 128-distance PQ encode — into one
+  * task, undoing upstream fan-out (measured: x55 4.3 s → 1.8 s at sf1
+  * after the switch); the exchange keeps the producer parallel and moves
+  * only the stats-small result rows to the one sorting task. It applies
+  * ONLY when:
   *   - the Sort is the plan root (or the immediate input of the root write
   *     command) — i.e. it orders the delivered result, not an intermediate;
   *   - the optimizer's size estimate for the input is below
@@ -37,7 +43,7 @@ case class PresentationSortRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def small(s: Sort): Boolean = s.child.stats.sizeInBytes <= maxBytes
 
   private def rewrite(s: Sort): LogicalPlan =
-    Sort(s.order, global = false, Repartition(1, shuffle = false, s.child))
+    Sort(s.order, global = false, Repartition(1, shuffle = true, s.child))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) plan
