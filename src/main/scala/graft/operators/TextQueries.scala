@@ -46,6 +46,16 @@ object TextQueries {
       least(nToks / 100.0, lit(1.0)) * 0.3
   }
 
+  /** Per-row quality-floor columns (token count, stopword ratio) — the
+    * CurationDemo stage-2 predicate in expression form, shared with the
+    * streaming curation stage (StreamOps.curateDocs), which needs them on
+    * an unbounded frame. */
+  def tokenCountCol(text: Column): Column = size(split(text, " ")).cast("long")
+  def stopRatioCol(text: Column): Column = {
+    val toks = split(text, " ")
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
+  }
+
   /** DuckDB twin of floor(rawQuality * 10000 + 0.5) — the integer sampling
     * weight in [0,10000] (same IEEE double ops in the same order as the
     * Spark side; the x30 oracle proved the inner expression's parity). */

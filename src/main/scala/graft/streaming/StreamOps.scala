@@ -112,6 +112,34 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_h")
 
+  /** E68 — streaming curation stage: the map-only curation chain as ONE
+    * ingest-time transform — quality floor (x30's stop-ratio/token-count
+    * predicate) → PII scrub (x46's replace chain, shipped text is the
+    * scrubbed text with n_chars recomputed) → canonical dedup within the
+    * watermark horizon (E27c on the SCRUBBED text). Curate-on-ingest is
+    * how a 100 TB/day pipeline avoids re-reading the firehose: every stage
+    * here is a per-row expression or watermark-bounded state, so the
+    * composition is exactly as scalable as its parts — no corpus-wide
+    * statistics (those stages — x78's df, x58's LM — stay batch, run over
+    * the already-curated store).
+    *
+    * Batch-parity: applied to a static frame (minus the dedup), the gate +
+    * scrub produce byte-identical rows to CurationDemo's stages 2+5 —
+    * asserted in StreamingSpec. */
+  def curateDocs(docs: DataFrame, minStopRatio: Double = 0.05,
+      minTokens: Long = 10, watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.{CurationQueries, TextQueries}
+    val scrubExpr = CurationQueries.piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val gated = docs
+      .filter(TextQueries.tokenCountCol(col("text")) >= minTokens &&
+        TextQueries.stopRatioCol(col("text")) >= minStopRatio)
+      .withColumn("text", scrubExpr)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    dedupDocsCanonical(gated, watermark)
+  }
+
   /** E28 (transformWithState form) — the same running per-user totals on
     * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit
     * TTL support, multiple state variables per key, timers — and it runs on

@@ -101,6 +101,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 3L), s"canonical dup doc 2 must be dropped: $kept")
   }
 
+  test("E68: streaming curation stage gates quality, scrubs PII, dedups across batches") {
+    val input = MemoryStream[Doc]
+    val q = StreamOps.curateDocs(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    val good = "the quick brown fox jumps over the lazy dog in a sunny field today"
+    val pii = "contact the admin on alice@example.com about the delayed shipment of parts"
+    input.addData(Seq(
+      Doc(0L, ts(0), "en", good),
+      Doc(1L, ts(1), "en", "too short"), // fails the 10-token floor
+      Doc(2L, ts(2), "en", pii)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      Doc(3L, ts(3), "en", "The QUICK brown fox, jumps over the lazy dog in a sunny field today!"),
+      // ^ canonical dup of doc 0 from the previous batch
+      Doc(4L, ts(4), "en", "a completely different document with plenty of the required tokens in it")))
+    q.processAllAvailable()
+    val rows = spark.table("curated")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    q.stop()
+    assert(rows.keySet == Set(0L, 2L, 4L), s"kept ${rows.keySet}")
+    // PII scrubbed and n_chars describes the shipped text
+    assert(rows(2L)._1.contains("[EMAIL]") && !rows(2L)._1.contains("@"))
+    rows.values.foreach { case (t, n) => assert(n == t.length.toLong) }
+  }
+
   test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
     val input = MemoryStream[Event]
     val q = StreamOps.runningUserCounts(input.toDS())
