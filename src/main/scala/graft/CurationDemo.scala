@@ -139,6 +139,11 @@ object CurationDemo {
     // pseudorandom training order, byte-identical across runs
     SamplingQueries.shardAssign(out.filter(col("split") === "train"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/shards")
+    // tokenizer merges (x67) trained on the SHIPPED train split — the
+    // tokenizer belongs to the curated corpus it will tokenize, so it is
+    // derived after scrub/decon/dedup/sampling, not from the raw table
+    LmQueries.bpeMerges(out.filter(col("split") === "train"), 6)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/tokenizer")
     (raw, nScored, nKept, nLm, nClean, nSurv, nSampled)
   }
 }

@@ -152,10 +152,18 @@ object LmQueries {
     * anywhere. */
   private val bpeK = 6
 
-  val x67: Q = (s, d) => {
+  val x67: Q = (s, d) =>
+    bpeMerges(spread(t(s, d, "documents")), bpeK)
+
+  /** BPE merge rounds over any frame with a `text` column — x67's core,
+    * also run by CurationDemo over the SHIPPED train split (a tokenizer is
+    * trained on the curated corpus it will tokenize, not the raw one). */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.DataFrame
+    val s = docs.sparkSession
     // corpus-scale stage: word counts, then char-symbol strings " a b c "
-    val vocab0 = spread(t(s, d, "documents"))
+    val vocab0 = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
@@ -170,10 +178,10 @@ object LmQueries {
       .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
     var v = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    (1 to bpeK).foreach { k =>
+    (1 to k).foreach { step =>
       val top = pairCounts(v).orderBy(desc("n"), col("p")).limit(1).collect()(0)
       val (p, n) = (top.getString(0), top.getLong(1))
-      merges += ((k.toLong, p, n))
+      merges += ((step.toLong, p, n))
       val m = p.replace(" ", "")
       v = v.withColumn("syms",
         expr(s"replace(replace(syms, ' $p ', ' $m '), ' $p ', ' $m ')"))

@@ -52,13 +52,24 @@ class CurationSpec extends SparkSpec {
         s"shard $sh positions not contiguous")
     }
 
-    // reproducibility: second run writes value-identical splits
+    // the shipped tokenizer (x67 over the train split): K merges, counts
+    // nonincreasing, pairs bounded by the split's token stream
+    val merges = spark.read.parquet(s"$out1/tokenizer")
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(merges.map(_._1).toSeq == (1L to 6L))
+    val mN = merges.map(_._3)
+    assert(mN.zip(mN.tail).forall { case (a, b) => a >= b })
+
+    // reproducibility: second run writes value-identical splits + tokenizer
     val out2 = tmpDir("curation2")
     CurationDemo.run(spark, sfDir, out2)
-    Seq("train", "val", "test").foreach { s =>
-      val a = spark.read.parquet(s"$out1/$s").orderBy(col("doc_id")).collect().toSeq
-      val b = spark.read.parquet(s"$out2/$s").orderBy(col("doc_id")).collect().toSeq
-      assert(a == b, s"split $s not reproducible")
+    Seq("train", "val", "test", "tokenizer").foreach { s =>
+      def sorted(dir: String) = {
+        val df = spark.read.parquet(s"$dir/$s")
+        df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+      }
+      assert(sorted(out1) == sorted(out2), s"artifact $s not reproducible")
     }
   }
 
