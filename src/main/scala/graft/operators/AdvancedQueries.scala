@@ -274,7 +274,8 @@ object AdvancedQueries {
     * a cached index would serve stale results. Evicted/shutdown entries
     * delete their temp dirs. */
   private case class IvfIndex(dir: String, cents: Array[(Long, Seq[Float])],
-                              queryRows: Array[(Long, Seq[Float], Double)])
+                              queryRows: Array[(Long, Seq[Float], Double)],
+                              cbs: Array[Array[(Array[Float], Double)]])
 
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), IvfIndex]
@@ -307,7 +308,12 @@ object AdvancedQueries {
           java.nio.file.Files.createDirectories(p)
           p.toString
         } else java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
-      assignedCorpus(s, d).write.mode("overwrite").partitionBy("cid").parquet(dir)
+      // the index carries BOTH raw vectors (x28's exact serving) and the
+      // 4-bit PQ code columns (x80's ADC serving reads only those — at
+      // 100 TB a memory-tier index would keep codes alone)
+      val cbs = VectorQueries.pqCodebooks(t(s, d, "embeddings"))
+      VectorQueries.withPqCodes(assignedCorpus(s, d), cbs)
+        .write.mode("overwrite").partitionBy("cid").parquet(dir)
       val cents = centroidSeeds(t(s, d, "embeddings"))
       val qRows = s.read.parquet(dir)
         .filter(col("vec_id") < retrievalQ)
@@ -315,7 +321,7 @@ object AdvancedQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
         .sortBy(_._1)
-      IvfIndex(dir, cents, qRows)
+      IvfIndex(dir, cents, qRows, cbs)
     })
   }
 
@@ -406,6 +412,32 @@ object AdvancedQueries {
     coded.join(broadcast(probeCids), "cid") // cluster-pruned candidates
       .select(col("vec_id"),
         VectorQueries.pqAdist(VectorQueries.pqLut(qv, cbs)).as("raw"))
+      .orderBy(col("raw"), col("vec_id")).limit(10)
+      .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
+  }
+
+  /** x80 — indexed IVF-PQ serving (E69): x57's EXACT contract served from
+    * the persisted index — the deployed layout both the x56 and x57
+    * docstrings point at, made real. The probe set is ranked driver-side
+    * over the cached centroids (bounded, the same left-to-right dot as
+    * floatDot, so the ranking is bit-identical to x57's), becomes a STATIC
+    * cid partition filter, and the serving scan reads ONLY (vec_id,
+    * c0..c7) from the probed partitions — no embedding bytes touch the
+    * serving path (ReadSchema asserted in the spec): nprobe/nlist of the
+    * rows × ~4 B of code per row. ADC against the query LUT and top-k are
+    * x57's expressions. Same oracle as x57: serving from the index must be
+    * indistinguishable from computing fresh. */
+  val x80: Q = (s, d) => {
+    val ix = ivfIndex(s, d)
+    val qv = ix.queryRows.find(_._1 == 0L).get._2.toArray
+    def ddot(c: Seq[Float]): Double = // floatDot's accumulation, driver-side
+      c.zip(qv).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+    val probed = ix.cents.map { case (cid, c) => (cid, ddot(c)) }
+      .sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe).map(_._1)
+    s.read.parquet(ix.dir)
+      .filter(col("cid").isin(probed: _*)) // prunes index partitions
+      .select(col("vec_id"),
+        VectorQueries.pqAdist(VectorQueries.pqLut(qv, ix.cbs)).as("raw"))
       .orderBy(col("raw"), col("vec_id")).limit(10)
       .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
   }
@@ -503,6 +535,7 @@ object AdvancedQueries {
     "q37_in_subquery" -> q37,
     "x22_ann_ivf" -> x22,
     "x57_ivfpq_search" -> x57,
+    "x80_indexed_ivfpq" -> x80,
     "x69_embed_outliers" -> x69,
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
@@ -672,6 +705,7 @@ object AdvancedQueries {
   val oracles: Map[String, String] = Map(
     "x22_ann_ivf" -> ivfOracle,
     "x57_ivfpq_search" -> ivfPqOracle,
+    "x80_indexed_ivfpq" -> ivfPqOracle, // identical contract: index == fresh
     "x69_embed_outliers" -> outlierOracle,
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,

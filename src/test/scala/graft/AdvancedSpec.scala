@@ -210,6 +210,20 @@ class AdvancedSpec extends SparkSpec {
       "index scan must carry a static cid partition filter:\n" + p)
   }
 
+  test("x80 serves x57's exact output from the persisted index: pruned, codes-only scan") {
+    val fresh = AdvancedQueries.x57(spark, sfDir).collect().toSeq
+    val served = AdvancedQueries.queries("x80_indexed_ivfpq")(spark, sfDir).collect().toSeq
+    assert(served == fresh, "ADC index serving must be indistinguishable from fresh compute")
+    val p = AdvancedQueries.queries("x80_indexed_ivfpq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "index scan must carry a static cid partition filter:\n" + p)
+    // the serving path reads ONLY the 4-bit code columns — never embedding
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("c0") && !schema.contains("embedding"),
+      s"serving scan must read codes only: $schema")
+  }
+
   test("x24 quantization: error bounded by half a quant step, zero vectors safe") {
     val rows = operators.VectorQueries.x24(spark, sfDir).collect()
     assert(rows.nonEmpty)
