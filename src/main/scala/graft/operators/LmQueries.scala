@@ -99,26 +99,38 @@ object LmQueries {
   private val dsirBuckets = 256
   private val dsirTarget = "src0"
 
-  val x59: Q = (s, d) => {
-    val toks = spread(t(s, d, "documents"))
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("source"),
-        (h60(col("tok")) % dsirBuckets).as("bk")) // h60 ≥ 0: true bucket
+  private def dsirToks(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    .select(col("doc_id"), col("source"),
+      (h60(col("tok")) % dsirBuckets).as("bk")) // h60 ≥ 0: true bucket
+
+  /** The 256-row bucket-ratio model table fit over a docs frame — the
+    * STATIC side of the E70 stream-static enrichment, and x59's model. */
+  def dsirRatio(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = dsirToks(docs)
     val tot = toks.agg(
       count(lit(1)).as("tr"),
       sum(when(col("source") === dsirTarget, 1L).otherwise(0L)).as("tt"))
     val raw = toks.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
     val tgt = toks.filter(col("source") === dsirTarget)
       .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
-    val ratio = raw.join(tgt, Seq("bk"), "left")
+    raw.join(tgt, Seq("bk"), "left")
       .crossJoin(broadcast(tot)) // single-row scalar
       .select(col("bk"),
         (((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
             (col("tt") + lit(dsirBuckets.toLong)).cast("double")) /
           ((col("cr") + lit(1L)).cast("double") /
             (col("tr") + lit(dsirBuckets.toLong)).cast("double"))).as("r"))
-    toks.join(broadcast(ratio), Seq("bk")) // ≤256 rows — always broadcast
+  }
+
+  /** DSIR scoring chain over a docs frame and a fitted ratio table — pure
+    * stream-safe DataFrame ops (explode → broadcast join → keyed agg),
+    * shared verbatim by batch x59 and StreamOps' E70 stream-static form. */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame,
+      ratio: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dsirToks(docs)
+      .join(broadcast(ratio), Seq("bk")) // ≤256 rows — always broadcast
       .groupBy(col("doc_id"), col("source"))
       .agg(
         count(lit(1)).as("n_toks"),
@@ -126,7 +138,10 @@ object LmQueries {
       .select(col("doc_id"), col("source"), col("n_toks"),
         fround(col("fs").cast("double") / lit(fixPoint) / col("n_toks"), 6)
           .as("imp_weight"))
-      .orderBy(col("doc_id"))
+
+  val x59: Q = (s, d) => {
+    val docs = spread(t(s, d, "documents"))
+    dsirScore(docs, dsirRatio(docs)).orderBy(col("doc_id"))
   }
 
   /** x67 — BPE merge induction (E65): the first K byte-pair-encoding

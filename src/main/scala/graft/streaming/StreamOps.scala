@@ -13,6 +13,9 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: Strin
   * plus the ingest event time the dedup watermark rides on). */
 case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 
+/** Document row with a source stratum (E70 stream-static scoring). */
+case class SrcDoc(doc_id: Long, ts: Timestamp, source: String, text: String)
+
 case class UserRunningCount(user_id: Long, n: Long, total_value: Double)
 
 /** E23–E28 — streaming semantics (SURVEY §2.2). Each op takes a streaming
@@ -139,6 +142,19 @@ object StreamOps {
       .withColumn("n_chars", length(col("text")).cast("long"))
     dedupDocsCanonical(gated, watermark)
   }
+
+  /** E70 — stream-static enrichment: score an incoming doc stream against
+    * a STATIC model table (x59's fitted 256-row bucket-ratio frame — or
+    * any dimension). The static side is re-resolved per micro-batch and
+    * broadcast into the join, the canonical Spark enrichment pattern; the
+    * scoring chain is LmQueries.dsirScore VERBATIM, so a doc scored on the
+    * stream carries the same imp_weight the batch x59 computes (asserted
+    * stream-equals-batch in StreamingSpec). At 100 TB/day: the model is
+    * fit in batch over the curated store (corpus-wide statistics don't
+    * stream), serving is this map-side join — each micro-batch touches
+    * only its own rows. */
+  def scoreDocsDsir(docs: DataFrame, ratio: DataFrame): DataFrame =
+    graft.operators.LmQueries.dsirScore(docs, ratio)
 
   /** E28 (transformWithState form) — the same running per-user totals on
     * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit

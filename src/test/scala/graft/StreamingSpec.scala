@@ -127,6 +127,34 @@ class StreamingSpec extends SparkSpec {
     rows.values.foreach { case (t, n) => assert(n == t.length.toLong) }
   }
 
+  test("E70: stream-static DSIR scoring equals batch scoring with the same model") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      SrcDoc(0L, ts(0), "src0", "alpha beta gamma alpha delta"),
+      SrcDoc(1L, ts(1), "src0", "alpha alpha beta beta epsilon"),
+      SrcDoc(2L, ts(2), "web", "zeta eta theta iota kappa"),
+      SrcDoc(3L, ts(3), "web", "alpha zeta zeta eta lambda"))
+    val static = spark.createDataFrame(corpus)
+    val ratio = operators.LmQueries.dsirRatio(static)
+    val batch = operators.LmQueries.dsirScore(static, ratio)
+      .orderBy(col("doc_id")).collect().toSeq
+
+    val input = MemoryStream[SrcDoc]
+    val q = StreamOps.scoreDocsDsir(input.toDF(), ratio)
+      .writeStream.format("memory").queryName("dsirscored").outputMode("update").start()
+    input.addData(corpus.take(2)); q.processAllAvailable()
+    input.addData(corpus.drop(2)); q.processAllAvailable()
+    val streamed = spark.table("dsirscored")
+      .orderBy(col("doc_id")).collect().toSeq
+    q.stop()
+    assert(streamed == batch,
+      s"stream-static scoring must equal batch:\n$streamed\nvs\n$batch")
+    // the target-source docs outweigh the rest under their own model
+    val w = streamed.map(r => r.getString(1) -> r.getDouble(3))
+    val (t0, rest) = w.partition(_._1 == "src0")
+    assert(t0.map(_._2).sum / t0.size > rest.map(_._2).sum / rest.size)
+  }
+
   test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
     val input = MemoryStream[Event]
     val q = StreamOps.runningUserCounts(input.toDS())
