@@ -136,13 +136,103 @@ object UdfQueries {
       approx_count_distinct(col("o_custkey")).as("approx_custs"),
       countDistinct(col("o_custkey")).as("exact_custs"))
 
+  /** Misra–Gries buffer: fixed-k parallel primitive arrays (the TopKBuf
+    * discipline — product type keeps partials in Tungsten rows). */
+  case class MGBuf(keys: Array[Long], counts: Array[Long], n: Int)
+
+  /** Mergeable Misra–Gries heavy-hitter sketch over 8-byte keys: at most k
+    * counters; any item with true frequency > n/k is GUARANTEED to survive
+    * (the deterministic MG bound, preserved under merge — Agarwal et al.,
+    * "Mergeable Summaries"). reduce is O(1) on a tracked key, O(k) on the
+    * decrement path; merge sums the union then subtracts the (k+1)-th
+    * largest combined count and drops non-positives — the standard MG
+    * merge. Constant memory per partial whatever the corpus size: this is
+    * the 100 TB answer when the exact vocab agg (x37) is itself too big. */
+  class MisraGries(k: Int) extends Aggregator[Long, MGBuf, Seq[Long]] {
+    override def zero: MGBuf = MGBuf(new Array[Long](k), new Array[Long](k), 0)
+    override def reduce(buf: MGBuf, key: Long): MGBuf = {
+      var i = 0
+      while (i < buf.n && buf.keys(i) != key) i += 1
+      if (i < buf.n) { buf.counts(i) += 1; buf }
+      else if (buf.n < k) {
+        buf.keys(buf.n) = key; buf.counts(buf.n) = 1
+        buf.copy(n = buf.n + 1)
+      } else { // decrement-all, compact the zeros
+        var w = 0; var r = 0
+        while (r < buf.n) {
+          if (buf.counts(r) > 1) {
+            buf.keys(w) = buf.keys(r); buf.counts(w) = buf.counts(r) - 1; w += 1
+          }
+          r += 1
+        }
+        buf.copy(n = w)
+      }
+    }
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      if (b.n == 0) a
+      else if (a.n == 0) b
+      else {
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        (0 until a.n).foreach(i => m(a.keys(i)) = m.getOrElse(a.keys(i), 0L) + a.counts(i))
+        (0 until b.n).foreach(i => m(b.keys(i)) = m.getOrElse(b.keys(i), 0L) + b.counts(i))
+        val sorted = m.toArray.sortBy { case (key, c) => (-c, key) }
+        val d = if (sorted.length > k) sorted(k)._2 else 0L
+        val kept = sorted.iterator.map { case (key, c) => (key, c - d) }
+          .filter(_._2 > 0).take(k).toArray
+        MGBuf(kept.map(_._1), kept.map(_._2), kept.length)
+      }
+    }
+    override def finish(buf: MGBuf): Seq[Long] =
+      (0 until buf.n).map(buf.keys).sorted
+    override def bufferEncoder: Encoder[MGBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MGBuf]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  private val hhK = 32
+
+  /** x81 — heavy-hitter tokens via sketch-then-verify (E71): a Misra–Gries
+    * pass produces ≤k candidate hashes (constant memory, one bounded
+    * collect), then ONLY the candidates are exact-counted and thresholded
+    * at n/k. The MG guarantee makes the composition EXACT and
+    * deterministic — every true heavy hitter is a candidate, so the output
+    * equals the brute-force HAVING query the twin runs — while at 100 TB
+    * the exact pass touches k keys instead of the full vocab. The sketch's
+    * eviction path is stressed separately in the spec on a planted skewed
+    * corpus with distinct ≫ k. */
+  val x81: Q = (s, d) => {
+    val toks = graft.Tables.spread(t(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"), graft.Tables.h60(col("tok")).as("gh"))
+    val mg = udaf(new MisraGries(hhK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val cands = toks.agg(mg(col("gh"))).head.getSeq[Long](0) // ≤k — bounded
+    val total = toks.count()
+    toks.filter(col("gh").isin(cands: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > lit(total) / lit(hhK.toDouble))
+      .select(col("tok"), col("n_occ"),
+        graft.Tables.fround(col("n_occ") / lit(total.toDouble), 6).as("freq"))
+      .orderBy(desc("n_occ"), col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x60_udf_vowels" -> x60,
     "x61_udaf_topk" -> x61,
     "x62_udtf_bigrams" -> x62,
-    "x63_approx_distinct" -> x63)
+    "x63_approx_distinct" -> x63,
+    "x81_heavy_hitters" -> x81)
 
   val oracles: Map[String, String] = Map(
+    "x81_heavy_hitters" ->
+      """WITH g AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT COUNT(*) AS total FROM g),
+        |c AS (SELECT tok, COUNT(*) AS n_occ FROM g GROUP BY tok)
+        |SELECT tok, n_occ,
+        |  floor(n_occ / CAST(t.total AS DOUBLE) * 1000000 + 0.5) / 1000000 AS freq
+        |FROM c, t WHERE n_occ > t.total / 32.0
+        |ORDER BY n_occ DESC, tok""".stripMargin,
     "x60_udf_vowels" ->
       """SELECT lang, COUNT(*) AS docs,
         |CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS n_vowels

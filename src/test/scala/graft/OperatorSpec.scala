@@ -290,6 +290,30 @@ class OperatorSpec extends SparkSpec {
         assert(f == d2 > 1.25 * m, s"vec $vid flag $f d2=$d2 mean=$m") }
   }
 
+  test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
+    val k = 8
+    val mg = new UdfQueries.MisraGries(k)
+    // planted skew: 2 true heavy hitters above n/k, 100 tail keys >> k
+    val data: Seq[Long] = Seq.fill(400)(1L) ++ Seq.fill(300)(2L) ++
+      (0 until 100).flatMap(i => Seq.fill(3)(100L + i)) // n = 1000, n/k = 125
+    for (parts <- Seq(1, 3, 7, 25)) {
+      val bufs = data.grouped(math.max(1, data.length / parts))
+        .map(ch => ch.foldLeft(mg.zero)(mg.reduce)).toSeq
+      val merged = bufs.reduce(mg.merge)
+      assert(merged.n <= k, s"parts=$parts sketch exceeded k")
+      val cands = mg.finish(merged).toSet
+      assert(cands.contains(1L) && cands.contains(2L),
+        s"parts=$parts dropped a guaranteed heavy hitter: $cands")
+    }
+    // same guarantee end-to-end through the Spark udaf on a shuffled frame
+    import spark.implicits._
+    val cs = data.toDF("gh").repartition(5)
+      .agg(udaf(new UdfQueries.MisraGries(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())(col("gh")))
+      .head.getSeq[Long](0).toSet
+    assert(Set(1L, 2L).subsetOf(cs) && cs.size <= k, s"spark-side sketch: $cs")
+  }
+
   test("x67 BPE merges match an independent greedy reference implementation") {
     val got = LmQueries.x67(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
