@@ -224,6 +224,17 @@ class AdvancedSpec extends SparkSpec {
       s"serving scan must read codes only: $schema")
   }
 
+  test("VectorDemo lifecycle: hygiene, build-once/serve-both, eval, dedup — reproducible") {
+    val r1 = VectorDemo.run(spark, sfDir)
+    assert(r1.vectors == graft.Tables.t(spark, sfDir, "embeddings").count())
+    assert(r1.outliers < r1.vectors)
+    assert(r1.servedExact == 300L, s"x28 serves 3 hits x 100 queries: ${r1.servedExact}")
+    assert(r1.servedAdc == 10L)
+    assert(r1.meanRecall > 0.5, s"index quality gate: ${r1.meanRecall}")
+    val r2 = VectorDemo.run(spark, sfDir)
+    assert(r1 == r2, "the lifecycle must be deterministic")
+  }
+
   test("x24 quantization: error bounded by half a quant step, zero vectors safe") {
     val rows = operators.VectorQueries.x24(spark, sfDir).collect()
     assert(rows.nonEmpty)
