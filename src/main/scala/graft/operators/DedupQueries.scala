@@ -169,6 +169,44 @@ object DedupQueries {
       .orderBy(col("a_id"))
   }
 
+  /** x82 — containment near-dup detection (E72): for ordered doc pairs,
+    * containment(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| over
+    * DISCRIMINATIVE 3-grams (document frequency ≤ dfCap — corpus-common
+    * grams are dropped before pairing, the standard trick that both
+    * removes boilerplate noise and bounds the join fan-out). The
+    * asymmetric metric catches subset/quote-expansion duplicates that
+    * symmetric Jaccard (x43) under-scores: a doc fully contained in a
+    * longer doc scores 1.0 → b even when their union is large.
+    *
+    * 100 TB shape: x38's equi-join chassis at doc granularity — only
+    * 8-byte gram hashes shuffle; per-gram pair fan-out is bounded by
+    * dfCap² by construction (the cap IS the scalability knob, not a
+    * sampling shortcut — common grams carry no near-dup signal); the
+    * threshold prunes before the join back to per-doc totals. */
+  private val contTau = 0.5
+  private val contDfCap = 50L
+
+  val x82: Q = (s, d) => {
+    val g0 = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("toks")))).as("gram"))
+      .select(col("doc_id"), graft.Tables.h60(col("gram")).as("gh"))
+      .distinct()
+    val dfc = g0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val g = g0.join(dfc.filter(col("df") <= contDfCap), Seq("gh"))
+      .select(col("doc_id"), col("gh"))
+    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    g.select(col("doc_id").as("a_id"), col("gh"))
+      .join(g.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("a_id"), col("n_grams").as("a_grams")), Seq("a_id"))
+      .filter(col("inter").cast("double") / col("a_grams") >= contTau)
+      .select(col("a_id"), col("b_id"), col("inter"), col("a_grams"),
+        fround(col("inter").cast("double") / col("a_grams"), 4).as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Connected components over an undirected edge list by min-label
     * propagation with path halving — the GraphX/GraphFrames CC recipe,
     * expressed in DataFrames:
@@ -317,7 +355,8 @@ object DedupQueries {
     "x41_minhash_lsh" -> x41,
     "x42_simhash" -> x42,
     "x43_ngram_jaccard" -> x43,
-    "x44_dedup_clusters" -> x44)
+    "x44_dedup_clusters" -> x44,
+    "x82_containment" -> x82)
 
   /** DuckDB shingle-set CTE shared by the x41/x43 oracles (the Spark
     * shingles3 + array_distinct chain, DuckDB dialect). */
@@ -329,7 +368,28 @@ object DedupQueries {
       |    ELSE [text] END) AS s
       |  FROM documents)""".stripMargin
 
+  /** GENERATED x82 twin: the shared shingle CTE + the identical df-cap,
+    * pair-count, and containment arithmetic. */
+  private def containmentOracle: String =
+    s"""WITH $shingleCte,
+       |g0 AS (SELECT DISTINCT doc_id, ${graft.Tables.h60Sql("gram")} AS gh FROM (
+       |  SELECT doc_id, unnest(s) AS gram FROM sh) u),
+       |dfc AS (SELECT gh, COUNT(*) AS df FROM g0 GROUP BY gh),
+       |g AS (SELECT g0.doc_id, g0.gh FROM g0 JOIN dfc ON g0.gh = dfc.gh
+       |      WHERE dfc.df <= $contDfCap),
+       |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.a_id, p.b_id, p.inter, n.n_grams AS a_grams,
+       |  floor(CAST(p.inter AS DOUBLE) / n.n_grams * 10000 + 0.5) / 10000 AS containment
+       |FROM p JOIN n ON p.a_id = n.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / n.n_grams >= $contTau
+       |ORDER BY p.a_id, p.b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x82_containment" -> containmentOracle,
     "x40_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,

@@ -290,6 +290,32 @@ class OperatorSpec extends SparkSpec {
         assert(f == d2 > 1.25 * m, s"vec $vid flag $f d2=$d2 mean=$m") }
   }
 
+  test("x82 containment: planted subset doc scores 1.0 toward its superset, not back") {
+    val dir = tmpDir("contain")
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"w${i}a w${i}b w${i}c").mkString(" ")
+    val superset = base + " " + (0 until 40).map(i => s"z${i}a z${i}b z${i}c").mkString(" ")
+    Seq(
+      (0L, "en", base),     // every 3-gram of doc 0 appears in doc 1
+      (1L, "en", superset),
+      (2L, "en", "totally different tokens sharing no grams with anything else at all"))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DedupQueries.x82(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(4)).toMap
+    assert(r.get((0L, 1L)).contains(1.0), s"subset→superset must score 1.0: $r")
+    // the reverse direction dilutes below τ — asymmetry is the point
+    assert(!r.contains((1L, 0L)), s"superset→subset must fall under τ: $r")
+    assert(!r.keys.exists { case (a, b) => a == 2L || b == 2L }, s"doc 2 shares nothing: $r")
+    // and on the real corpus every emitted pair respects the contract
+    val real = DedupQueries.x82(spark, sfDir).collect()
+    real.foreach { row =>
+      assert(row.getLong(0) != row.getLong(1))
+      assert(row.getDouble(4) >= 0.5 && row.getDouble(4) <= 1.0)
+      assert(row.getLong(2) <= row.getLong(3), "inter cannot exceed a's gram count")
+    }
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
