@@ -46,6 +46,11 @@ class PlansSpec extends SparkSpec {
     val sorts = opt.collect { case so: Sort => so }
     assert(sorts.nonEmpty && sorts.forall(!_.global), s"expected local sort, got:\n$opt")
     assert(opt.collect { case r: Repartition => r }.exists(_.numPartitions == 1))
+    // the single partition must come from an EXCHANGE, not a no-shuffle
+    // coalesce: coalesce(1) would pull the producing stage into one task
+    // (the x55 regression the round-7 rule fix removed)
+    assert(opt.collect { case r: Repartition if r.numPartitions == 1 => r }
+      .forall(_.shuffle), "presentation sort must repartition WITH shuffle")
     // physical plan: no range-partitioned exchange for the presentation sort
     val rangeEx = df.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
