@@ -273,12 +273,13 @@ object AdvancedQueries {
     * where a new snapshot is a new dir) — mutating parquet in place under
     * a cached index would serve stale results. Evicted/shutdown entries
     * delete their temp dirs. */
-  private case class IvfIndex(dir: String, cents: Array[(Long, Seq[Float])],
+  private case class IvfIndex(dir: String, owned: Boolean,
+                              cents: Array[(Long, Seq[Float])],
                               queryRows: Array[(Long, Seq[Float], Double)],
                               cbs: Array[Array[(Array[Float], Double)]])
 
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), IvfIndex]
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), IvfIndex]
 
   private def deleteDir(dir: String): Unit =
     try {
@@ -289,25 +290,41 @@ object AdvancedQueries {
           .foreach(java.nio.file.Files.deleteIfExists(_))
     } catch { case _: java.io.IOException => () }
 
-  private lazy val ivfCleanupHook: Unit =
+  private lazy val ivfCleanupHook: Unit = {
+    import scala.jdk.CollectionConverters._
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      ivfIndexCache.values.foreach(ix => deleteDir(ix.dir))))
+      ivfIndexCache.values.asScala.foreach(ix => if (ix.owned) deleteDir(ix.dir))))
+  }
 
   private def ivfIndex(s: SparkSession, d: String): IvfIndex = {
     ivfCleanupHook
-    ivfIndexCache.filterInPlace { case ((owner, _), ix) =>
-      val live = !owner.sparkContext.isStopped
-      if (!live) deleteDir(ix.dir)
-      live
+    // evict entries whose session has stopped; only dirs THIS cache created
+    // (owned temp dirs) are deleted — dirs under a user-provided
+    // graft.ivf.indexBase may be serving other sessions and are left alone
+    val it = ivfIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        if (e.getValue.owned) deleteDir(e.getValue.dir)
+        it.remove()
+      }
     }
-    ivfIndexCache.getOrElseUpdate((s, d), {
+    // computeIfAbsent is atomic per key: concurrent serving queries for the
+    // same (session, dataset) see exactly one build, never two writers
+    // racing write.mode("overwrite") into one dir
+    ivfIndexCache.computeIfAbsent((s, d), { _ =>
       val base = s.conf.get("graft.ivf.indexBase", "")
-      val dir =
+      val (dir, owned) =
         if (base.nonEmpty) {
-          val p = java.nio.file.Paths.get(base, s"graft-ivf-${math.abs(d.hashCode)}")
-          java.nio.file.Files.createDirectories(p)
-          p.toString
-        } else java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+          // collision-resistant digest of the dataset path (Int hashCode
+          // collides across dirs and abs(MinValue) stays negative); the
+          // parquet writer's Hadoop FS creates the path, so this works for
+          // object-store bases too, not just driver-visible filesystems
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (s"$base/graft-ivf-$md", false)
+        } else
+          (java.nio.file.Files.createTempDirectory("graft-ivf-index").toString, true)
       // the index carries BOTH raw vectors (x28's exact serving) and the
       // 4-bit PQ code columns (x80's ADC serving reads only those — at
       // 100 TB a memory-tier index would keep codes alone)
@@ -321,7 +338,7 @@ object AdvancedQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
         .sortBy(_._1)
-      IvfIndex(dir, cents, qRows, cbs)
+      IvfIndex(dir, owned, cents, qRows, cbs)
     })
   }
 

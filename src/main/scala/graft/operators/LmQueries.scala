@@ -198,8 +198,11 @@ object LmQueries {
       val (p, n) = (top.getString(0), top.getLong(1))
       merges += ((step.toLong, p, n))
       val m = p.replace(" ", "")
-      v = v.withColumn("syms",
-        expr(s"replace(replace(syms, ' $p ', ' $m '), ' $p ', ' $m ')"))
+      // bound literals, not SQL interpolation: a pair containing a quote or
+      // backslash (apostrophes in real text) must not break the parse
+      def sub(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.functions.replace(c, lit(s" $p "), lit(s" $m "))
+      v = v.withColumn("syms", sub(sub(col("syms"))))
     }
     vocab0.unpersist()
     import s.implicits._

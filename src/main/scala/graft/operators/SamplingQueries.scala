@@ -348,7 +348,10 @@ object SamplingQueries {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"(n_tokens - 1) div $bandTokens"))
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // null aggregate on an empty table → width 1 (empty result, same as
+    // the plain x77 window form) instead of an NPE on getLong
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val width = math.max(1L, maxId / saltRanges + 1)
     val salted = docs.withColumn("salt", expr(s"doc_id div $width"))
     val offs = salted.groupBy(col("bucket"), col("salt"))
