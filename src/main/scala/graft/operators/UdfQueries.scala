@@ -137,13 +137,18 @@ object UdfQueries {
       countDistinct(col("o_custkey")).as("exact_custs"))
 
   /** Misra–Gries buffer: fixed-k parallel primitive arrays (the TopKBuf
-    * discipline — product type keeps partials in Tungsten rows). */
-  case class MGBuf(keys: Array[Long], counts: Array[Long], n: Int)
+    * discipline — product type keeps partials in Tungsten rows). `n` is a
+    * var so the hot reduce path mutates in place — ObjectHashAggregate
+    * holds the buffer as a live object between rows, so zero allocation
+    * per row; the encoder only runs at partial-output boundaries. */
+  case class MGBuf(keys: Array[Long], counts: Array[Long], var n: Int)
 
   /** Mergeable Misra–Gries heavy-hitter sketch over 8-byte keys: at most k
     * counters; any item with true frequency > n/k is GUARANTEED to survive
     * (the deterministic MG bound, preserved under merge — Agarwal et al.,
-    * "Mergeable Summaries"). reduce is O(1) on a tracked key, O(k) on the
+    * "Mergeable Summaries"). reduce keeps entries roughly count-descending
+    * (one bubble swap per hit), so the skewed mass that dominates a real
+    * corpus probes the first slots — near-O(1) for hits, O(k) only on the
     * decrement path; merge sums the union then subtracts the (k+1)-th
     * largest combined count and drops non-positives — the standard MG
     * merge. Constant memory per partial whatever the corpus size: this is
@@ -153,11 +158,17 @@ object UdfQueries {
     override def reduce(buf: MGBuf, key: Long): MGBuf = {
       var i = 0
       while (i < buf.n && buf.keys(i) != key) i += 1
-      if (i < buf.n) { buf.counts(i) += 1; buf }
-      else if (buf.n < k) {
+      if (i < buf.n) {
+        val c = buf.counts(i) + 1; buf.counts(i) = c
+        if (i > 0 && c > buf.counts(i - 1)) { // bubble heavy keys frontward
+          buf.counts(i) = buf.counts(i - 1); buf.counts(i - 1) = c
+          val t = buf.keys(i - 1); buf.keys(i - 1) = buf.keys(i); buf.keys(i) = t
+        }
+        buf
+      } else if (buf.n < k) {
         buf.keys(buf.n) = key; buf.counts(buf.n) = 1
-        buf.copy(n = buf.n + 1)
-      } else { // decrement-all, compact the zeros
+        buf.n += 1; buf
+      } else { // decrement-all, compact the zeros (stays count-ordered)
         var w = 0; var r = 0
         while (r < buf.n) {
           if (buf.counts(r) > 1) {
@@ -165,7 +176,7 @@ object UdfQueries {
           }
           r += 1
         }
-        buf.copy(n = w)
+        buf.n = w; buf
       }
     }
     override def merge(a: MGBuf, b: MGBuf): MGBuf = {
@@ -192,6 +203,16 @@ object UdfQueries {
 
   private val hhK = 32
 
+  /** Hoisted once per JVM: ExpressionEncoder construction runs Scala
+    * reflection + analysis — rebuilding it per query invocation puts
+    * ~100 ms of driver work on the serving path for nothing. The
+    * Aggregator instance itself is stateless (all state lives in MGBuf),
+    * so one udaf handle is safe across sessions and threads. */
+  private lazy val mgUdaf = udaf(new MisraGries(hhK),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+  private lazy val hitsEnc =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long, Double)]()
+
   /** x81 — heavy-hitter tokens via sketch-then-verify (E71): a Misra–Gries
     * pass produces ≤k candidate hashes (constant memory, one bounded
     * collect), then ONLY the candidates are exact-counted and thresholded
@@ -202,19 +223,28 @@ object UdfQueries {
     * eviction path is stressed separately in the spec on a planted skewed
     * corpus with distinct ≫ k. */
   val x81: Q = (s, d) => {
+    import s.implicits._
     val toks = graft.Tables.spread(t(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(col("tok"), graft.Tables.h60(col("tok")).as("gh"))
-    val mg = udaf(new MisraGries(hhK),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
-    val cands = toks.agg(mg(col("gh"))).head.getSeq[Long](0) // ≤k — bounded
-    val total = toks.count()
-    toks.filter(col("gh").isin(cands: _*))
+    // sketch pass: the grand total rides the SAME aggregation (the n/k
+    // threshold needs it — a separate count() would re-read the corpus)
+    val head = toks.agg(mgUdaf(col("gh")).as("cands"),
+      count(lit(1)).as("total")).head
+    val cands = head.getSeq[Long](0) // ≤k — bounded by the MG sketch size
+    val total = head.getLong(1)
+    // verify pass: exact-counts only the ≤k candidate keys, then
+    // thresholds. ≤k rows can survive (each needs > n/k occurrences), so
+    // collecting is bounded whatever the corpus; returning the result as a
+    // LocalRelation keeps downstream evaluation free.
+    val hits = toks.filter(col("gh").isin(cands: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > lit(total) / lit(hhK.toDouble))
       .select(col("tok"), col("n_occ"),
         graft.Tables.fround(col("n_occ") / lit(total.toDouble), 6).as("freq"))
       .orderBy(desc("n_occ"), col("tok"))
+      .as[(String, Long, Double)](hitsEnc).collect()
+    hits.toSeq.toDF("tok", "n_occ", "freq")
   }
 
   val queries: Map[String, Q] = Map(
