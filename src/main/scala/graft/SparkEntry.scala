@@ -30,6 +30,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       UdfQueries.queries ++
       AdvancedQueries.queries ++
+      Quantizers.queries ++
       SamplingQueries.queries ++
       PivotQueries.queries ++
       CurationQueries.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       UdfQueries.oracles ++
       AdvancedQueries.oracles ++
+      Quantizers.oracles ++
       SamplingQueries.oracles ++
       PivotQueries.oracles ++
       CurationQueries.oracles ++

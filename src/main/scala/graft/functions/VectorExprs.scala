@@ -54,6 +54,50 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[FloatDot]]'s mixed-type sibling: array<float> · array<double> — the
+  * shape every trained-quantizer kernel needs (raw float vectors against
+  * k-means-trained centroid/codeword coordinates, which are fix-point
+  * doubles, see graft.operators.Quantizers). Same left-to-right double
+  * accumulation as FloatDot and as the DuckDB
+  * `list_aggregate(list_transform(list_zip(...)))` twin (where the
+  * CAST(double AS DOUBLE) on the trained side is the identity). */
+case class FloatDoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_double_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += (double) $x.getFloat($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash over a pre-hashed token array (array<long> -> long): one
   * pass over the hashes, 64 bit-votes each, sign -> bit. Replaces 64
   * interpreted `aggregate` HOF passes. */
@@ -242,6 +286,9 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 object VectorExprs {
   /** Double-precision dot product of two float-array columns (codegen'd). */
   def floatDot(a: Column, b: Column): Column = GraftExprBridge.toColumn(FloatDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
+  /** Dot of a float-array column with a double-array column (codegen'd). */
+  def floatDoubleDot(a: Column, b: Column): Column =
+    GraftExprBridge.toColumn(FloatDoubleDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
   /** 64-bit SimHash of an array<long> token-hash column (codegen'd). */
   def simHash64(th: Column): Column = GraftExprBridge.toColumn(SimHash64(GraftExprBridge.toExpression(th)))
   /** numHashes MinHash signature values of an array<string> shingle column. */

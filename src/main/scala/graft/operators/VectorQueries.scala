@@ -184,38 +184,43 @@ object VectorQueries {
     * DuckDB twins. 64-dim embeddings → pqM=8 subspaces × pqDims=8 dims;
     * pqK=16 codebook entries per subspace (a 4-bit code per subspace, so a
     * vector compresses to one packed BIGINT — 256 B → 4 B, 64×).
-    * Codebooks are the deterministic seed convention centroidSeeds uses
-    * for IVF: entry j of subspace i = vector j's i-th subvector (a real
-    * deployment k-means-trains these; the seeds keep both engines
-    * bit-reproducible, which is what the oracle gate needs). */
+    * Codebooks are k-means-TRAINED per subspace ([[Quantizers.trainedPq]],
+    * E74 — the FAISS recipe) from the deterministic seed convention (entry
+    * j of subspace i = vector j's i-th subvector); the fix-point training
+    * keeps both engines bit-reproducible, which is what the oracle gate
+    * needs. */
   private[operators] val pqM = 8
   private[operators] val pqDims = 8
   private[operators] val pqK = 16
 
-  /** [subspace][code] = (float subvector, its ‖c‖² as a double computed
-    * left-to-right). Bounded collect: pqK rows, like centroidSeeds. */
-  private[operators] def pqCodebooks(e: DataFrame): Array[Array[(Array[Float], Double)]] = {
+  /** [subspace][code] = (trained codeword, its ‖c‖² computed left-to-right).
+    * Cached per (session, dir) by the trainer. */
+  private[operators] def pqCodebooks(s: SparkSession, d: String): Array[Array[(Array[Double], Double)]] =
+    Quantizers.trainedPq(s, d).cbs
+
+  /** The UNTRAINED seed codebooks (the pre-E74 convention). Spec-only —
+    * the distortion-improvement assertion compares trained vs this. */
+  private[graft] def seedCodebooks(e: DataFrame): Array[Array[(Array[Double], Double)]] = {
     val seeds = e.filter(col("vec_id") < pqK)
       .select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray)
     Array.tabulate(pqM) { i =>
       seeds.map { v =>
-        val sub = v.slice(i * pqDims, (i + 1) * pqDims)
-        val cc = sub.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        val sub = v.slice(i * pqDims, (i + 1) * pqDims).map(_.toDouble)
+        val cc = sub.foldLeft(0.0)((acc, x) => acc + x * x)
         (sub, cc)
       }
     }
   }
 
-  /** ‖sub_i(x) − c‖² via the dot expansion ⟨s,s⟩ − 2⟨s,c⟩ + ‖c‖² — every
-    * term rides the codegen'd floatDot, and the GENERATED twin uses the
-    * identical formulation, so a vector's distance to its OWN seed
-    * subvector is exactly 0.0 on both engines (⟨s,s⟩, ⟨s,c⟩, ‖c‖² are the
-    * same accumulation). */
-  private[operators] def pqSubDist(sv: Column, entry: (Array[Float], Double)): Column = {
-    val cLit = array(entry._1.map(lit): _*) // float literals -> array<float>
-    (dot(sv, sv) - lit(2.0) * dot(sv, cLit)) + lit(entry._2)
+  /** ‖sub_i(x) − c‖² via the dot expansion ⟨s,s⟩ − 2⟨s,c⟩ + ‖c‖² — ⟨s,s⟩
+    * rides the codegen'd floatDot, ⟨s,c⟩ the mixed floatDoubleDot (trained
+    * codewords are fix-point doubles), and the GENERATED twin uses the
+    * identical formulation and accumulation order. */
+  private[operators] def pqSubDist(sv: Column, entry: (Array[Double], Double)): Column = {
+    val cLit = array(entry._1.map(lit): _*) // double literals -> array<double>
+    (dot(sv, sv) - lit(2.0) * graft.functions.VectorExprs.floatDoubleDot(sv, cLit)) + lit(entry._2)
   }
 
   /** Per-vector PQ encoding: vec_id, c0..c7 (int codes), d0..d7 (chosen
@@ -224,7 +229,7 @@ object VectorQueries {
     * the twin's ROW_NUMBER (d ASC, code ASC). Map-only: codebooks are
     * expression literals, nothing shuffles. */
   private def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val cbs = pqCodebooks(t(s, d, "embeddings"))
+    val cbs = pqCodebooks(s, d)
     // spread BEFORE the encode: 128 subspace distances per row over a
     // one-split scan would run single-task (the x25/x26 lesson; measured
     // 3.8 s single-task vs sub-second spread at sf1)
@@ -266,7 +271,7 @@ object VectorQueries {
   /** Append c0..c7 PQ code columns to any frame with an `embedding`
     * column (map-only; shared by x56's pqCodes and x57's IVF-PQ corpus). */
   private[operators] def withPqCodes(df: DataFrame,
-      cbs: Array[Array[(Array[Float], Double)]]): DataFrame =
+      cbs: Array[Array[(Array[Double], Double)]]): DataFrame =
     (0 until pqM).foldLeft(df) { (acc, i) =>
       val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
       acc.withColumn(s"c$i", array_min(array(cbs(i).zipWithIndex.map { case (entry, j) =>
@@ -278,12 +283,12 @@ object VectorQueries {
     * standard ADC table); the SAME doubles are interpolated into the twin,
     * so there is no cross-engine arithmetic. */
   private[operators] def pqLut(qv: Array[Float],
-      cbs: Array[Array[(Array[Float], Double)]]): Array[Array[Double]] =
+      cbs: Array[Array[(Array[Double], Double)]]): Array[Array[Double]] =
     Array.tabulate(pqM) { i =>
       cbs(i).map { case (c, _) =>
         val sub = qv.slice(i * pqDims, (i + 1) * pqDims)
         sub.zip(c).foldLeft(0.0) { case (acc, (x, cc)) =>
-          val t0 = x.toDouble - cc.toDouble; acc + t0 * t0
+          val t0 = x.toDouble - cc; acc + t0 * t0
         }
       }
     }
@@ -312,7 +317,7 @@ object VectorQueries {
     val e = t(s, d, "embeddings")
     val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head.getSeq[Float](0).toArray
-    val cbs = pqCodebooks(e)
+    val cbs = pqCodebooks(s, d)
     val adist = pqAdist(pqLut(qv, cbs))
     pqCodes(s, d)
       .select(col("vec_id"), adist.as("raw"))
@@ -365,8 +370,9 @@ object VectorQueries {
   private[operators] def pqDotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
 
-  /** GENERATED x55/x56 shared CTE chain: codebook from the same seed
-    * convention (vec_id < pqK subvectors), distance via the same
+  /** GENERATED x55/x56 shared CTE chain: codebook from the ENTIRE
+    * per-subspace Lloyd's training chain ([[Quantizers.pqTrainCtes]] — the
+    * twin re-trains in SQL, nothing interpolated), distance via the same
     * ⟨s,s⟩ − 2⟨s,c⟩ + ‖c‖² expansion (‖c‖² here is the in-SQL dot whose
     * accumulation order equals the Scala foldLeft literal on the Spark
     * side), argmin via ROW_NUMBER (d ASC, code ASC) = array_min struct
@@ -377,11 +383,8 @@ object VectorQueries {
       s"MAX(CASE WHEN sub=$i THEN code END) AS c$i").mkString(", ")
     val dPiv = (0 until pqM).map(i =>
       s"MAX(CASE WHEN sub=$i THEN d END) AS d$i").mkString(", ")
-    s"""WITH cb AS (
-       |  SELECT s.sub, e.vec_id AS code,
-       |    list_slice(e.embedding, s.sub*$pqDims+1, s.sub*$pqDims+$pqDims) AS cvec
-       |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub) s
-       |  WHERE e.vec_id < $pqK),
+    s"""WITH ${Quantizers.pqTrainCtes},
+       |cb AS (SELECT sub, code, cvec FROM pcb${Quantizers.pqRounds}),
        |dists AS (
        |  SELECT e.vec_id, cb.sub, cb.code,
        |    (${pqDotSql(sv, sv)}

@@ -80,9 +80,11 @@ class AdvancedSpec extends SparkSpec {
     assert(parsed.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
   }
 
-  /** Independent Scala recompute of the x25/x26 shared front: centroid
-    * assignment (argmax dot, tie -> max cid) and within-cluster cosines, in
-    * the same double op order as the Spark/DuckDB formulations. */
+  /** Independent Scala recompute of the x25/x26 shared front: TRAINED
+    * centroid assignment (argmax dot, tie -> max cid) and within-cluster
+    * cosines, in the same double op order as the Spark/DuckDB formulations.
+    * The centroids come from the trainer (whose own arithmetic QuantizerSpec
+    * and the x83 oracle verify); everything downstream is recomputed here. */
   private def clusteredCosines() = {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
@@ -92,10 +94,15 @@ class AdvancedSpec extends SparkSpec {
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    val cents = embs.filter(_._1 < 16)
+    def dotD(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    val cents = operators.Quantizers.trainedKm(spark, sfDir).cents
     val cid = embs.map { case (id, e) =>
       // max score, tie -> max cid (the struct-max comparator)
-      id -> cents.map { case (c, ce) => (dot(e, ce), c) }.max._2
+      id -> cents.map { case (c, ce) => (dotD(e, ce), c) }.max._2
     }.toMap
     val cos = (a: Array[Float], b: Array[Float]) =>
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
@@ -150,10 +157,10 @@ class AdvancedSpec extends SparkSpec {
 
   test("x27 retrieval join equals brute force restricted to each query's probe set") {
     val (embs, cid, cos) = clusteredCosines()
-    val cents = embs.filter(_._1 < 16)
-    def dotA(a: Array[Float], b: Array[Float]): Double = {
+    val cents = operators.Quantizers.trainedKm(spark, sfDir).cents
+    def dotA(a: Array[Float], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
       s
     }
     val got = AdvancedQueries.x27(spark, sfDir).collect()

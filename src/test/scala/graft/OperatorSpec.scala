@@ -167,17 +167,29 @@ class OperatorSpec extends SparkSpec {
     if (brute.nonEmpty) assert(lsh.nonEmpty)
   }
 
-  test("PQ: seed vectors self-encode with distortion 0; ADC ranks the query first") {
+  test("PQ: trained encode beats the seeded codebooks; ADC ranks the query first") {
     val enc = VectorQueries.x55(spark, sfDir).collect()
     assert(enc.length == graft.Tables.t(spark, sfDir, "embeddings").count())
-    // seed vector j's subvectors ARE codebook entry j in every subspace:
-    // code = j repeated 8 times (packed), distortion exactly 0
-    enc.filter(_.getLong(0) < 16).foreach { r =>
-      val j = r.getLong(0)
-      val expected = (0 until 8).map(i => j * (1L << (4 * i))).sum
-      assert(r.getLong(1) == expected, s"seed $j code ${r.getLong(1)} != $expected")
-      assert(r.getDouble(2) == 0.0, s"seed $j distortion ${r.getDouble(2)}")
-    }
+    // distortion is a squared distance: nonnegative everywhere
+    enc.foreach(r => assert(r.getDouble(2) >= 0.0, s"vec ${r.getLong(0)} distortion"))
+    // the trained codebooks must beat the seed convention they start from:
+    // total x55 distortion <= an independent Scala recompute of the SEEDED
+    // encode (argmin over seed codewords per subspace)
+    val allVecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val seedCbs = VectorQueries.seedCodebooks(graft.Tables.t(spark, sfDir, "embeddings"))
+    val seededTotal = allVecs.map { case (_, v) =>
+      (0 until 8).map { i =>
+        val sv = v.slice(i * 8, (i + 1) * 8)
+        seedCbs(i).map { case (c, _) =>
+          sv.zip(c).foldLeft(0.0) { case (a, (x, cc)) =>
+            val t = x.toDouble - cc; a + t * t }
+        }.min
+      }.sum
+    }.sum
+    val trainedTotal = enc.map(_.getDouble(2)).sum
+    assert(trainedTotal <= seededTotal,
+      s"trained distortion $trainedTotal > seeded $seededTotal")
     // every packed code stays in the 32-bit range of 8 x 4-bit fields
     assert(enc.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)))
 
@@ -186,18 +198,27 @@ class OperatorSpec extends SparkSpec {
     // the query vector's own code has ADC distance = its quantization
     // distortion floor -> vec 0 must rank first with adist ~ 0 vs itself
     assert(adc.head.getLong(0) == 0L, s"ADC top-1 is ${adc.head.getLong(0)}")
-    // ADC top-10 must overlap the exact L2 top-10 (recall sanity, not
-    // exactness — ADC approximates L2 distance to the query)
+    // ADC sanity on near-orthogonal noise vectors: 4-bit codes can't pin
+    // the exact top-10 (and the seeded codebooks' zero-distortion encode of
+    // vecs 0..15 used to inflate the overlap), so assert what ADC actually
+    // promises — its top-10 are genuinely closer to the query than the
+    // corpus average, by a wide margin, and at least one true top-10 hit
     val vecs = graft.Tables.t(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
     val q = vecs.find(_._1 == 0L).get._2
-    val exact = vecs.map { case (id, v) =>
+    val trueDist = vecs.map { case (id, v) =>
       id -> v.zip(q).foldLeft(0.0) { case (a, (x, y)) =>
         val t = x.toDouble - y.toDouble; a + t * t
       }
-    }.sortBy { case (id, dist) => (dist, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val exact = trueDist.toSeq.sortBy { case (id, dist) => (dist, id) }
+      .take(10).map(_._1).toSet
     val hits = adc.map(_.getLong(0)).count(exact.contains)
-    assert(hits >= 3, s"ADC recall@10 too low: $hits/10 vs exact L2 set")
+    assert(hits >= 1, s"ADC found no true top-10 member: $hits/10")
+    val adcMean = adc.map(r => trueDist(r.getLong(0))).sum / adc.length
+    val corpusMean = trueDist.filterNot(_._1 == 0L).values.sum / (trueDist.size - 1)
+    assert(adcMean < 0.8 * corpusMean,
+      s"ADC top-10 not closer than average: $adcMean vs corpus $corpusMean")
   }
 
   test("x58 LM score: reference-slice docs have zero OOV, scores well-formed, LM discriminates") {
@@ -272,18 +293,19 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(w0 - math.floor(tf0.toDouble * nDocs / df0 * 10000 + 0.5) / 10000) < 1e-9)
   }
 
-  test("x69 embedding outliers: distances nonnegative, seeds self-centered, flag matches rule") {
+  test("x69 embedding outliers: distances nonnegative, cluster means consistent, flag matches rule") {
     val r = operators.AdvancedQueries.queries("x69_embed_outliers")(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getBoolean(4)))
     assert(r.length == graft.Tables.t(spark, sfDir, "embeddings").count())
     r.foreach { case (vid, _, d2, m, _) =>
       assert(d2 >= 0.0 && m > 0.0, s"vec $vid d2=$d2 mean=$m")
     }
-    // a centroid seed assigned to its own cluster is at distance exactly 0
-    val selfSeeds = r.filter { case (vid, cid, _, _, _) => vid == cid && vid < 16 }
-    assert(selfSeeds.nonEmpty)
-    selfSeeds.foreach { case (vid, _, d2, _, _) =>
-      assert(d2 == 0.0, s"seed $vid self-distance $d2") }
+    // cl_mean is the fix-point mean of the cluster's d2 values (recompute)
+    r.groupBy(_._2).foreach { case (cid, rows) =>
+      val want = math.floor(rows.map(_._3).sum / rows.length * 1e6 + 0.5) / 1e6
+      rows.foreach { case (vid, _, _, m, _) =>
+        assert(math.abs(m - want) < 2e-6, s"vec $vid cid $cid mean $m want $want") }
+    }
     // flag agrees with the 1.25x rule away from the rounding boundary
     r.filter { case (_, _, d2, m, _) => math.abs(d2 - 1.25 * m) > 1e-4 }
       .foreach { case (vid, _, d2, m, f) =>

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AdvancedQueries, Quantizers, VectorQueries}
+
+/** E73/E74 — k-means quantizer training: the Lloyd's guarantees (monotone
+  * objective/distortion), unit-norm invariants, and the payoff assertions
+  * (training must beat the seed convention it starts from: ANN recall up,
+  * PQ distortion down). Arithmetic parity with DuckDB is the x83/x84 oracle
+  * gate's job; this spec owns the semantic properties. */
+class QuantizerSpec extends SparkSpec {
+
+  test("x83 spherical k-means: objective monotone non-decreasing, trace well-formed") {
+    val m = Quantizers.trainedKm(spark, sfDir)
+    assert(m.trace.length == Quantizers.kmRounds)
+    assert(m.trace.map(_._1).toSeq == (0L until Quantizers.kmRounds.toLong))
+    // the spherical-k-means guarantee, modulo fix-point quantization of the
+    // centroid means (each coordinate moves < 0.5e-6, so the objective can
+    // dip by at most a few micro-units per round)
+    m.trace.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 50L, s"objective regressed: $a -> $b")
+    }
+    // training must actually move the needle vs the seeded start
+    assert(m.trace.last._2 > m.trace.head._2,
+      s"no improvement: ${m.trace.head._2} -> ${m.trace.last._2}")
+  }
+
+  test("x83 trained centroids are unit vectors with stable cids") {
+    val m = Quantizers.trainedKm(spark, sfDir)
+    assert(m.cents.map(_._1).toSeq == (0L until 16L))
+    m.cents.foreach { case (cid, c) =>
+      val nrm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      assert(math.abs(nrm - 1.0) < 1e-9, s"cid $cid norm $nrm")
+    }
+  }
+
+  test("x84 PQ Lloyd's: distortion monotone non-increasing, beats the seeded codebooks") {
+    val m = Quantizers.trainedPq(spark, sfDir)
+    assert(m.trace.length == Quantizers.pqRounds)
+    m.trace.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 50L, s"distortion regressed: $a -> $b")
+    }
+    // round 0 is measured under the SEED codebooks — the final round
+    // strictly improving on it is "training beats the seed convention"
+    assert(m.trace.last._2 < m.trace.head._2,
+      s"no improvement: ${m.trace.head._2} -> ${m.trace.last._2}")
+  }
+
+  test("trained IVF recall@3 beats the seeded-centroid index") {
+    def meanRecall(cents: Array[(Long, Array[Double])]): Double = {
+      val r = AdvancedQueries.recallWith(spark, sfDir, cents)
+        .select(col("recall")).collect().map(_.getDouble(0))
+      r.sum / r.length
+    }
+    val seeded = meanRecall(AdvancedQueries.seedCentroids(
+      graft.Tables.t(spark, sfDir, "embeddings")))
+    val trained = meanRecall(Quantizers.trainedCents(spark, sfDir))
+    info(s"recall@3: seeded=$seeded trained=$trained")
+    assert(trained >= seeded,
+      s"trained index must not lose recall: $trained < $seeded")
+  }
+
+  test("x83/x84 queries return the cached traces in round order") {
+    val km = Quantizers.queries("x83_kmeans_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(km.toSeq == Quantizers.trainedKm(spark, sfDir).trace.toSeq)
+    val pq = Quantizers.queries("x84_kmeans_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.toSeq == Quantizers.trainedPq(spark, sfDir).trace.toSeq)
+  }
+}

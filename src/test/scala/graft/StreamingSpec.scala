@@ -285,6 +285,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E76: incremental index append — serve-after-append equals a same-model rebuild, byte-identical") {
+    import operators.{AdvancedQueries, Quantizers}
+    // built corpus: the first 400 vectors as their own dataset dir
+    val work = tmpDir("ivf-append")
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    e.filter($"vec_id" < 400).write.parquet(s"$work/embeddings.parquet")
+    val ixDir = AdvancedQueries.ivfIndexDir(spark, work)
+    assert(spark.read.parquet(ixDir).count() == 400)
+    val servedBefore = AdvancedQueries.queries("x28_indexed_retrieval")(spark, work).collect()
+
+    // stream the remaining 100 vectors in two micro-batches
+    val rest = e.filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        AdvancedQueries.appendToIndex(spark, work, b))
+      .start()
+    input.addData(rest.take(50))
+    q.processAllAvailable()
+    input.addData(rest.drop(50))
+    q.processAllAvailable()
+    q.stop()
+
+    // the appended index must equal a from-scratch encode of the FULL
+    // corpus under the SAME (frozen, subset-trained) model — byte-identical
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+        $"vec_id".cast("long"), $"cid".cast("long"), $"nrm",
+        org.apache.spark.sql.functions.array(
+          (0 until 8).map(i => org.apache.spark.sql.functions.col(s"c$i").cast("int")): _*).as("codes"),
+        $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Int](3), r.getSeq[Float](4))).toSet
+    val got = canon(spark.read.parquet(ixDir))
+    assert(got.size == 500, s"index rows after append: ${got.size}")
+    val full = e.select($"vec_id", $"embedding")
+    val want = canon(AdvancedQueries.encodeRows(full,
+      Quantizers.trainedCents(spark, work), Quantizers.trainedPq(spark, work).cbs))
+    assert(got == want, "appended index must be byte-identical to a same-model rebuild")
+
+    // serving still answers from the refreshed cache (query batch unchanged:
+    // still 3 hits x 100 queries, possibly with appended vectors as hits)
+    val servedAfter = AdvancedQueries.queries("x28_indexed_retrieval")(spark, work).collect()
+    assert(servedAfter.length == servedBefore.length)
+  }
+
   test("E25: session-window streaming matches batch sessionization") {
     // user 1: events at 0,10,20 (one session), then 60,65 (second session)
     val events = Seq(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 60), ev(5, 65))
