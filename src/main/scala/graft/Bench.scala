@@ -44,6 +44,14 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
+    // Contention guard (VERDICT r8: a load-9.3 artifact cost a round a clean
+    // cross-round comparison): numbers from a loaded machine are upper
+    // bounds, not measurements — flag it loudly in stderr AND the JSON so a
+    // contended run is never shipped as the round artifact unlabeled.
+    val contended = loadStart > Runtime.getRuntime.availableProcessors / 4.0
+    if (contended) System.err.println(
+      f"[bench] WARNING: start load $loadStart%.1f exceeds cores/4 — " +
+        "re-run on an idle machine before treating this artifact as a measurement")
     // Latency profile on top of the engine defaults: at bench SF every
     // shuffle is <10 MB, so AQE's per-stage re-planning jobs cost more than
     // they save (engine default keeps AQE on for the 100 TB posture —
@@ -102,7 +110,7 @@ object Bench {
     val passesJson = s"""{"cold":${arr(cold)},"nocache":${arr(nocache)},""" +
       s""""hotA":${arr(hotA)},"hotB":${arr(hotB)}}"""
     val loadJson = f"""{"start":$loadStart%.2f,"end":$loadEnd%.2f,""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+      s""""cpus":${Runtime.getRuntime.availableProcessors},"contended":$contended}"""
     // line 1: the driver-contract summary, compact enough that tail
     // truncation can never reach it; line 2: the bulky per-pass diagnostic
     // arrays (losable — BENCH_SELF.json keeps the full record regardless)

@@ -21,6 +21,15 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Pin timestamp semantics at the engine seam: tz-less parquet
+      // timestamp[us] columns would otherwise infer as TIMESTAMP_NTZ
+      // (Spark 4 default), and strict functions (unix_micros) reject NTZ.
+      // Under the UTC-pinned session the two types carry identical
+      // wall-clock micros, so reading everything as TIMESTAMP is exact and
+      // makes the suite immune to the physical type the data generator
+      // happens to emit. Tables.load additionally normalizes NTZ columns
+      // for sessions built outside this builder.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.debug.maxToStringFields", "2000")
       // static conf, default 100: a 58-query suite × several codegen units
       // each evicts round-robin, so every warm query pays a janino recompile

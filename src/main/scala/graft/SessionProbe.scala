@@ -30,7 +30,8 @@ object SessionProbe {
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
         .withColumn("new_s",
-          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >= 1800000000L
+          when(unix_micros(col("ts").cast("timestamp"))
+              - unix_micros(lag(col("ts"), 1).over(byUser).cast("timestamp")) >= 1800000000L
             || lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
         .withColumn("sid", sum(col("new_s")).over(run))
         .groupBy(col("user_id"), col("sid"))
@@ -45,7 +46,7 @@ object SessionProbe {
       val ev = t(s, d, "events").select(col("user_id"), col("ts"))
         .repartition(col("user_id"))
         .sortWithinPartitions(col("user_id"), col("ts"))
-        .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("ts"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsl"), col("ts"))
       val sessions = ev.as[(Long, Long, java.sql.Timestamp)].mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, Long, Long)]
         var curUser = Long.MinValue

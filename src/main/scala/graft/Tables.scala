@@ -76,10 +76,18 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .getOrElse(df)
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df = raw.schema.fields
+      .find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .getOrElse(raw)
+    // Normalize any TIMESTAMP_NTZ column (tz-less parquet physical type,
+    // inferred when a session lacks Engine's inferTimestampNTZ=false pin) to
+    // TIMESTAMP. Exact under the UTC-pinned session: the cast reinterprets
+    // the same wall-clock micros. Keeps every operator on one timestamp
+    // type regardless of how the data generator wrote the files.
+    df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(df)((acc, f) => acc.withColumn(f.name, col(f.name).cast("timestamp")))
   }
 
   /** Exact, order-independent sum of a double column (double addition is not

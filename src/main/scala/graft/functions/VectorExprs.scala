@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExprBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * in changes nothing about result hashes.
   */
 case class FloatDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "float_dot"
 
@@ -62,8 +64,13 @@ case class FloatDot(left: Expression, right: Expression)
   * `list_aggregate(list_transform(list_zip(...)))` twin (where the
   * CAST(double AS DOUBLE) on the trained side is the identity). */
 case class FloatDoubleDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  // The element accessors are type-ASYMMETRIC (getFloat left, getDouble
+  // right); declaring inputTypes makes a swapped call fail analysis instead
+  // of silently misreading element bytes (ADVICE r8).
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "float_double_dot"
 
@@ -102,8 +109,9 @@ case class FloatDoubleDot(left: Expression, right: Expression)
   * pass over the hashes, 64 bit-votes each, sign -> bit. Replaces 64
   * interpreted `aggregate` HOF passes. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(LongType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
 
@@ -206,8 +214,9 @@ object MinHash {
   * (conv(substring(md5(...)))) materializes a 32-char hex string and
   * base-16-parses it per call — this goes digest-bytes -> long directly.
   * Same cross-engine value, so every oracle stays hash-matched. */
-case class H60(child: Expression) extends UnaryExpression {
+case class H60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "h60"
 
@@ -227,8 +236,10 @@ case class H60(child: Expression) extends UnaryExpression {
   * one md5 per element, no hex-string materialization. CodegenFallback like
   * MinHashSigs: one virtual call per ROW. */
 case class H60Array(child: Expression)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "h60_array"
 
@@ -256,9 +267,11 @@ case class H60Array(child: Expression)
   * per ROW (not per hash) keeps the generated source tiny while the loop
   * runs compiled JVM code. */
 case class MinHashSigs(child: Expression, numHashes: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(numHashes <= MinHash.A.length, s"at most ${MinHash.A.length} hashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sigs"
 

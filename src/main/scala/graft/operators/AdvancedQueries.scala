@@ -298,7 +298,9 @@ object AdvancedQueries {
                               cents: Array[(Long, Array[Double])],
                               queryRows: Array[(Long, Seq[Float], Double)],
                               cbs: Array[Array[(Array[Double], Double)]],
-                              serving: DataFrame)
+                              serving: DataFrame,
+                              codesServing: DataFrame,
+                              maxVecId: Long)
 
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), IvfIndex]
@@ -327,6 +329,12 @@ object AdvancedQueries {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1.sparkContext.isStopped) {
+        // unpersist for symmetry with the appendToIndex refresh path: a
+        // stopped context has already dropped its blocks (the call is a
+        // no-op there), but if eviction is ever extended to live-session
+        // invalidation this is the line that prevents a cache-block leak
+        try e.getValue.serving.unpersist() catch { case _: Exception => () }
+        try e.getValue.codesServing.unpersist() catch { case _: Exception => () }
         if (e.getValue.owned) deleteDir(e.getValue.dir)
         it.remove()
       }
@@ -370,7 +378,12 @@ object AdvancedQueries {
       // at sf0.1 pre-fix). At 100 TB the memory tier holds the code
       // columns (x80's layout); raw vectors page in from the probed
       // partitions only.
-      IvfIndex(dir, owned, cents, qRows, cbs, servingScan(s, dir, cents, qRows))
+      // build-time corpus bound for the append-contract guard: one
+      // footer-stats agg over the just-written index (bounded cost, build
+      // time only; maintained incrementally by appendToIndex thereafter)
+      val maxId = s.read.parquet(dir).agg(max(col("vec_id"))).head.getLong(0)
+      IvfIndex(dir, owned, cents, qRows, cbs, servingScan(s, dir, cents, qRows),
+        codesScan(s, dir, cents, qRows), maxId)
     })
   }
 
@@ -394,35 +407,113 @@ object AdvancedQueries {
     * map-only into the partitioned layout; nothing existing is rewritten.
     * Caller contract: vec_ids in `batch` must be new (the index has no
     * upsert semantics, like FAISS add). */
-  def appendToIndex(s: SparkSession, d: String, batch: DataFrame): Unit = {
-    val ix = ivfIndex(s, d)
-    encodeRows(batch, ix.cents, ix.cbs)
-      .write.mode("append").partitionBy("cid").parquet(ix.dir)
-    // refresh: drop stale file listings and re-pin the pruned serving scan
-    ivfIndexCache.computeIfPresent((s, d), { (_, old) =>
-      old.serving.unpersist()
-      s.catalog.refreshByPath(old.dir)
-      old.copy(serving = servingScan(s, old.dir, old.cents, old.queryRows))
-    })
-  }
+  // One lock object per (session, dataset): appends into a single
+  // cid-partitioned dir must not interleave (two racing parquet append jobs
+  // plus two computeIfPresent refreshes can pin a serving scan whose file
+  // listing misses the other writer's files). The streaming contract is
+  // foreachBatch = one writer, but the guard makes the API safe, not just
+  // the documented usage.
+  private val appendLocks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Object]
 
-  /** The pruned, projected, memory-pinned serving scan: the probe UNION of
-    * the (build-time-constant) query batch as a static cid partition filter.
-    * ddot = floatDoubleDot's exact accumulation, the x80 driver pattern. */
-  private def servingScan(s: SparkSession, dir: String,
-      cents: Array[(Long, Array[Double])],
-      qRows: Array[(Long, Seq[Float], Double)]): DataFrame = {
-    val probedAll = qRows.flatMap { case (_, qe, _) =>
+  def appendToIndex(s: SparkSession, d: String, batch: DataFrame): Unit =
+    appendLocks.computeIfAbsent((s, d), _ => new Object).synchronized {
+      val ix = ivfIndex(s, d)
+      // Caller contract (vec_ids strictly new — FAISS add, no upsert) is
+      // enforced, not assumed: a duplicate or out-of-order id would silently
+      // corrupt serving (queryRows froze at build time, duplicates surface
+      // in x28's top-k). One bounded agg over the micro-batch.
+      val bounds = batch.agg(min(col("vec_id")), max(col("vec_id"))).head
+      require(!bounds.isNullAt(0), "appendToIndex: empty batch")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo > ix.maxVecId,
+        s"appendToIndex: batch vec_ids [$lo,$hi] overlap the index (max ${ix.maxVecId}); " +
+          "the index has no upsert semantics — assign new ids or rebuild")
+      encodeRows(batch, ix.cents, ix.cbs)
+        .write.mode("append").partitionBy("cid").parquet(ix.dir)
+      // refresh: drop stale file listings and re-pin the pruned serving scan
+      ivfIndexCache.computeIfPresent((s, d), { (_, old) =>
+        old.serving.unpersist()
+        old.codesServing.unpersist()
+        s.catalog.refreshByPath(old.dir)
+        old.copy(serving = servingScan(s, old.dir, old.cents, old.queryRows),
+          codesServing = codesScan(s, old.dir, old.cents, old.queryRows),
+          maxVecId = hi)
+      })
+    }
+
+  /** Index rebuild under a RETRAINED model (E78) — the drift half of E76's
+    * append contract: retrain both quantizers on the GROWN corpus (original
+    * build + every appended batch, read back from the index's own raw-vector
+    * column), re-encode everything through the same [[encodeRows]], write a
+    * fresh cid-partitioned layout, swap the serving cache atomically, and
+    * delete the old owned dir. FAISS retrain + re-add — the offline
+    * maintenance job a production store schedules when append drift
+    * accumulates; E76 stays the cheap map-only path between rebuilds.
+    *
+    * The retrained model is PRIVATE to the rebuilt index: the
+    * (session, dir) Quantizers caches keep the source-table models that
+    * x83/x84 and fresh computes (x27/x57) are defined over. Serialized with
+    * appends via the same per-index lock. Returns the new index dir. */
+  def rebuildIndex(s: SparkSession, d: String): String =
+    appendLocks.computeIfAbsent((s, d), _ => new Object).synchronized {
+      val old = ivfIndex(s, d)
+      val grown = s.read.parquet(old.dir).select(col("vec_id"), col("embedding"))
+      val km = Quantizers.trainKmOn(grown)
+      val pq = Quantizers.trainPqOn(grown)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      encodeRows(graft.Tables.spread(grown), km.cents, pq.cbs)
+        .write.mode("overwrite").partitionBy("cid").parquet(dir)
+      val qRows = s.read.parquet(dir)
+        .filter(col("vec_id") < retrievalQ)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val maxId = s.read.parquet(dir).agg(max(col("vec_id"))).head.getLong(0)
+      val fresh = IvfIndex(dir, owned = true, km.cents, qRows, pq.cbs,
+        servingScan(s, dir, km.cents, qRows), codesScan(s, dir, km.cents, qRows), maxId)
+      ivfIndexCache.put((s, d), fresh)
+      old.serving.unpersist()
+      old.codesServing.unpersist()
+      if (old.owned) deleteDir(old.dir)
+      dir
+    }
+
+  /** The union of all per-query probe sets — the static partition filter
+    * both pinned serving tiers share. ddot = floatDoubleDot's exact
+    * accumulation, the x80 driver pattern. */
+  private def probedUnion(cents: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Seq[Float], Double)]): Seq[Long] =
+    qRows.flatMap { case (_, qe, _) =>
       val qv = qe.toArray
       cents.map { case (cid, c) =>
         (cid, qv.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y })
       }.sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe).map(_._1)
-    }.distinct.sorted
+    }.distinct.sorted.toSeq
+
+  /** The pruned, projected, memory-pinned RAW serving scan: the probe UNION
+    * of the (build-time-constant) query batch as a static cid partition
+    * filter. */
+  private def servingScan(s: SparkSession, dir: String,
+      cents: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Seq[Float], Double)]): DataFrame =
     s.read.parquet(dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").cast("long").as("cid"))
-      .filter(col("cid").isin(probedAll: _*)) // prunes index partitions
+      .filter(col("cid").isin(probedUnion(cents, qRows): _*)) // prunes index partitions
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+
+  /** The CODES-tier sibling: vec_id + cid + nrm + c0..c7 (~12 B/row), same
+    * static partition filter, memory-pinned — the tier a 100 TB deployment
+    * actually holds resident (x80's layout); x85's shortlist reads this. */
+  private def codesScan(s: SparkSession, dir: String,
+      cents: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Seq[Float], Double)]): DataFrame =
+    s.read.parquet(dir)
+      .select(col("vec_id") +: col("cid").cast("long").as("cid") +: col("nrm") +:
+        (0 until VectorQueries.pqM).map(i => col(s"c$i")): _*)
+      .filter(col("cid").isin(probedUnion(cents, qRows): _*)) // prunes index partitions
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** x28 — indexed ANN retrieval (E51): x27's EXACT contract served from
     * the persisted IVF index instead of recomputing assignment per query —
@@ -458,6 +549,146 @@ object AdvancedQueries {
       .join(broadcast(probes), Seq("cid"))
       .join(broadcast(q), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"),
+        col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("vec_id"), col("col._1").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Shortlist size for the refine stage: k·nprobe (top-3 × 6 probes) —
+    * the bound the re-rank join pays per query. */
+  private val refineShort = 3 * nprobe
+
+  /** x85 — refine serving (E77): the FAISS "refine" composition — an
+    * inner-product ADC shortlist computed from the PQ CODE columns (plus
+    * the 8-byte stored norm), then an exact cosine re-rank of only the
+    * ≤k·nprobe shortlisted raw vectors — x27's query batch and scoring
+    * expressions on a bounded candidate set.
+    *
+    * Contract: honest FAISS refine semantics, NOT exact-serving like x28.
+    * The exact contract is unreachable from a 4-bit-code shortlist on this
+    * corpus — measured (RefineProbe, sf0.001): the worst true-top-3 hit
+    * sits at ADC rank 155 of ~190 probed candidates, so a recall-1.0
+    * shortlist would be the whole probe set and the codes tier would prune
+    * nothing. What refine DOES guarantee: sims on the shortlist are exact
+    * (score error of pure ADC serving is eliminated), and recall@3 is
+    * lifted over ADC-only ranking at the same candidate budget (asserted
+    * in the spec). The oracle is its OWN generated twin ([[refineOracle]])
+    * that re-runs the full two-stage pipeline in SQL — codebook training,
+    * IP-LUT, shortlist comparator, exact re-rank — from the same constants,
+    * so the gate is hash-exact on the refine semantics.
+    *
+    * This is the serving mode that matters at 100 TB where the raw-vector
+    * tier cannot be memory-pinned: the shortlist stage reads ~12 B per
+    * candidate (codes + norm) from the probed partitions only (no
+    * embedding bytes — ReadSchema asserted in the spec), and raw vectors
+    * are touched for just |Q|·k·nprobe rows via the vec_id join. Here the
+    * re-rank side reads the memory-pinned serving scan; on a cluster it
+    * would page in the probed partitions' raw tier.
+    *
+    * Plan shape: codes scan (partition-pruned, codes+norm only) →
+    * broadcast probe join → per-query IP-ADC against a broadcast LUT
+    * table (pqM·pqK doubles per query, driver-computed like x80's) →
+    * bounded TopK(k·nprobe) shortlist (only k·nprobe rows per query cross
+    * the exchange) → broadcast the |Q|·k·nprobe shortlist into the
+    * raw-vector join → x27's exact scoring + TopK(3). */
+  /** The ADC shortlist frame: (q_id, vec_id), ≤k·nprobe ids per query,
+    * ranked by ADC distance from the CODE columns only. private[graft] so
+    * the spec can assert true-top-k ⊆ shortlist directly (a recall break
+    * must fail loudly, not surface as an oracle hash mismatch). */
+  private[graft] def refineShortlist(s: SparkSession, d: String): DataFrame = {
+    val ix = ivfIndex(s, d)
+    import s.implicits._
+    // per-query probe sets + ADC LUTs, both bounded driver constants
+    // (nprobe·|Q| pairs; pqM·pqK doubles per query) — same ddot ranking as
+    // servingScan/x80, so probes are bit-identical to x27's
+    def ddot(qv: Array[Float], c: Array[Double]): Double =
+      qv.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y }
+    val probePairs = ix.queryRows.toSeq.flatMap { case (qid, qe, _) =>
+      val qv = qe.toArray
+      ix.cents.map { case (cid, c) => (cid, ddot(qv, c)) }
+        .sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    // inner-product LUTs (FAISS METRIC_INNER_PRODUCT): the shortlist must
+    // rank by APPROXIMATE COSINE — q·x̂ / ‖x‖ — to align with the exact
+    // contract's ranking; a distance-LUT (‖q−x̂‖²) shortlist mis-ranks
+    // whenever corpus norms vary and tanks shortlist recall (measured: ~45%
+    // of queries lost a true top-3 at sf0.001). FLATTENED to one
+    // pqM·pqK-element array per query (lut[sub·pqK + code]) and pre-joined
+    // with the probe pairs driver-side, so each candidate row pays ONE
+    // broadcast hash probe and single-level element_at lookups.
+    val lutByQ = ix.queryRows.map { case (qid, qe, _) =>
+      qid -> VectorQueries.pqDotLut(qe.toArray, ix.cbs).flatten.toSeq
+    }.toMap
+    val probes = probePairs.map { case (qid, cid) => (qid, cid, lutByQ(qid)) }
+      .toDF("q_id", "cid", "lut")
+    // codes-tier shortlist scan: vec_id + cid + c0..c7 + the 8-byte nrm
+    // scalar, probed partitions only, pinned at build time — no embedding
+    // bytes on the shortlist path
+    val codes = ix.codesServing
+    // approximate dot against the per-query LUT column: 8 lookups + 7 adds
+    val adot = (0 until VectorQueries.pqM)
+      .map(i => element_at(col("lut"), (lit(i * VectorQueries.pqK) + col(s"c$i") + 1).cast("int")))
+      .reduce(_ + _)
+    val shortTopK = udaf(new UdfQueries.TopK(refineShort),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    codes
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), (adot / col("nrm")).as("acos"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(shortTopK(col("acos"), col("vec_id")).as("short")) // approx-cos desc, tie → low vec_id
+      .select(col("q_id"), posexplode(col("short._2")))
+      .select(col("q_id"), col("col").as("vec_id"), (col("pos") + 1).cast("long").as("srn"))
+  }
+
+  /** Diagnostic surface (RefineProbe): full ADC ranking (q_id, vec_id,
+    * rank) over the probed candidates, no shortlist cutoff. */
+  private[graft] def refineAdcRanks(s: SparkSession, d: String): DataFrame = {
+    val ix = ivfIndex(s, d)
+    import s.implicits._
+    def ddot(qv: Array[Float], c: Array[Double]): Double =
+      qv.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y }
+    val probePairs = ix.queryRows.toSeq.flatMap { case (qid, qe, _) =>
+      val qv = qe.toArray
+      ix.cents.map { case (cid, c) => (cid, ddot(qv, c)) }
+        .sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    val lutByQ = ix.queryRows.map { case (qid, qe, _) =>
+      qid -> VectorQueries.pqDotLut(qe.toArray, ix.cbs).flatten.toSeq
+    }.toMap
+    val probes = probePairs.map { case (qid, cid) => (qid, cid, lutByQ(qid)) }
+      .toDF("q_id", "cid", "lut")
+    val codes = ix.codesServing
+    val adot = (0 until VectorQueries.pqM)
+      .map(i => element_at(col("lut"), (lit(i * VectorQueries.pqK) + col(s"c$i") + 1).cast("int")))
+      .reduce(_ + _)
+    codes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), (adot / col("nrm")).as("acos"), col("vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("vec_id"))).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("rank"))
+  }
+
+  val x85: Q = (s, d) => {
+    val ix = ivfIndex(s, d)
+    import s.implicits._
+    val q = ix.queryRows.toSeq.toDF("q_id", "qe", "qnrm")
+    // exact re-rank of the bounded shortlist against the raw-vector tier
+    val topk = udaf(new UdfQueries.TopK(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    ix.serving
+      .join(broadcast(refineShortlist(s, d).select(col("q_id"), col("vec_id"))),
+        Seq("vec_id")) // ≤ |Q|·k·nprobe rows
+      .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"),
         round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("sim"),
         col("vec_id"))
@@ -639,6 +870,7 @@ object AdvancedQueries {
     "x26_knn_graph" -> x26,
     "x27_retrieval_join" -> x27,
     "x28_indexed_retrieval" -> x28,
+    "x85_refine_search" -> x85,
     "x29_ann_recall" -> x29,
     "x64_approx_percentiles" -> x64)
 
@@ -772,6 +1004,64 @@ object AdvancedQueries {
        |FROM q LEFT JOIN hits h ON q.q_id = h.q_id ORDER BY q.q_id""".stripMargin
   }
 
+  /** GENERATED x85 oracle: the ENTIRE two-stage refine pipeline re-run in
+    * SQL from the same constants — PQ codebook training chain + code
+    * assignment (pqCte), k-means assignment/probe chain (assignedCte,
+    * retrievalOracle's probe comparator), the per-query INNER-PRODUCT LUT
+    * (pqDotSql — the proven list_aggregate accumulation, matching the
+    * driver-side pqDotLut foldLeft), the shortlist comparator
+    * (approx-cos DESC, vec_id — TopK's ordering) with the same
+    * fixed-left-assoc 8-term LUT sum as Spark's reduce(_+_), and the exact
+    * cosine re-rank (x27's expressions). Nothing interpolated except the
+    * shared integer constants, so the hash gate checks every stage. */
+  private def refineOracle: String = {
+    val pqDims = VectorQueries.pqDims
+    val qsv = s"list_slice(q.qe, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
+    val lutJoins = (0 until VectorQueries.pqM).map(i =>
+      s"JOIN lutd l$i ON l$i.q_id = pr.q_id AND l$i.sub = $i AND l$i.code = p.c$i")
+      .mkString("\n      ")
+    val asum = (0 until VectorQueries.pqM).map(i => s"l$i.v").mkString(" + ")
+    val cosQ =
+      s"${dotSql("e.embedding", "q.qe")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")}))"
+    val raw = s"""${VectorQueries.pqCte},
+       |${assignedCte.stripPrefix("WITH ")},
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $retrievalQ),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("q.qe", "c.cemb")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN cents c) WHERE pr <= $nprobe),
+       |lutd AS (
+       |  SELECT q.q_id, cb.sub, cb.code, ${VectorQueries.pqDotSql(qsv, "cb.cvec")} AS v
+       |  FROM cb CROSS JOIN q),
+       |cnrm AS (SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT pr.q_id, p.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY pr.q_id
+       |        ORDER BY ($asum) / n.nrm DESC, p.vec_id) AS srn
+       |    FROM pq p
+       |      JOIN assigned a ON a.vec_id = p.vec_id
+       |      JOIN probes pr ON a.cid = pr.cid
+       |      JOIN cnrm n ON n.vec_id = p.vec_id
+       |      $lutJoins
+       |    WHERE p.vec_id <> pr.q_id) WHERE srn <= $refineShort),
+       |rerank AS (
+       |  SELECT s.q_id, s.vec_id, ROUND($cosQ, 4) AS sim
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim FROM (
+       |  SELECT q_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM rerank) WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    // MATERIALIZED: DuckDB inlines CTEs by default, so each of the 8 lutd
+    // joins would re-evaluate lutd — and through it the ENTIRE PQ training
+    // chain — multiplying the twin's cost ~100× (measured: >60 s → 1.1 s at
+    // sf0.001). Values are unchanged; this is a DuckDB-only evaluation hint.
+    Seq("cb", "pq", "assigned", "q", "probes", "lutd", "cnrm")
+      .foldLeft(raw)((sql, cte) => sql.replace(s"$cte AS (", s"$cte AS MATERIALIZED ("))
+  }
+
   /** GENERATED x57 oracle: the proven x55 code chain + x22 assignment/probe
     * chain + x56 LUT, with the ADC ranking restricted to assigned∩probed. */
   private def ivfPqOracle: String =
@@ -812,6 +1102,7 @@ object AdvancedQueries {
     "x27_retrieval_join" -> retrievalOracle,
     // x28 serves the SAME contract from the persisted index — one oracle
     "x28_indexed_retrieval" -> retrievalOracle,
+    "x85_refine_search" -> refineOracle,
     "x29_ann_recall" -> recallOracle,
     "q35_percentiles" ->
       """WITH g AS (

@@ -91,8 +91,15 @@ object Quantizers {
     * k-means optimizes over unit centroids). */
   private[graft] def trainedKm(s: SparkSession, d: String): KmModel = {
     evictStopped(kmCache)
-    kmCache.computeIfAbsent((s, d), { _ =>
-      val e = t(s, d, "embeddings")
+    kmCache.computeIfAbsent((s, d), { _ => trainKmOn(t(s, d, "embeddings")) })
+  }
+
+  /** The k-means training loop over an arbitrary corpus frame (same seed
+    * convention: vec_id < nlist). Uncached — the (session, dir) cache wraps
+    * the source-table call; E78's rebuild trains on the GROWN index corpus
+    * and keeps the result private to the rebuilt index. */
+  private[graft] def trainKmOn(e: DataFrame): KmModel = {
+    {
       val seeds = e.filter(col("vec_id") < nlist)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
@@ -137,7 +144,7 @@ object Quantizers {
         }
       }
       KmModel(cents, trace.result())
-    })
+    }
   }
 
   /** The trained centroids alone — what the serving family consumes. */
@@ -148,9 +155,14 @@ object Quantizers {
     * (vec_id < pqK subvectors, raw — L2 Lloyd's has no normalization). */
   private[graft] def trainedPq(s: SparkSession, d: String): PqModel = {
     evictStopped(pqCache)
-    pqCache.computeIfAbsent((s, d), { _ =>
+    pqCache.computeIfAbsent((s, d), { _ => trainPqOn(t(s, d, "embeddings")) })
+  }
+
+  /** [[trainKmOn]]'s PQ sibling: the per-subspace Lloyd's loop over an
+    * arbitrary corpus frame. */
+  private[graft] def trainPqOn(e: DataFrame): PqModel = {
+    {
       import VectorQueries.{pqM, pqDims, pqK}
-      val e = t(s, d, "embeddings")
       val seeds = e.filter(col("vec_id") < pqK)
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
@@ -199,7 +211,7 @@ object Quantizers {
       }
       PqModel(cbs.map(_.map(c => (c, c.foldLeft(0.0)((a, x) => a + x * x)))),
         trace.result())
-    })
+    }
   }
 
   /** x83 — IVF centroid training trace (E73): one row per Lloyd's round,

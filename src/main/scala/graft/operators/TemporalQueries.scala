@@ -87,7 +87,10 @@ object TemporalQueries {
     val ev = t(s, d, "events").select(col("user_id"), col("ts"))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"))
-      .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("ts"))
+      // cast("timestamp") is a no-op on TIMESTAMP and an exact
+      // reinterpretation on TIMESTAMP_NTZ (UTC-pinned session) — keeps
+      // strict unix_micros working whichever physical type the parquet had.
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsl"), col("ts"))
     val gapUs = 1800000000L // 30 minutes
     val sessions = ev.as[(Long, Long, java.sql.Timestamp)].mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, Long, Long)]

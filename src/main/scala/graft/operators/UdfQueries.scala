@@ -224,9 +224,18 @@ object UdfQueries {
     * corpus with distinct ≫ k. */
   val x81: Q = (s, d) => {
     import s.implicits._
+    // xxhash64, not h60: the hash only IDENTIFIES candidates between the
+    // two passes (exact counting and thresholding are on the token
+    // strings), so cross-engine parity — h60's whole point — buys nothing
+    // here and the cheaper hash is the right default. (Measured ~neutral
+    // at sf0.1 AND sf1: the pipeline is split/explode/agg-bound, not
+    // hash-bound — see SCALING.md §x81.) A collision only merges two
+    // tokens' sketch counts (credits can only increase, so true heavy
+    // hitters still survive MG eviction) or adds a spurious candidate
+    // (discarded by the exact count) — sketch-then-verify stays EXACT.
     val toks = graft.Tables.spread(t(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("tok"))
-      .select(col("tok"), graft.Tables.h60(col("tok")).as("gh"))
+      .select(col("tok"), xxhash64(col("tok")).as("gh"))
     // sketch pass: the grand total rides the SAME aggregation (the n/k
     // threshold needs it — a separate count() would re-read the corpus)
     val head = toks.agg(mgUdaf(col("gh")).as("cands"),

@@ -293,6 +293,20 @@ object VectorQueries {
       }
     }
 
+  /** Inner-product ADC LUT: lut(i)(j) = sub_i(q) · c_ij (the FAISS
+    * METRIC_INNER_PRODUCT table). Rank-aligns a codes-only shortlist with a
+    * cosine contract when divided by the stored vector norm — the distance
+    * LUT's ‖q−x̂‖² ranking and a cosine ranking disagree whenever corpus
+    * norms vary. */
+  private[operators] def pqDotLut(qv: Array[Float],
+      cbs: Array[Array[(Array[Double], Double)]]): Array[Array[Double]] =
+    Array.tabulate(pqM) { i =>
+      cbs(i).map { case (c, _) =>
+        val sub = qv.slice(i * pqDims, (i + 1) * pqDims)
+        sub.zip(c).foldLeft(0.0) { case (acc, (x, cc)) => acc + x.toDouble * cc }
+      }
+    }
+
   /** ADC distance column over c0..c7 code columns: 8 lookups + 7 adds. */
   private[operators] def pqAdist(lut: Array[Array[Double]]): Column =
     (0 until pqM).map { i =>

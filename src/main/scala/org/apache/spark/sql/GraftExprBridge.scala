@@ -10,4 +10,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftExprBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** [[org.apache.spark.sql.types.AbstractDataType]] is private[sql]; alias
+    * it so graft expressions can declare `inputTypes` (ExpectsInputTypes). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -231,6 +231,51 @@ class AdvancedSpec extends SparkSpec {
       s"serving scan must read codes only: $schema")
   }
 
+  test("x85 refine: codes-tier shortlist, bounded exact re-rank, recall lifted over ADC-only") {
+    val truth = AdvancedQueries.x27(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val served = AdvancedQueries.queries("x85_refine_search")(spark, sfDir).collect()
+    assert(served.length == 300, s"3 hits x 100 queries: ${served.length}")
+    // exactness of the served SCORES: every refine sim is the true cosine,
+    // so it must equal the x27 sim whenever the (q, vec) pair is in both
+    val exactSims = AdvancedQueries.x27(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    served.foreach { r =>
+      exactSims.get((r.getLong(0), r.getLong(2))).foreach { want =>
+        assert(r.getDouble(3) == want, s"refine sim drifted for ${(r.getLong(0), r.getLong(2))}")
+      }
+    }
+    // the shortlist stage reads codes + the 8-byte norm from probed
+    // partitions only — never embedding bytes
+    val sp = AdvancedQueries.refineShortlist(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(sp).isDefined,
+      "shortlist scan must carry a static cid partition filter:\n" + sp)
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(sp).getOrElse("")
+    assert(schema.contains("c0") && !schema.contains("embedding"),
+      s"shortlist scan must read codes+nrm only: $schema")
+    // bounded: at most k·nprobe ids per query
+    val short = AdvancedQueries.refineShortlist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    short.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 18, s"q$q shortlist ${rows.length} > k·nprobe")
+    }
+    // the refine payoff: exact re-rank of the shortlist recovers MORE of
+    // the true top-3 than trusting the ADC ranking's own top-3 (and scores
+    // are exact either way a row survives) — the FAISS refine premise
+    def recall(hits: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => hits.getOrElse(q, Set.empty).intersect(t).size / 3.0 }
+        .sum / truth.size
+    val adcTop3 = short.filter(_._3 <= 3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val refineTop3 = served.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val (ra, rr) = (recall(adcTop3), recall(refineTop3))
+    info(s"recall@3: adc-only=$ra refine=$rr")
+    assert(rr > ra, s"refine must lift recall over ADC-only: $rr <= $ra")
+  }
+
   test("VectorDemo lifecycle: hygiene, build-once/serve-both, eval, dedup — reproducible") {
     val r1 = VectorDemo.run(spark, sfDir)
     assert(r1.vectors == graft.Tables.t(spark, sfDir, "embeddings").count())

@@ -10,15 +10,30 @@ import graft.operators.{AdvancedQueries, Quantizers, VectorQueries}
   * gate's job; this spec owns the semantic properties. */
 class QuantizerSpec extends SparkSpec {
 
+  // Fix-point slack for the monotonicity assertions: each centroid
+  // coordinate is quantized to the nearest micro-unit when the means are
+  // fixed (≤0.5e-6 absolute error per coordinate), and a row's objective
+  // term can move by at most dim × that; summed over the corpus the drift
+  // bound is rows × dim × 0.5 micro-units. Derived here from the actual
+  // corpus/model sizes rather than a hard-coded constant so a testdata
+  // regeneration at a different scale or dimension does not flake the
+  // suite (ADVICE r8). The strict-improvement assertions below
+  // (trace.last beats trace.head, trained recall >= seeded) are
+  // corpus-dependent by design: they hold for any corpus where training is
+  // not a no-op, which a degenerate (e.g. all-identical-vector) corpus
+  // could violate.
+  private lazy val embRows: Long = graft.Tables.t(spark, sfDir, "embeddings").count()
+  private def slack(dim: Long): Long = math.max(50L, embRows * dim / 2000000L + 50L)
+
   test("x83 spherical k-means: objective monotone non-decreasing, trace well-formed") {
     val m = Quantizers.trainedKm(spark, sfDir)
     assert(m.trace.length == Quantizers.kmRounds)
     assert(m.trace.map(_._1).toSeq == (0L until Quantizers.kmRounds.toLong))
     // the spherical-k-means guarantee, modulo fix-point quantization of the
-    // centroid means (each coordinate moves < 0.5e-6, so the objective can
-    // dip by at most a few micro-units per round)
+    // centroid means (see `slack` — scales with corpus rows × dim)
+    val eps = slack(m.cents.head._2.length.toLong)
     m.trace.map(_._2).sliding(2).foreach { case Array(a, b) =>
-      assert(b >= a - 50L, s"objective regressed: $a -> $b")
+      assert(b >= a - eps, s"objective regressed: $a -> $b (slack $eps)")
     }
     // training must actually move the needle vs the seeded start
     assert(m.trace.last._2 > m.trace.head._2,
@@ -37,8 +52,11 @@ class QuantizerSpec extends SparkSpec {
   test("x84 PQ Lloyd's: distortion monotone non-increasing, beats the seeded codebooks") {
     val m = Quantizers.trainedPq(spark, sfDir)
     assert(m.trace.length == Quantizers.pqRounds)
+    // per-subspace distortion terms quantize like the k-means objective;
+    // the PQ sum spans pqM subspaces of pqDims dims = the full dim width
+    val eps = slack(m.cbs.map(_.head._1.length.toLong).sum)
     m.trace.map(_._2).sliding(2).foreach { case Array(a, b) =>
-      assert(b <= a + 50L, s"distortion regressed: $a -> $b")
+      assert(b <= a + eps, s"distortion regressed: $a -> $b (slack $eps)")
     }
     // round 0 is measured under the SEED codebooks — the final round
     // strictly improving on it is "training beats the seed convention"

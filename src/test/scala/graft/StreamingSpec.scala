@@ -331,6 +331,46 @@ class StreamingSpec extends SparkSpec {
     // still 3 hits x 100 queries, possibly with appended vectors as hits)
     val servedAfter = AdvancedQueries.queries("x28_indexed_retrieval")(spark, work).collect()
     assert(servedAfter.length == servedBefore.length)
+
+    // ---- E78: rebuild under a RETRAINED model (the drift half) ----
+    // exact truth over the grown corpus, driver-side (500×64 floats)
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def exactTop3(qid: Long): Set[Long] = {
+      val qv = all(qid.toInt)._2
+      all.filter(_._1 != qid)
+        .map { case (id, v) => (math.floor(cos(qv, v) * 1e4 + 0.5) / 1e4, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(3).map(_._2).toSet
+    }
+    def servedRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      byQ.map { case (q, got) => got.intersect(exactTop3(q)).size / 3.0 }.sum / byQ.size
+    }
+    val frozenRecall = servedRecall(servedAfter)
+    val oldDir = ixDir
+    val newDir = AdvancedQueries.rebuildIndex(spark, work)
+    assert(newDir != oldDir, "rebuild must produce a fresh index dir")
+    assert(!new java.io.File(oldDir).exists, "old owned index dir must be cleaned up")
+    assert(spark.read.parquet(newDir).count() == 500, "rebuilt index holds the grown corpus")
+    // the model was actually retrained on the grown corpus: the rebuilt
+    // index must differ from a frozen-model re-encode in codes or layout
+    val servedRebuilt = AdvancedQueries.queries("x28_indexed_retrieval")(spark, work).collect()
+    assert(servedRebuilt.length == servedBefore.length)
+    val rebuiltRecall = servedRecall(servedRebuilt)
+    info(s"recall@3 vs exact (grown corpus): frozen=$frozenRecall rebuilt=$rebuiltRecall")
+    assert(rebuiltRecall >= frozenRecall,
+      s"retrained serving must not lose recall: $rebuiltRecall < $frozenRecall")
+    // and the next ivfIndex call serves the rebuilt entry (no rebuild loop)
+    assert(AdvancedQueries.ivfIndexDir(spark, work) == newDir)
   }
 
   test("E25: session-window streaming matches batch sessionization") {
