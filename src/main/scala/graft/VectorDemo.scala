@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *      any vector is trusted for retrieval or semantic dedup
   *   2. build ONCE: the persisted cid-partitioned index (x28's build),
   *      which carries raw vectors AND 4-bit PQ codes
-  *   3. serve MANY: exact cosine retrieval from the index (x28) and
-  *      ADC retrieval from the code columns alone (x80)
+  *   3. serve MANY: exact cosine retrieval from the pinned raw tier
+  *      (x28), ADC retrieval from the code columns alone (x80), and the
+  *      refine mode — codes-tier shortlist + exact re-rank (x85), the
+  *      serving path for when the raw tier cannot stay pinned
   *   4. evaluate: recall@k of the probed retrieval vs exact brute force
   *      (x29) — the eval a pipeline runs before trusting the index
   *   5. dedup: SemDeDup near-dup pairs within clusters (x25) — the
@@ -30,12 +32,14 @@ object VectorDemo {
     val r = run(spark, sfDir)
     println(s"[vector] vectors=${r.vectors} outliers=${r.outliers} " +
       s"servedExact=${r.servedExact} servedAdc=${r.servedAdc} " +
+      s"servedRefine=${r.servedRefine} " +
       s"meanRecall=${r.meanRecall} semdupPairs=${r.semdupPairs}")
     spark.stop()
   }
 
   case class Result(vectors: Long, outliers: Long, servedExact: Long,
-                    servedAdc: Long, meanRecall: Double, semdupPairs: Long)
+                    servedAdc: Long, servedRefine: Long,
+                    meanRecall: Double, semdupPairs: Long)
 
   def run(spark: SparkSession, sfDir: String): Result = {
     import graft.operators.AdvancedQueries
@@ -51,6 +55,8 @@ object VectorDemo {
     val servedExact = exact.count()
     val adc = AdvancedQueries.queries("x80_indexed_ivfpq")(spark, sfDir)
     val servedAdc = adc.count()
+    val refine = AdvancedQueries.queries("x85_refine_search")(spark, sfDir)
+    val servedRefine = refine.count()
 
     // 4. index-quality eval: mean recall@k over the query sample
     val rec = AdvancedQueries.queries("x29_ann_recall")(spark, sfDir)
@@ -59,6 +65,7 @@ object VectorDemo {
     // 5. semantic dedup over the same clustering
     val semdupPairs = AdvancedQueries.queries("x25_semantic_dedup")(spark, sfDir).count()
 
-    Result(vectors, outliers, servedExact, servedAdc, meanRecall, semdupPairs)
+    Result(vectors, outliers, servedExact, servedAdc, servedRefine,
+      meanRecall, semdupPairs)
   }
 }

@@ -209,10 +209,65 @@ object LmQueries {
     merges.toSeq.toDF("step", "pair", "n").orderBy(col("step"))
   }
 
+  /** Trained merge pairs in step order, cached per (session, corpus dir) —
+    * the tokenizer ARTIFACT x86 applies. Training (x67's rounds) runs once;
+    * the cache holds bpeK strings (the Quantizers model-cache pattern). */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[String]]
+
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession, d: String): Array[String] = {
+    val it = mergeCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    mergeCache.computeIfAbsent((s, d), _ =>
+      bpeMerges(spread(t(s, d, "documents")), bpeK).collect()
+        .sortBy(_.getLong(0)).map(_.getString(1)))
+  }
+
+  /** x86 — BPE corpus encode (E79): apply the TRAINED x67 merges to every
+    * document and report per-doc token statistics — the encode half of the
+    * tokenizer lifecycle (train x67 → encode x86 → pack x39), and the
+    * statistic (tokens per doc under the real tokenizer) that length
+    * batching/packing/cost estimates actually need, where x31's
+    * whitespace count is only a proxy.
+    *
+    * 100 TB shape: encoding is VOCAB-level — each distinct word is encoded
+    * once (the merge chain is bpeK literal-replace expressions over the
+    * type-bounded vocab table), then a broadcast join maps word
+    * occurrences to token counts; the only corpus-scale stages are the
+    * word explode and the per-doc aggregation, both map-side-combinable.
+    * This is how production tokenizer pipelines encode at scale: cache
+    * encodes per distinct word, never re-merge per occurrence.
+    *
+    * Engine parity: merge application is the trained-chain's exact double
+    * literal-replace; the twin RE-TRAINS the merges in SQL (bpeOracle's
+    * chain, nothing interpolated) and re-applies them to a word-keyed
+    * vocab, so the whole train→encode path is oracle-checked. */
+  val x86: Q = (s, d) => {
+    val merges = trainedMerges(s, d)
+    val docs = spread(t(s, d, "documents"))
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val syms0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val symsN = merges.foldLeft(syms0) { (c, p) =>
+      val m = p.replace(" ", "")
+      // bound literals + the double pass, byte-for-byte the training's
+      // application step (catches occurrences sharing a delimiter space)
+      replace(replace(c, lit(s" $p "), lit(s" $m ")), lit(s" $p "), lit(s" $m "))
+    }
+    val enc = vocab.select(col("w"), size(split(trim(symsN), " ")).cast("long").as("n_tok"))
+    words.join(broadcast(enc), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens").cast("long").as("n_tokens"),
+        fround(col("n_tokens") / col("n_words"), 4).as("tokens_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x58_lm_score" -> x58,
     "x59_dsir_weights" -> x59,
-    "x67_bpe_merges" -> x67)
+    "x67_bpe_merges" -> x67,
+    "x86_bpe_encode" -> x86)
 
   /** GENERATED x58 twin: the occurrence-preserving shingle chain (shared
     * shingleSql, distinct=false) + the identical count/smooth/fix-point
@@ -293,8 +348,48 @@ object LmQueries {
     s"WITH $v0,\n$stages\n$sel\nORDER BY step"
   }
 
+  /** GENERATED x86 twin: bpeOracle's training chain re-run with the word
+    * threaded through every vocab state (w rides v0..v{bpeK} unchanged),
+    * then the per-word token counts joined back to the corpus words.
+    * MATERIALIZED on the chained CTEs: each stage references its
+    * predecessor twice (pair pick + merge application), and DuckDB's
+    * default inlining would re-evaluate the whole upstream chain per
+    * reference — exponential in bpeK (the refineOracle lesson). */
+  private def bpeEncodeOracle: String = {
+    val v0 =
+      """ev0 AS MATERIALIZED (
+        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS syms, cnt FROM (
+        |    SELECT w, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        |    GROUP BY w) wc)""".stripMargin
+    val stages = (1 to bpeK).map { k =>
+      val repl = s"' ' || ep$k.p || ' ', ' ' || replace(ep$k.p, ' ', '') || ' '"
+      s"""ep$k AS MATERIALIZED (
+         |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS p
+         |    FROM (SELECT cnt, string_split(trim(syms), ' ') AS a FROM ev${k - 1}) sp) g
+         |  GROUP BY p ORDER BY n DESC, p LIMIT 1),
+         |ev$k AS MATERIALIZED (
+         |  SELECT v.w, replace(replace(v.syms, $repl), $repl) AS syms, v.cnt
+         |  FROM ev${k - 1} v, ep$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $v0,
+       |$stages,
+       |enc AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_tok
+       |  FROM ev$bpeK),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+       |  floor(CAST(SUM(e.n_tok) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS tokens_per_word
+       |FROM docw d JOIN enc e ON d.w = e.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x58_lm_score" -> lmScoreOracle,
     "x59_dsir_weights" -> dsirOracle,
-    "x67_bpe_merges" -> bpeOracle)
+    "x67_bpe_merges" -> bpeOracle,
+    "x86_bpe_encode" -> bpeEncodeOracle)
 }

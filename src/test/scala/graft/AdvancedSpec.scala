@@ -282,6 +282,7 @@ class AdvancedSpec extends SparkSpec {
     assert(r1.outliers < r1.vectors)
     assert(r1.servedExact == 300L, s"x28 serves 3 hits x 100 queries: ${r1.servedExact}")
     assert(r1.servedAdc == 10L)
+    assert(r1.servedRefine == 300L, s"x85 serves 3 hits x 100 queries: ${r1.servedRefine}")
     assert(r1.meanRecall > 0.5, s"index quality gate: ${r1.meanRecall}")
     val r2 = VectorDemo.run(spark, sfDir)
     assert(r1 == r2, "the lifecycle must be deterministic")

@@ -396,6 +396,34 @@ class OperatorSpec extends SparkSpec {
       s"got ${got.toSeq}\nexpected $expected")
   }
 
+  test("x86 BPE encode matches an independent Scala re-application of the trained merges") {
+    val merges = LmQueries.x67(spark, sfDir).collect().sortBy(_.getLong(0)).map(_.getString(1))
+    // independent reference: pad to " a b c ", apply each merge in step
+    // order as the contract's double literal-replace, count symbols
+    def encTokens(w: String): Long = {
+      var s = " " + w.map(c => s"$c ").mkString
+      merges.foreach { p =>
+        val m = p.replace(" ", "")
+        s = s.replace(s" $p ", s" $m "); s = s.replace(s" $p ", s" $m ")
+      }
+      s.trim.split(" ").length.toLong
+    }
+    val want = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        (r.getLong(0), ws.length.toLong, ws.map(encTokens).sum)
+      }.sortBy(_._1).toSeq
+    val got = LmQueries.queries("x86_bpe_encode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(x => x._1 != x._2)}")
+    // merges must actually compress: strictly fewer tokens than characters
+    val chars = graft.Tables.t(spark, sfDir, "documents")
+      .select(sum(length(regexp_replace($"text", " ", "")))).head.getLong(0)
+    val toks = got.map(_._3).sum
+    assert(toks < chars, s"encode must compress: $toks tokens vs $chars chars")
+  }
+
   test("x59 DSIR weights: target-source docs weigh more, weights positive") {
     val r = LmQueries.x59(spark, sfDir).collect()
     assert(r.length == 500)
