@@ -64,6 +64,44 @@ object CurationQueries {
   val x45: Q = (s, d) =>
     decontamination(s, d).orderBy(desc("n_shared"), col("doc_id"))
 
+  /** x88 Bloom pre-filter false-positive rate: 3% wasted confirm probes is
+    * the standard operating point; EXACTNESS never depends on it. */
+  val bloomFpp = 0.03
+
+  /** x88 — Bloom-prefiltered decontamination (E81): x45's EXACT report,
+    * computed the way a 100 TB pipeline does it. Build a Bloom filter over
+    * the eval split's gram hashes on the driver (eval sets are benchmark-
+    * sized — KBs–MBs of filter for MBs–GBs of eval text), embed it in a
+    * codegen'd predicate ([[graft.functions.BloomMightContainLong]]) over
+    * the train gram stream, and send ONLY the survivors into the exact
+    * confirm join. Blooms have no false negatives, so the confirm join sees
+    * every true hit and the result is bit-identical to x45 (the oracle twin
+    * IS x45's); false positives only waste confirm probes (≤fpp of train
+    * grams). The join input drops from every train gram to hits + fpp·N —
+    * at 100 TB that's the difference between shuffling the corpus's whole
+    * gram stream and shuffling ~nothing. Per-doc gram totals still ride the
+    * full stream, but as a map-side-combined count, not a join. */
+  val x88: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+      .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
+    val train = grams(docs.filter(col("split") === "train"), "t_id")
+    val ev = grams(docs.filter(col("split") === "test"), "e_id")
+    val bloom = graft.functions.BloomExpr.toBytes(
+      ev.stat.bloomFilter("g", math.max(1L, ev.count()), bloomFpp))
+    val cand = train.filter(
+      graft.functions.BloomExpr.mightContainLong(bloom, col("g")))
+    val perDoc = train.groupBy(col("t_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = cand.join(ev, "g")
+      .groupBy(col("t_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("e_id")).as("n_eval_docs"))
+    hits.join(perDoc, "t_id")
+      .select(col("t_id").as("doc_id"), col("n_grams"), col("n_shared"),
+        col("n_eval_docs"),
+        fround(col("n_shared") / col("n_grams").cast("double"), 4).as("frac"))
+      .orderBy(desc("n_shared"), col("doc_id"))
+  }
+
   /** Context-window parameters for x49 (64-token windows, 48-token stride
     * → 16-token overlap): shared with the generated twin. */
   val chunkSize = 64
@@ -145,32 +183,39 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     "x45_decontamination" -> x45,
     "x46_pii_scrub" -> x46,
-    "x49_chunking" -> x49)
+    "x49_chunking" -> x49,
+    "x88_bloom_decontam" -> x88)
+
+  // GENERATED from the same constants as the Spark side (shingle width,
+  // hash, split buckets) — the x41 pattern: the twin replays the exact
+  // gram/split chain, so the report is hash-verified, not rows-only.
+  // SHARED by x45 and x88: the Bloom pre-filter is exactness-preserving
+  // (no false negatives + exact confirm join), so both operators answer to
+  // the same exact-overlap contract — sharing the twin string IS the claim.
+  private def decontamOracle: String = {
+    val sp = SamplingQueries.splitSqlFor("doc_id")
+    s"""WITH sh AS (
+       |  ${DedupQueries.shingleSql(decontamN)}),
+       |gr AS (
+       |  SELECT doc_id, $sp AS split,
+       |    unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g
+       |  FROM sh),
+       |tg AS (SELECT doc_id AS t_id, g FROM gr WHERE split = 'train'),
+       |eg AS (SELECT doc_id AS e_id, g FROM gr WHERE split = 'test'),
+       |pd AS (SELECT t_id, COUNT(*) AS n_grams FROM tg GROUP BY t_id),
+       |ht AS (
+       |  SELECT t.t_id, COUNT(DISTINCT t.g) AS n_shared,
+       |    COUNT(DISTINCT e.e_id) AS n_eval_docs
+       |  FROM tg t JOIN eg e ON t.g = e.g GROUP BY t.t_id)
+       |SELECT h.t_id AS doc_id, p.n_grams, h.n_shared, h.n_eval_docs,
+       |  floor(CAST(h.n_shared AS DOUBLE) / p.n_grams * 10000 + 0.5) / 10000 AS frac
+       |FROM ht h JOIN pd p ON p.t_id = h.t_id
+       |ORDER BY n_shared DESC, doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
-    // GENERATED from the same constants as the Spark side (shingle width,
-    // hash, split buckets) — the x41 pattern: the twin replays the exact
-    // gram/split chain, so the report is hash-verified, not rows-only.
-    "x45_decontamination" -> {
-      val sp = SamplingQueries.splitSqlFor("doc_id")
-      s"""WITH sh AS (
-         |  ${DedupQueries.shingleSql(decontamN)}),
-         |gr AS (
-         |  SELECT doc_id, $sp AS split,
-         |    unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g
-         |  FROM sh),
-         |tg AS (SELECT doc_id AS t_id, g FROM gr WHERE split = 'train'),
-         |eg AS (SELECT doc_id AS e_id, g FROM gr WHERE split = 'test'),
-         |pd AS (SELECT t_id, COUNT(*) AS n_grams FROM tg GROUP BY t_id),
-         |ht AS (
-         |  SELECT t.t_id, COUNT(DISTINCT t.g) AS n_shared,
-         |    COUNT(DISTINCT e.e_id) AS n_eval_docs
-         |  FROM tg t JOIN eg e ON t.g = e.g GROUP BY t.t_id)
-         |SELECT h.t_id AS doc_id, p.n_grams, h.n_shared, h.n_eval_docs,
-         |  floor(CAST(h.n_shared AS DOUBLE) / p.n_grams * 10000 + 0.5) / 10000 AS frac
-         |FROM ht h JOIN pd p ON p.t_id = h.t_id
-         |ORDER BY n_shared DESC, doc_id""".stripMargin
-    },
+    "x45_decontamination" -> decontamOracle,
+    "x88_bloom_decontam" -> decontamOracle,
     // GENERATED from the same chunk constants: identical window count
     // arithmetic, 1-based inclusive list slices (both engines clamp past
     // the end), identical h60 over the re-joined chunk text.

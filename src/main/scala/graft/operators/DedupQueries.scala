@@ -350,13 +350,56 @@ object DedupQueries {
       .filter(col("size") >= 2)
       .orderBy(col("cluster_id"))
 
+  /** x89 window width: 8-word spans. Long enough that a repeat across two
+    * documents is copying, not coincidence (the substring-dedup literature
+    * — Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — cuts at 50 BPE tokens over web corpora; on this synthetic
+    * 50-word vocabulary 8 words already puts random collisions below
+    * 1e-13 per window pair), short enough that partial copies still hit. */
+  val spanW = 8
+
+  /** x89 — cross-document repeated-span detection (E82): for every doc, how
+    * many of its `spanW`-word windows also occur in ANOTHER doc — the
+    * span-granular signal substring dedup cuts on, sitting between x40
+    * (whole-doc exact) and x41/x43 (doc-level near-dup): it catches shared
+    * QUOTES/boilerplate runs inside otherwise-unique docs that doc-level
+    * similarity under-scores, and localizes WHAT to cut rather than which
+    * doc to drop (x78 is the within-corpus density profile; this is the
+    * per-doc duplicated-content budget).
+    *
+    * Shape: distinct window hashes per doc (the x45 gram chassis at width
+    * `spanW`) → global distinct-doc count per hash (map-side-combined agg on
+    * 8-byte keys) → broadcast-tolerant equi-join back → per-doc counts.
+    * Nothing all-pairs, nothing driver-side; the exchange carries 16-byte
+    * rows. At 100 TB this is two hash-key shuffles of the gram stream, the
+    * same posture as x41's band join — and the dup side of the join (df≥2
+    * hashes) is a vanishing fraction of windows on a deduplicated corpus. */
+  val x89: Q = (s, d) => {
+    val wins = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorExprs.h60Array(shinglesN(col("toks"), spanW)))).as("w"))
+    val dup = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    wins.join(dup, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(col("ndocs")).as("n_dup"),
+        coalesce(max(col("ndocs")), lit(1L)).as("max_df"))
+      .select(col("doc_id"), col("n_win"), col("n_dup"), col("max_df"),
+        graft.Tables.fround(col("n_dup") / col("n_win").cast("double"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x40_dedup_exact" -> x40,
     "x41_minhash_lsh" -> x41,
     "x42_simhash" -> x42,
     "x43_ngram_jaccard" -> x43,
     "x44_dedup_clusters" -> x44,
-    "x82_containment" -> x82)
+    "x82_containment" -> x82,
+    "x89_dup_spans" -> x89)
 
   /** DuckDB shingle-set CTE shared by the x41/x43 oracles (the Spark
     * shingles3 + array_distinct chain, DuckDB dialect). */
@@ -388,8 +431,27 @@ object DedupQueries {
        |WHERE CAST(p.inter AS DOUBLE) / n.n_grams >= $contTau
        |ORDER BY p.a_id, p.b_id""".stripMargin
 
+  /** GENERATED x89 twin: the shared shingle chain at width `spanW`, the
+    * same h60, distinct-doc window counts, and the same n_dup/max_df
+    * semantics (a doc with no duplicated window has max_df = 1 — in SQL
+    * that IS MAX(ndocs) since all its windows have ndocs = 1). */
+  private def dupSpansOracle: String =
+    s"""WITH sh AS (
+       |  ${shingleSql(spanW)}),
+       |w AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(s, x -> ${graft.Tables.h60Sql("x")}))) AS w
+       |  FROM sh),
+       |wdf AS (SELECT w, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY w)
+       |SELECT w.doc_id, COUNT(*) AS n_win,
+       |  CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(MAX(d.ndocs) AS BIGINT) AS max_df,
+       |  floor(CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS dup_frac
+       |FROM w JOIN wdf d ON d.w = w.w
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x82_containment" -> containmentOracle,
+    "x89_dup_spans" -> dupSpansOracle,
     "x40_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,

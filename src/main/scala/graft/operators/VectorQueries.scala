@@ -340,6 +340,66 @@ object VectorQueries {
       .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
   }
 
+  /** SQ8 scalar-quantization constants (E80), shared with the GENERATED
+    * twin: 8-bit affine code per dimension (FAISS `ScalarQuantizer/QT_8bit`
+    * — 4 B/dim → 1 B/dim, a 4× corpus compression that, unlike PQ, keeps
+    * per-dimension resolution), `sqQn` query vectors, top-`sqK` serving. */
+  private[operators] val sqLevels = 255
+  private[graft] val sqQn = 4
+  private[graft] val sqK = 5
+
+  /** x87 — trained SQ8 scalar-quantized ADC search (E80). The third member
+    * of the compression-tier family (PQ x56 = sub-vector codebooks, SQ8 =
+    * per-dimension affine codes): train per-dimension (min, max) over the
+    * corpus, encode code_d = floor((x_d−mn_d)/(mx_d−mn_d)·255 + 0.5), and
+    * rank by the asymmetric dot ⟨q, dequant(code)⟩ — queries stay full
+    * precision, only the corpus is compressed (the ADC trick).
+    *
+    * 100 TB shape: training is ONE pass — posexplode feeds a map-side
+    * partial min/max agg, so the exchange carries ≤ dim rows per partition
+    * and the model (2·dim doubles) rides a broadcast back, never a driver
+    * collect. Encode+score is map-only over the corpus scan with the query
+    * batch broadcast; ranking goes through the bounded TopK Aggregator, so
+    * k rows per query cross the exchange. Determinism: min/max are exact,
+    * the affine chain is identical-association IEEE doubles both engines,
+    * scores fround(6) BEFORE ranking with (score desc, vec_id asc) ties. */
+  val x87: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val stats = e.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+    val model = stats.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        p => p.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        p => p.getField("mx")).as("mxs"))
+    val lvl = lit(sqLevels.toDouble)
+    val deq = transform(col("embedding"), (x, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      val code = when(mx === mn, lit(0.0)).otherwise(
+        floor((x.cast("double") - mn) / (mx - mn) * lvl + lit(0.5)))
+      mn + code * (mx - mn) / lvl
+    })
+    val corpus = graft.Tables.spread(e).crossJoin(broadcast(model))
+      .select(col("vec_id"), deq.as("deq"))
+    val qs = e.filter(col("vec_id") < sqQn)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val topk = udaf(new UdfQueries.TopK(sqK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    corpus.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.Tables.fround(
+          graft.functions.VectorExprs.floatDoubleDot(col("qe"), col("deq")), 6).as("score"))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_cosine_topk" -> q29,
     "x20_cosine_neardup" -> x20,
@@ -347,7 +407,8 @@ object VectorQueries {
     "x23_multi_query_topk" -> x23,
     "x24_quantize" -> x24,
     "x55_pq_encode" -> x55,
-    "x56_pq_search" -> x56)
+    "x56_pq_search" -> x56,
+    "x87_sq8_search" -> x87)
 
   private val cosSql =
     """list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
@@ -454,10 +515,37 @@ object VectorQueries {
        |$pqQLutCtes
        |${pqAdcTailSql("pq p")}""".stripMargin
 
+  /** GENERATED x87 twin: replays the whole SQ8 chain — per-dim min/max
+    * training, the identical-precedence affine encode/dequant, the
+    * left-to-right list_aggregate dot (= floatDoubleDot's order), fround(6)
+    * before ranking, (score DESC, vec_id ASC) ties. */
+  private def sq8Oracle: String =
+    s"""WITH sdim AS (SELECT unnest(range(1, ${Quantizers.kmDim + 1})) AS ord),
+       |sst AS (
+       |  SELECT d.ord, MIN(CAST(e.embedding[d.ord] AS DOUBLE)) AS mn,
+       |         MAX(CAST(e.embedding[d.ord] AS DOUBLE)) AS mx
+       |  FROM embeddings e CROSS JOIN sdim d GROUP BY d.ord),
+       |sdq AS (
+       |  SELECT e.vec_id,
+       |    list(CASE WHEN s.mx = s.mn THEN s.mn
+       |         ELSE s.mn + floor((CAST(e.embedding[s.ord] AS DOUBLE) - s.mn) / (s.mx - s.mn) * $sqLevels.0 + 0.5) * (s.mx - s.mn) / $sqLevels.0
+       |         END ORDER BY s.ord) AS deq
+       |  FROM embeddings e CROSS JOIN sst s GROUP BY e.vec_id),
+       |ssc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |    floor(${pqDotSql("q.embedding", "c.deq")} * 1000000.0 + 0.5) / 1000000.0 AS score
+       |  FROM embeddings q JOIN sdq c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $sqQn)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+       |  FROM ssc) WHERE rn <= $sqK ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x21_ann_lsh" -> lshOracle,
     "x55_pq_encode" -> pqEncodeOracle,
     "x56_pq_search" -> pqSearchOracle,
+    "x87_sq8_search" -> sq8Oracle,
     // same association order / floor-form rounding / zero-vector CASE as
     // the Spark side — the whole audit row is deterministic IEEE arithmetic
     "x24_quantize" ->

@@ -127,6 +127,30 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0, s"fully contaminated: $r")
   }
 
+  test("x88 Bloom-prefiltered decontamination: exact x45 parity + real pruning") {
+    // EXACTNESS: the Bloom stage must be invisible in the result — x88's
+    // whole report equals x45's on the real corpus (and both answer to the
+    // same oracle twin). Collected as sorted tuples: sub-second at sf0.001.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(rows(operators.CurationQueries.x88(spark, sfDir))
+      == rows(operators.CurationQueries.x45(spark, sfDir)))
+
+    // The expression itself: no false negatives, codegen + interpreted agree.
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(3, 0.03)
+    Seq(7L, 8L, 9L).foreach(bf.putLong)
+    val bytes = graft.functions.BloomExpr.toBytes(bf)
+    val probe = (0L until 1000L).toDF("g")
+    val kept = probe
+      .filter(graft.functions.BloomExpr.mightContainLong(bytes, col("g")))
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(7L, 8L, 9L).subsetOf(kept), s"false negative: $kept")
+    // fpp sanity (not exactness — just that the filter filters): ≤5% of the
+    // 997 non-members may slip through at the 3% operating point
+    assert(kept.size <= 3 + 50, s"bloom passed ${kept.size} of 1000")
+  }
+
   test("x47 separates planted boilerplate from planted unique text") {
     val rows = Seq(
       // 10 tokens, all one repeated word -> 9 identical 2-grams

@@ -338,6 +338,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x89 dup spans: planted copies, partial overlap, and short docs score exactly") {
+    val dir = tmpDir("spans")
+    import spark.implicits._
+    val w = DedupQueries.spanW // 8
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")        // 13 windows
+    Seq(
+      (0L, "en", (1 to 20).map(i => s"u0t$i").mkString(" ")),    // all unique
+      (1L, "en", shared),                                        // full copy
+      (2L, "en", shared),                                        // full copy
+      // doc 3 starts with doc 1's first w tokens → exactly ONE shared window
+      (3L, "en", ((1 to w).map(i => s"s$i") ++ (1 to 12).map(i => s"u3t$i")).mkString(" ")),
+      (4L, "en", "just five short words here".split(" ").take(5).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.x89(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((13L, 0L, 1L, 0.0)), s"unique doc: ${got(0L)}")
+    assert(got(1L) == ((13L, 13L, 3L, 1.0)), s"full copy: ${got(1L)}")
+    assert(got(2L) == ((13L, 13L, 3L, 1.0)), s"full copy: ${got(2L)}")
+    // doc 3's first window rides in docs 1, 2 and 3 → max_df 3, 1/13 dup
+    assert(got(3L) == ((13L, 1L, 3L, 0.0769)), s"partial overlap: ${got(3L)}")
+    assert(got(4L) == ((1L, 0L, 1L, 0.0)), s"short doc, whole-text window: ${got(4L)}")
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)

@@ -78,6 +78,47 @@ class QuantizerSpec extends SparkSpec {
       s"trained index must not lose recall: $trained < $seeded")
   }
 
+  test("x87 SQ8 search equals an independent Scala reference; codes stay 8-bit") {
+    // Independent reference: collect the sf0.001 corpus (100 rows — spec
+    // scale only; the operator itself never collects data) and re-run the
+    // whole SQ8 chain with plain Scala arithmetic in the same association
+    // order (foldLeft = floatDoubleDot's left-to-right accumulation).
+    val rows = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val dim = rows.head._2.length
+    val mn = Array.tabulate(dim)(i => rows.map(_._2(i).toDouble).min)
+    val mx = Array.tabulate(dim)(i => rows.map(_._2(i).toDouble).max)
+    def codeOf(x: Double, d: Int): Double =
+      if (mx(d) == mn(d)) 0.0
+      else math.floor((x - mn(d)) / (mx(d) - mn(d)) * 255.0 + 0.5)
+    // 8-bit invariant: every code lands in [0, 255]
+    rows.foreach { case (_, v) =>
+      (0 until dim).foreach { i =>
+        val c = codeOf(v(i).toDouble, i)
+        assert(c >= 0.0 && c <= 255.0, s"code $c out of byte range at dim $i")
+      }
+    }
+    val deq = rows.map { case (id, v) =>
+      (id, Array.tabulate(dim)(i =>
+        mn(i) + codeOf(v(i).toDouble, i) * (mx(i) - mn(i)) / 255.0))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = rows.filter(_._1 < VectorQueries.sqQn).flatMap { case (qid, qv) =>
+      deq.filter(_._1 != qid)
+        .map { case (cid, dv) =>
+          val sc = (0 until dim).foldLeft(0.0)((a, i) => a + qv(i).toDouble * dv(i))
+          (cid, r6(sc))
+        }
+        .sortBy { case (cid, sc) => (-sc, cid) }
+        .take(VectorQueries.sqK).zipWithIndex
+        .map { case ((cid, sc), rk) => (qid, rk + 1L, cid, sc) }
+    }.toSeq
+    val got = VectorQueries.x87(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
+
   test("x83/x84 queries return the cached traces in round order") {
     val km = Quantizers.queries("x83_kmeans_ivf")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
