@@ -13,7 +13,8 @@ object ExplainAudit {
   private val intendedCross = Set(
     "q29_cosine_topk", "x20_cosine_neardup", "x22_ann_ivf", "q37_in_subquery",
     "x23_multi_query_topk", // corpus × broadcast query-vector sweep, as q29
-    "x29_ann_recall") // exact-side brute force is the same q29/x23 sweep
+    "x29_ann_recall", // exact-side brute force is the same q29/x23 sweep
+    "x87_sq8_search") // same broadcast-queries sweep; =!= self-exclusion makes it non-equi
 
   /** A BroadcastNestedLoopJoin is benign when its broadcast side IS a
     * global (no-grouping-key) aggregate: provably ONE row, so the "nested

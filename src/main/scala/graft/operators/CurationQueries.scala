@@ -64,9 +64,12 @@ object CurationQueries {
   val x45: Q = (s, d) =>
     decontamination(s, d).orderBy(desc("n_shared"), col("doc_id"))
 
-  /** x88 Bloom pre-filter false-positive rate: 3% wasted confirm probes is
-    * the standard operating point; EXACTNESS never depends on it. */
-  val bloomFpp = 0.03
+  /** x88 Bloom size: FIXED 8M bits (1 MB) rather than sized from a count
+    * pass — ~3% fpp up to ~1.2M eval grams (eval sets are benchmark-sized,
+    * MBs–GBs of text), and EXACTNESS never depends on sizing: a saturated
+    * filter only wastes confirm probes. Fixing the bits drops a whole job
+    * (the count pass) from the serving path. */
+  val bloomBits = 1L << 23
 
   /** x88 — Bloom-prefiltered decontamination (E81): x45's EXACT report,
     * computed the way a 100 TB pipeline does it. Build a Bloom filter over
@@ -87,7 +90,7 @@ object CurationQueries {
     val train = grams(docs.filter(col("split") === "train"), "t_id")
     val ev = grams(docs.filter(col("split") === "test"), "e_id")
     val bloom = graft.functions.BloomExpr.toBytes(
-      ev.stat.bloomFilter("g", math.max(1L, ev.count()), bloomFpp))
+      ev.stat.bloomFilter("g", 1L << 20, bloomBits))
     val cand = train.filter(
       graft.functions.BloomExpr.mightContainLong(bloom, col("g")))
     val perDoc = train.groupBy(col("t_id")).agg(count(lit(1)).as("n_grams"))

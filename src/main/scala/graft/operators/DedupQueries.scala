@@ -392,6 +392,47 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x90 — repeated-span SCRUB (E83): the cut half of substring dedup —
+    * x89 detects duplicated spans, x90 removes them. Every token covered by
+    * any window whose hash occurs in ≥2 distinct docs is dropped; the doc
+    * keeps the rest in order. Output carries the cleaned text as an h60
+    * hash (the x49 trick: the whole scrub is oracle-verified without
+    * moving cleaned text through the compare) plus exact cut counts.
+    *
+    * Shape: occurrence-level (doc, start, hash) windows → dup hash set
+    * (distinct-doc count ≥ 2, 8-byte keys) → per-doc sorted dup-start
+    * lists (bounded by windows/doc) → ONE equi-join back onto the docs
+    * scan → per-row `filter(toks, ¬covered)` with covered = ∃ start ∈
+    * [i−W+1, i]. The text column never crosses an exchange: the starts
+    * side is only the CONTAMINATED docs' start lists (a vanishing fraction
+    * of a deduplicated corpus), so the planner broadcasts it at any scale
+    * where dup density is sane; docs shorter than W are one whole-text
+    * window — an exact short-dup cut, consistent with x89's counting. */
+  val x90: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val wins = docs.select(col("doc_id"),
+        posexplode(graft.functions.VectorExprs.h60Array(shinglesN(col("toks"), spanW))))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("wh"))
+    val dup = wins.select(col("doc_id"), col("wh")).distinct()
+      .groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    val starts = wins.join(dup, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val kept = filter(col("toks"), (_, i) =>
+      !exists(col("starts"), st => st <= i + 1 && i + 1 <= st + lit(spanW - 1)))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"), kept.as("kept"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kept"))).cast("long").as("n_cut"),
+        graft.Tables.fround((col("n_toks") - size(col("kept"))) / col("n_toks").cast("double"), 4).as("cut_frac"),
+        graft.Tables.h60(concat_ws(" ", col("kept"))).as("kept_h60"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x40_dedup_exact" -> x40,
     "x41_minhash_lsh" -> x41,
@@ -399,7 +440,8 @@ object DedupQueries {
     "x43_ngram_jaccard" -> x43,
     "x44_dedup_clusters" -> x44,
     "x82_containment" -> x82,
-    "x89_dup_spans" -> x89)
+    "x89_dup_spans" -> x89,
+    "x90_span_scrub" -> x90)
 
   /** DuckDB shingle-set CTE shared by the x41/x43 oracles (the Spark
     * shingles3 + array_distinct chain, DuckDB dialect). */
@@ -449,9 +491,42 @@ object DedupQueries {
        |FROM w JOIN wdf d ON d.w = w.w
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  /** GENERATED x90 twin: occurrence-level windows WITH positions (the
+    * non-distinct shingle chain + 1-based unnest(range)), the same dup
+    * rule as x89's twin, and the cut replayed with DuckDB's indexed
+    * list_filter (1-based i = Spark's filter index + 1). A fully-cut doc
+    * string_agg's to NULL where Spark concat_ws gives "" — COALESCEd. */
+  private def spanScrubOracle: String = {
+    val w = spanW
+    s"""WITH sh AS (
+       |  ${shingleSql(w, distinct = false)}),
+       |wp AS (SELECT doc_id, unnest(range(1, len(s) + 1)) AS start, s FROM sh),
+       |wo AS (SELECT doc_id, start, ${graft.Tables.h60Sql("s[start]")} AS wh FROM wp),
+       |wdf AS (SELECT wh, COUNT(DISTINCT doc_id) AS ndocs FROM wo GROUP BY wh),
+       |st AS (
+       |  SELECT wo.doc_id, list(wo.start ORDER BY wo.start) AS starts
+       |  FROM wo JOIN wdf ON wdf.wh = wo.wh WHERE wdf.ndocs >= 2
+       |  GROUP BY wo.doc_id),
+       |base AS (
+       |  SELECT d.doc_id, string_split(d.text, ' ') AS toks,
+       |    COALESCE(s.starts, []) AS starts
+       |  FROM documents d LEFT JOIN st s ON s.doc_id = d.doc_id),
+       |cut AS (
+       |  SELECT doc_id, len(toks) AS n_toks,
+       |    list_filter(toks, (x, i) ->
+       |      len(list_filter(starts, s -> s <= i AND i <= s + ${w - 1})) = 0) AS kept
+       |  FROM base)
+       |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(n_toks - len(kept) AS BIGINT) AS n_cut,
+       |  floor(CAST(n_toks - len(kept) AS DOUBLE) / n_toks * 10000 + 0.5) / 10000 AS cut_frac,
+       |  ${graft.Tables.h60Sql("COALESCE(array_to_string(kept, ' '), '')")} AS kept_h60
+       |FROM cut ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x82_containment" -> containmentOracle,
     "x89_dup_spans" -> dupSpansOracle,
+    "x90_span_scrub" -> spanScrubOracle,
     "x40_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,

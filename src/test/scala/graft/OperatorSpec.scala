@@ -362,6 +362,32 @@ class OperatorSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 1L, 0.0)), s"short doc, whole-text window: ${got(4L)}")
   }
 
+  test("x90 span scrub: cuts exactly the duplicated-window token cover") {
+    val dir = tmpDir("scrub")
+    import spark.implicits._
+    val w = DedupQueries.spanW
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val u0 = (1 to 20).map(i => s"u0t$i").mkString(" ")
+    val d3kept = (1 to 12).map(i => s"u3t$i").mkString(" ")
+    Seq(
+      (0L, "en", u0),                                            // untouched
+      (1L, "en", shared), (2L, "en", shared),                    // fully cut
+      (3L, "en", ((1 to w).map(i => s"s$i") ++ (1 to 12).map(i => s"u3t$i")).mkString(" ")),
+      (4L, "en", "short unique doc here now"))                   // < w toks, unique
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h(s: String): Long = graft.functions.MinHash.base60(s.getBytes("UTF-8"))
+    val got = DedupQueries.x90(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got(0L) == ((20L, 0L, 0.0, h(u0))), s"unique doc untouched: ${got(0L)}")
+    assert(got(1L) == ((20L, 20L, 1.0, h(""))), s"full copy fully cut: ${got(1L)}")
+    assert(got(2L) == ((20L, 20L, 1.0, h(""))), s"full copy fully cut: ${got(2L)}")
+    // doc 3: only window 1 duplicated → tokens 1..w cut, the unique 12 kept
+    assert(got(3L) == ((20L, 8L, 0.4, h(d3kept))), s"prefix cut only: ${got(3L)}")
+    assert(got(4L)._2 == 0L && got(4L)._4 == h("short unique doc here now"),
+      s"short unique doc untouched: ${got(4L)}")
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
