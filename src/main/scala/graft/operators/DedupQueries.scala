@@ -70,7 +70,7 @@ object DedupQueries {
     * slice (md5-based, so the DuckDB twin computes the identical key).
     * `sigs` MUST be a materialized column, not the MinHashSigs expression:
     * 32 element_at references would re-inline (and re-evaluate) it. */
-  private def bandsFromSigs(sigs: Column, bands: Int, rowsPerBand: Int): Column = {
+  private[graft] def bandsFromSigs(sigs: Column, bands: Int, rowsPerBand: Int): Column = {
     // Loud size check: element_at past the end returns NULL and concat_ws
     // skips NULLs, so a bands×rows mismatch would silently hash a SHORTER
     // slice and corrupt candidate generation. The guard is a per-row size

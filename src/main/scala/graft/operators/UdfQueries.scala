@@ -201,14 +201,14 @@ object UdfQueries {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  private val hhK = 32
+  private[graft] val hhK = 32
 
   /** Hoisted once per JVM: ExpressionEncoder construction runs Scala
     * reflection + analysis — rebuilding it per query invocation puts
     * ~100 ms of driver work on the serving path for nothing. The
     * Aggregator instance itself is stateless (all state lives in MGBuf),
     * so one udaf handle is safe across sessions and threads. */
-  private lazy val mgUdaf = udaf(new MisraGries(hhK),
+  private[graft] lazy val mgUdaf = udaf(new MisraGries(hhK),
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
   private lazy val hitsEnc =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long, Double)]()

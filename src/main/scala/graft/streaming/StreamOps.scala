@@ -156,6 +156,62 @@ object StreamOps {
   def scoreDocsDsir(docs: DataFrame, ratio: DataFrame): DataFrame =
     graft.operators.LmQueries.dsirScore(docs, ratio)
 
+  /** E84 — near-dup flagging at ingest: screen each arriving micro-batch
+    * against the standing corpus with x41's MinHash-LSH chain, as a
+    * `foreachBatch` body (the E76 pattern — inside foreachBatch a batch is
+    * a plain DataFrame, so the candidate `distinct` is per-batch work, not
+    * unbounded stream state).
+    *
+    * Both sides run the IDENTICAL chain (3-shingles → 32 minhashes → 8
+    * bands of 4): candidates are (band_id, band_hash) equi-join collisions,
+    * verified with exact shingle Jaccard, flagged at `tau`. At 100 TB the
+    * corpus side is the persisted band index (build once, append on
+    * ingest — the E76 lifecycle), the BATCH side is the broadcast side
+    * (a micro-batch is MBs against a corpus of TBs), and every batch row
+    * that survives screening appends its own bands to the index. Here the
+    * corpus bands derive inline from the docs table — same plan shape,
+    * no index-maintenance coupling in the operator. */
+  def flagNearDups(batch: DataFrame, corpus: DataFrame, tau: Double = 0.5): DataFrame = {
+    import graft.operators.DedupQueries
+    def prep(df: DataFrame, idAs: String, shAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
+      .select(col(idAs), array_distinct(DedupQueries.shingles3(col("toks"))).as(shAs))
+    def banded(df: DataFrame, idCol: String, shCol: String): DataFrame = df
+      .select(col(idCol), graft.functions.VectorExprs.minHashSigs(col(shCol), 32).as("sigs"))
+      .select(col(idCol), explode(DedupQueries.bandsFromSigs(col("sigs"), 8, 4)).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+    val bs = prep(batch, "doc_id", "sh")
+    val cs = prep(corpus, "c_id", "c_sh")
+    val cand = banded(bs, "doc_id", "sh")
+      .join(banded(cs, "c_id", "c_sh"), Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("c_id"))
+      .select(col("doc_id"), col("c_id")).distinct()
+    cand.join(bs, "doc_id").join(cs, "c_id")
+      .select(col("doc_id"), col("c_id"),
+        graft.Tables.fround(size(array_intersect(col("sh"), col("c_sh")))
+          / size(array_union(col("sh"), col("c_sh"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_id"), desc("jaccard"), col("c_id"))
+  }
+
+  /** E85 — streaming heavy hitters: x81's Misra–Gries sketch as a
+    * CONTINUOUS aggregation. The MG buffer is mergeable and its guarantee
+    * (every token above total/k survives) holds under ANY merge order, so
+    * the same udaf that powers the batch sketch runs as a streaming global
+    * aggregate — the state store holds ONE fixed-k buffer (constant state,
+    * no watermark needed), each micro-batch folds in via the Aggregator's
+    * reduce/merge, and complete-mode output republishes the current
+    * candidate set + running total every trigger. The exact-verify half
+    * stays batch (x81's verify pass over the accumulated store) — the
+    * stream maintains the candidate superset cheaply; verification is a
+    * bounded batch join whenever a consumer wants exact counts. */
+  def streamingHeavyHitters(docs: DataFrame): DataFrame = {
+    import graft.operators.UdfQueries
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .select(xxhash64(col("tok")).as("gh"))
+      .agg(UdfQueries.mgUdaf(col("gh")).as("cands"), count(lit(1)).as("total"))
+  }
+
   /** E28 (transformWithState form) — the same running per-user totals on
     * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit
     * TTL support, multiple state variables per key, timers — and it runs on

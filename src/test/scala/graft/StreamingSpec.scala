@@ -155,6 +155,67 @@ class StreamingSpec extends SparkSpec {
     assert(t0.map(_._2).sum / t0.size > rest.map(_._2).sum / rest.size)
   }
 
+  test("E84: foreachBatch near-dup flagging screens arrivals against the corpus") {
+    // standing corpus: two docs with known text, one unrelated
+    val corpusRows = Seq(
+      (100L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      (101L, (1 to 30).map(i => s"d$i").mkString(" ")),
+      (102L, (1 to 30).map(i => s"z$i").mkString(" ")))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    // arrivals: an exact copy of 100, a near-copy of 101 (one token edited),
+    // and a unique doc
+    val nearCopy = ((1 to 29).map(i => s"d$i") :+ "EDITED").mkString(" ")
+    val arrivals = Seq(
+      Doc(1L, ts(0), "en", corpusRows.head._2),
+      Doc(2L, ts(1), "en", nearCopy),
+      Doc(3L, ts(2), "en", (1 to 30).map(i => s"u$i").mkString(" ")))
+    val input = MemoryStream[Doc]
+    val flagged = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged.synchronized {
+          flagged ++= StreamOps.flagNearDups(batch, corpus, 0.5)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }.start()
+    input.addData(arrivals)
+    q.processAllAvailable(); q.stop()
+    val byDoc = flagged.groupBy(_._1)
+    assert(byDoc(1L).map(m => (m._2, m._3)).toSet == Set((100L, 1.0)),
+      s"exact copy must flag against 100 at J=1: $flagged")
+    val near = byDoc(2L)
+    assert(near.map(_._2).toSet == Set(101L) && near.head._3 >= 0.5 && near.head._3 < 1.0,
+      s"near-copy must flag against 101 below J=1: $flagged")
+    assert(!byDoc.contains(3L), s"unique doc must not flag: $flagged")
+  }
+
+  test("E85: streaming Misra-Gries keeps planted heavy hitters across micro-batches") {
+    // planted skew split ACROSS batches: "hot" is heavy only in aggregate
+    // (320/920 > total/32), tail has 100 distinct tokens >> k per batch
+    def doc(id: Long, toks: Seq[String]) = Doc(id, ts(id.toInt), "en", toks.mkString(" "))
+    val b1 = Seq(doc(1L, Seq.fill(150)("hot") ++ (0 until 100).flatMap(i => Seq.fill(2)(s"t${i}a"))),
+      doc(2L, (0 until 100).map(i => s"t${i}b")))
+    val b2 = Seq(doc(3L, Seq.fill(170)("hot") ++ (0 until 100).flatMap(i => Seq.fill(2)(s"t${i}c"))),
+      doc(4L, (0 until 100).map(i => s"t${i}d")))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.streamingHeavyHitters(input.toDF())
+      .writeStream.format("memory").queryName("shh").outputMode("complete").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val row = spark.table("shh").head
+    q.stop()
+    val cands = row.getSeq[Long](0)
+    val total = row.getLong(1)
+    assert(total == 920L, s"running total: $total")
+    val hotHash = spark.range(1)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.lit("hot"))).head.getLong(0)
+    assert(cands.contains(hotHash),
+      s"cross-batch heavy hitter must survive the merged sketch")
+    assert(cands.size <= graft.operators.UdfQueries.hhK, s"sketch exceeded k: ${cands.size}")
+  }
+
   test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
     val input = MemoryStream[Event]
     val q = StreamOps.runningUserCounts(input.toDS())
