@@ -234,9 +234,163 @@ object Quantizers {
     trainedPq(s, d).trace.toSeq.toDF("round", "distortion").orderBy(col("round"))
   }
 
+  // ------------------------------------------------------------ PCA (E86/E87)
+
+  /** PCA transform geometry: serve the top `pcaP` of `kmDim` components —
+    * the FAISS `PCAMatrix` pre-transform (dimensionality reduction /
+    * whitening ahead of quantization), here as train (x91) + serve (x92). */
+  private[graft] val pcaP = 8
+  /** Cyclic-Jacobi sweep cap; a 64×64 symmetric matrix converges in <15
+    * sweeps, and the FIXED sweep order makes the factorization a pure
+    * function of the covariance — deterministic across runs. */
+  private val jacobiSweeps = 50
+
+  /** n, mean, full covariance, eigenvalues desc + matching unit axes. */
+  private[graft] case class PcaModel(n: Long, mean: Array[Double],
+      cov: Array[Array[Double]], eigVals: Array[Double], eigVecs: Array[Array[Double]])
+
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PcaModel]
+
+  private[graft] def trainedPca(s: SparkSession, d: String): PcaModel = {
+    evictStopped(pcaCache)
+    pcaCache.computeIfAbsent((s, d), { _ => trainPcaOn(t(s, d, "embeddings")) })
+  }
+
+  /** Covariance training: the quantizer-family determinism contract (every
+    * cross-row sum is a fix-point long, so any reduction order and both
+    * engines agree bit-for-bit), in two corpus passes — per-dim sums, then
+    * upper-triangle product sums as ONE hash aggregation whose map-side
+    * combine caps the exchange at dim·(dim+1)/2 rows per partition. Both
+    * collects are model-bounded (dim and 2 080 rows), never data. The
+    * eigenfactorization runs on the driver over the 64×64 matrix (cyclic
+    * Jacobi, fixed sweep order, sign fixed per axis) — model-sized work,
+    * the same division of labor as x56's driver LUT. */
+  private[graft] def trainPcaOn(e: DataFrame): PcaModel = {
+    val base = graft.Tables.spread(e).select(col("embedding"))
+    val sums = base.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * lit(1e6) + lit(0.5))).as("sf"))
+      .collect() // bounded: dim rows
+    val dim = sums.length
+    require(dim == kmDim, s"embedding dim $dim != $kmDim")
+    val n = sums.head.getLong(1)
+    val sf = new Array[Long](dim)
+    sums.foreach(r => sf(r.getInt(0)) = r.getLong(2))
+    val mean = sf.map(v => v.toDouble / 1e6 / n)
+    val prods = base.select(col("embedding"), posexplode(col("embedding")))
+      .select(col("pos").as("i"),
+        posexplode(transform(slice(col("embedding"), col("pos") + 1, lit(kmDim)),
+          y => floor(col("col").cast("double") * y.cast("double") * lit(1e6) + lit(0.5)))))
+      .groupBy(col("i"), (col("i") + col("pos")).as("j"))
+      .agg(sum(col("col")).as("pf"))
+      .collect() // bounded: dim·(dim+1)/2 rows
+    val cov = Array.ofDim[Double](dim, dim)
+    prods.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getLong(2).toDouble / 1e6 / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(n, mean, cov, vals, vecs)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: eigenvalues DESC (ties → lower
+    * original index) with matching unit eigenvectors, each sign-fixed so
+    * its largest-|coordinate| entry is positive. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val dim = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (p <- 0 until dim; q <- p + 1 until dim) s += a(p)(q) * a(p)(q)
+      s
+    }
+    var sweep = 0
+    while (sweep < jacobiSweeps && off() > 1e-18) {
+      for (p <- 0 until dim - 1; q <- p + 1 until dim if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val tv = (if (theta >= 0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(tv * tv + 1.0)
+        val sn = tv * c
+        for (k <- 0 until dim) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - sn * akq
+          a(k)(q) = sn * akp + c * akq
+        }
+        for (k <- 0 until dim) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - sn * aqk
+          a(q)(k) = sn * apk + c * aqk
+        }
+        for (k <- 0 until dim) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - sn * vkq
+          v(k)(q) = sn * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col0 = Array.tabulate(dim)(k => v(k)(i))
+      // deterministic sign: largest-|coord| entry positive, ties → lowest idx
+      val m = col0.indices.maxBy(k => (math.abs(col0(k)), -k))
+      if (col0(m) < 0) col0.map(-_) else col0
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** x91 — PCA covariance training (E86): the upper triangle of the exact
+    * fix-point corpus covariance, (i, j, cov) for i ≤ j. The oracle twin
+    * re-runs the whole two-pass training in SQL — identical fix-point sums,
+    * identical mean/cov arithmetic — so the trained model itself is
+    * hash-verified, the x83/x84 contract. */
+  val x91: Q = (s, d) => {
+    import s.implicits._
+    val m = trainedPca(s, d)
+    val rows = for (i <- 0 until kmDim; j <- i until kmDim)
+      yield (i.toLong, j.toLong, math.floor(m.cov(i)(j) * 1e6 + 0.5) / 1e6)
+    rows.toDF("i", "j", "cov").orderBy(col("i"), col("j"))
+  }
+
+  /** x92 — PCA projection + reconstruction audit (E87): every vector's
+    * top-`pcaP` principal coordinates y_k = ⟨x, v_k⟩ − ⟨μ, v_k⟩ and the
+    * residual ‖x−μ‖² − Σy_k² (exact by orthonormality — the variance the
+    * kept components fail to explain). Map-only serving: the axes ride the
+    * expression tree as literals (v_k and the ⟨μ,v_k⟩ corrections are
+    * driver doubles, the x56-LUT pattern — the SAME doubles interpolate
+    * into the twin, no cross-engine eigen arithmetic), the hot dot is the
+    * codegen'd floatDoubleDot, nothing shuffles but the presentation sort. */
+  val x92: Q = (s, d) => {
+    verifyDirHint = Some(d) // the GENERATED twin trains on the served dir
+    val m = trainedPca(s, d)
+    val e = t(s, d, "embeddings")
+    def dotLit(v: Array[Double]): Column =
+      graft.functions.VectorExprs.floatDoubleDot(col("embedding"), array(v.map(lit): _*))
+    val muDotV = m.eigVecs.take(pcaP).map(v =>
+      v.indices.foldLeft(0.0)((a, i) => a + m.mean(i) * v(i)))
+    val muNorm = m.mean.foldLeft(0.0)((a, x) => a + x * x)
+    val ys = (0 until pcaP).map(k => (dotLit(m.eigVecs(k)) - lit(muDotV(k))).as(s"y$k"))
+    val c2 = graft.functions.VectorExprs.floatDot(col("embedding"), col("embedding")) -
+      lit(2.0) * dotLit(m.mean) + lit(muNorm)
+    val proj = e.select((col("vec_id") +: ys :+ c2.as("c2")): _*)
+    val resid = (0 until pcaP).map(k => col(s"y$k") * col(s"y$k")).reduce(_ + _)
+    proj.select((col("vec_id") +:
+        (0 until pcaP).map(k => graft.Tables.fround(col(s"y$k"), 6).as(s"y$k"))) :+
+        graft.Tables.fround(col("c2") - resid, 6).as("resid"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x83_kmeans_ivf" -> x83,
-    "x84_kmeans_pq" -> x84)
+    "x84_kmeans_pq" -> x84,
+    "x91_pca_train" -> x91,
+    "x92_pca_project" -> x92)
 
   // ---------------------------------------------------------------- twins
 
@@ -335,7 +489,78 @@ object Quantizers {
     s"WITH $pqTrainCtes\nSELECT * FROM ($trace) ORDER BY round"
   }
 
-  val oracles: Map[String, String] = Map(
+  /** GENERATED x91 twin: re-runs the two-pass covariance training in SQL —
+    * identical fix-point coordinate/product sums (floor to micro-units,
+    * summed as BIGINT), identical CAST(..)/1e6/n mean and P/1e6/n − μiμj
+    * covariance arithmetic, floor-rounded to 6 digits like the Spark side. */
+  private def x91Oracle: String =
+    s"""WITH cdim AS (SELECT unnest(range(1, ${kmDim + 1})) AS ord),
+       |cn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |cms AS (
+       |  SELECT d.ord,
+       |    CAST(SUM(CAST(floor(CAST(e.embedding[d.ord] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sf
+       |  FROM embeddings e CROSS JOIN cdim d GROUP BY d.ord),
+       |cmu AS (SELECT ord, CAST(sf AS DOUBLE) / 1000000.0 / cn.n AS m FROM cms, cn),
+       |cps AS (
+       |  SELECT di.ord AS i, dj.ord AS j,
+       |    CAST(SUM(CAST(floor(CAST(e.embedding[di.ord] AS DOUBLE) * CAST(e.embedding[dj.ord] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS pf
+       |  FROM embeddings e CROSS JOIN cdim di CROSS JOIN cdim dj
+       |  WHERE dj.ord >= di.ord GROUP BY di.ord, dj.ord)
+       |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+       |  floor((CAST(p.pf AS DOUBLE) / 1000000.0 / cn.n - mi.m * mj.m) * 1000000.0 + 0.5) / 1000000.0 AS cov
+       |FROM cps p
+       |CROSS JOIN cn
+       |JOIN cmu mi ON mi.ord = p.i
+       |JOIN cmu mj ON mj.ord = p.j
+       |ORDER BY i, j""".stripMargin
+
+  /** GENERATED x92 twin: the trained axes, ⟨μ,v_k⟩ corrections, and ‖μ‖²
+    * interpolate as DOUBLE literals (Double.toString round-trips exactly),
+    * and the twin replays the identical projection arithmetic — the
+    * left-to-right list_aggregate dot, y_k = dot − correction, residual
+    * c2 − (((y0² + y1²) + …)), floor-rounded at 6. */
+  private def x92Oracle: String = {
+    val m = x92Model
+    def vecLit(v: Array[Double]): String =
+      "CAST([" + v.map(_.toString).mkString(",") + "] AS DOUBLE[])"
+    val muDotV = m.eigVecs.take(pcaP).map(v =>
+      v.indices.foldLeft(0.0)((a, i) => a + m.mean(i) * v(i)))
+    val muNorm = m.mean.foldLeft(0.0)((a, x) => a + x * x)
+    val ys = (0 until pcaP).map(k =>
+      s"(${dotSql("embedding", vecLit(m.eigVecs(k)))} - ${muDotV(k)}) AS y$k").mkString(",\n    ")
+    val resid = (0 until pcaP).map(k => s"y$k * y$k").reduce((a, b) => s"($a + $b)")
+    val yOut = (0 until pcaP).map(k =>
+      s"floor(y$k * 1000000.0 + 0.5) / 1000000.0 AS y$k").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |    $ys,
+       |    (${dotSql("embedding", "embedding")} - 2.0 * ${dotSql("embedding", vecLit(m.mean))} + $muNorm) AS c2
+       |  FROM embeddings)
+       |SELECT vec_id, $yOut,
+       |  floor((c2 - $resid) * 1000000.0 + 0.5) / 1000000.0 AS resid
+       |FROM p ORDER BY vec_id""".stripMargin
+  }
+
+  /** The x92 twin interpolates the TRAINED model, so it must train on the
+    * dir the query served (x92 records it in [[verifyDirHint]] when it
+    * runs; Verify dumps oracle SQL after running every query, so the hint
+    * is always set by dump time — sf0.01, the driver's contract, is the
+    * fallback). The (session, dir) cache makes this a lookup, not a
+    * second training. */
+  private def x92Model: PcaModel = {
+    val s = org.apache.spark.sql.SparkSession.active
+    trainedPca(s, verifyDirHint.getOrElse("/root/testdata/sf0.01"))
+  }
+
+  /** Last dir x92 served — the twin-generation contract above. */
+  @volatile private[graft] var verifyDirHint: Option[String] = None
+
+  /** A `def`, unlike the sibling operators' static twin strings: the x92
+    * twin embeds dir-trained doubles, so it must regenerate at dump time
+    * (after the queries ran), not at object init. */
+  def oracles: Map[String, String] = Map(
     "x83_kmeans_ivf" -> x83Oracle,
-    "x84_kmeans_pq" -> x84Oracle)
+    "x84_kmeans_pq" -> x84Oracle,
+    "x91_pca_train" -> x91Oracle,
+    "x92_pca_project" -> x92Oracle)
 }

@@ -119,6 +119,74 @@ class QuantizerSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("x91 PCA training: orthonormal axes, descending spectrum, eigen + trace identities") {
+    val m = Quantizers.trainedPca(spark, sfDir)
+    val dim = m.mean.length
+    // covariance is symmetric with nonnegative diagonal
+    for (i <- 0 until dim; j <- i until dim)
+      assert(m.cov(i)(j) == m.cov(j)(i))
+    (0 until dim).foreach(i => assert(m.cov(i)(i) >= -1e-12))
+    // full spectrum: descending, trace-preserving (Σλ = tr C — rotations
+    // preserve the trace exactly up to fp roundoff)
+    m.eigVals.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12) }
+    val trace = (0 until dim).foldLeft(0.0)((a, i) => a + m.cov(i)(i))
+    assert(math.abs(m.eigVals.sum - trace) < 1e-9, s"${m.eigVals.sum} vs $trace")
+    // axes orthonormal and actually eigen: ‖Cv − λv‖∞ small
+    for (k <- 0 until dim; l <- k until dim) {
+      val d = (0 until dim).foldLeft(0.0)((a, i) => a + m.eigVecs(k)(i) * m.eigVecs(l)(i))
+      if (k == l) assert(math.abs(d - 1.0) < 1e-9, s"axis $k not unit: $d")
+      else assert(math.abs(d) < 1e-9, s"axes $k,$l not orthogonal: $d")
+    }
+    for (k <- 0 until Quantizers.pcaP) {
+      val v = m.eigVecs(k); val lam = m.eigVals(k)
+      (0 until dim).foreach { i =>
+        val cvi = (0 until dim).foldLeft(0.0)((a, j) => a + m.cov(i)(j) * v(j))
+        assert(math.abs(cvi - lam * v(i)) < 1e-8, s"axis $k row $i: $cvi vs ${lam * v(i)}")
+      }
+    }
+  }
+
+  test("x92 PCA projection equals a naive recompute; residual nonneg and shrinks with axes") {
+    val m = Quantizers.trainedPca(spark, sfDir)
+    val dim = m.mean.length
+    val rows = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val muDotV = m.eigVecs.take(Quantizers.pcaP).map(v =>
+      v.indices.foldLeft(0.0)((a, i) => a + m.mean(i) * v(i)))
+    val muNorm = m.mean.foldLeft(0.0)((a, x) => a + x * x)
+    val expect = rows.map { case (id, x) =>
+      val ys = (0 until Quantizers.pcaP).map { k =>
+        (0 until dim).foldLeft(0.0)((a, i) => a + x(i).toDouble * m.eigVecs(k)(i)) - muDotV(k)
+      }
+      val c2 = (0 until dim).foldLeft(0.0)((a, i) => a + x(i).toDouble * x(i).toDouble) -
+        2.0 * (0 until dim).foldLeft(0.0)((a, i) => a + x(i).toDouble * m.mean(i)) + muNorm
+      val resid = ys.map(y => y * y).reduce(_ + _)
+      (id, ys.map(r6), r6(c2 - resid))
+    }.toSeq
+    val got = Quantizers.x92(spark, sfDir).collect().map { r =>
+      (r.getLong(0),
+        (1 to Quantizers.pcaP).map(r.getDouble),
+        r.getDouble(Quantizers.pcaP + 1))
+    }.toSeq
+    assert(got == expect)
+    // residual is unexplained variance: nonnegative (mod fix-point slack),
+    // and keeping all pcaP axes explains at least as much as the top 2
+    got.foreach { case (id, _, res) => assert(res >= -1e-6, s"vec $id resid $res") }
+    val resid2 = rows.map { case (_, x) =>
+      val ys = (0 until 2).map { k =>
+        (0 until dim).foldLeft(0.0)((a, i) => a + x(i).toDouble * m.eigVecs(k)(i)) - muDotV(k)
+      }
+      val c2 = (0 until dim).foldLeft(0.0)((a, i) => a + x(i).toDouble * x(i).toDouble) -
+        2.0 * (0 until dim).foldLeft(0.0)((a, i) => a + x(i).toDouble * m.mean(i)) + muNorm
+      c2 - ys.map(y => y * y).sum
+    }
+    val residP = got.map(_._3)
+    assert(residP.sum <= resid2.sum + 1e-6,
+      s"more axes must not explain less: ${residP.sum} vs ${resid2.sum}")
+  }
+
   test("x83/x84 queries return the cached traces in round order") {
     val km = Quantizers.queries("x83_kmeans_ivf")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
