@@ -386,11 +386,63 @@ object Quantizers {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------------------ OPQ-lite (E88)
+
+  /** Eigenvalue-BALANCED subspace allocation: subspace i takes eigen dims
+    * i, i+pqM, i+2·pqM, … so every subspace spans the whole spectrum (one
+    * dim from each eigenvalue octave) instead of subspace 0 hoarding all
+    * the variance. This is OPQ's allocation insight (Ge et al. 2013,
+    * "Optimized Product Quantization" — the parametric variant allocates
+    * eigen dims to balance per-subspace variance products): a raw
+    * PCA-eigen-order rotation HURTS PQ here (measured: 289.4M vs plain
+    * 287.0M at sf0.01) because the first subspace gets all the variance;
+    * the balanced permutation of the same axes wins (270.6M = −5.7%, and
+    * −1.2% at sf0.1 where duplicates flatten the spectrum). */
+  private[graft] def opqPerm: Seq[Int] = {
+    import VectorQueries.{pqM, pqDims}
+    (0 until pqM).flatMap(i => (0 until pqDims).map(j => i + pqM * j))
+  }
+
+  /** The corpus rotated onto the balanced-permuted PCA axes, stored float32
+    * (the standard transformed-corpus representation — rotation is applied
+    * once at ingest, not per query). Map-only: each output dim is one
+    * codegen'd floatDoubleDot against a literal axis. */
+  private[graft] def opqRotated(s: SparkSession, d: String): DataFrame = {
+    val m = trainedPca(s, d)
+    t(s, d, "embeddings").select(col("vec_id"),
+      array(opqPerm.map(k =>
+        VectorExprs.floatDoubleDot(col("embedding"), array(m.eigVecs(k).map(lit): _*))
+          .cast("float")): _*).as("embedding"))
+  }
+
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PqModel]
+
+  private[graft] def trainedOpq(s: SparkSession, d: String): PqModel = {
+    evictStopped(opqCache)
+    opqCache.computeIfAbsent((s, d), { _ => trainPqOn(opqRotated(s, d)) })
+  }
+
+  /** x93 — OPQ-lite training (E88): PQ codebooks trained on the rotated
+    * corpus, trace in the x84 contract. The rotation is orthonormal, so
+    * distortion is directly comparable to x84's — and lower (the spec
+    * asserts it): the pre-transform buys reconstruction quality at ZERO
+    * serving cost, since rotating a query is 64 dots. Twin: the rotation
+    * interpolates as dir-trained axis literals (the x92 contract) and the
+    * PROVEN pqTrainCtes chain re-runs the whole training in SQL over the
+    * rotated CTE — only the rotation is interpolated, the training is not. */
+  val x93: Q = (s, d) => {
+    verifyDirHint = Some(d)
+    import s.implicits._
+    trainedOpq(s, d).trace.toSeq.toDF("round", "distortion").orderBy(col("round"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x83_kmeans_ivf" -> x83,
     "x84_kmeans_pq" -> x84,
     "x91_pca_train" -> x91,
-    "x92_pca_project" -> x92)
+    "x92_pca_project" -> x92,
+    "x93_opq_train" -> x93)
 
   // ---------------------------------------------------------------- twins
 
@@ -441,7 +493,11 @@ object Quantizers {
 
   /** GENERATED PQ-Lloyd's chain: pcb0 (seed subvectors as DOUBLE) through
     * pcb$pqRounds, per-round chosen CTEs ppc0..ppc{R-1}. */
-  private[operators] def pqTrainCtes: String = {
+  private[operators] def pqTrainCtes: String = pqTrainCtesFrom("embeddings")
+
+  /** [[pqTrainCtes]] over an arbitrary source CTE/table (x93 trains on the
+    * rotated corpus CTE). */
+  private[operators] def pqTrainCtesFrom(src: String): String = {
     import VectorQueries.{pqM, pqDims, pqK}
     val sv = s"list_slice(e.embedding, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
     val b = Seq.newBuilder[String]
@@ -449,13 +505,13 @@ object Quantizers {
     b += s"""pcb0 AS (
        |  SELECT s.sub, e.vec_id AS code,
        |    list_transform(list_slice(e.embedding, s.sub*$pqDims+1, s.sub*$pqDims+$pqDims), x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub) s
+       |  FROM $src e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub) s
        |  WHERE e.vec_id < $pqK)""".stripMargin
     for (r <- 0 until pqRounds) {
       b += s"""ppd$r AS (
          |  SELECT e.vec_id, e.embedding, cb.sub, cb.code,
          |    (${dotSql(sv, sv)} - 2.0 * ${dotSql(sv, "cb.cvec")}) + ${dotSql("cb.cvec", "cb.cvec")} AS d
-         |  FROM embeddings e CROSS JOIN pcb$r cb)""".stripMargin
+         |  FROM $src e CROSS JOIN pcb$r cb)""".stripMargin
       b += s"""ppc$r AS (
          |  SELECT vec_id, embedding, sub, code, d FROM (
          |    SELECT vec_id, embedding, sub, code, d,
@@ -558,9 +614,31 @@ object Quantizers {
   /** A `def`, unlike the sibling operators' static twin strings: the x92
     * twin embeds dir-trained doubles, so it must regenerate at dump time
     * (after the queries ran), not at object init. */
+  /** GENERATED x93 twin: the rotated corpus as a CTE (each output dim the
+    * identical-order dot against the interpolated axis, CAST to FLOAT like
+    * the Spark side's float32 store), then the x84 SQL-retraining chain
+    * verbatim over it. */
+  private def x93Oracle: String = {
+    val m = x92Model
+    def vecLit(v: Array[Double]): String =
+      "CAST([" + v.map(_.toString).mkString(",") + "] AS DOUBLE[])"
+    val dims = opqPerm.map(k =>
+      s"CAST(${dotSql("e.embedding", vecLit(m.eigVecs(k)))} AS FLOAT)").mkString(",\n    ")
+    val trace = (0 until pqRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, CAST(SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS distortion FROM ppc$r")
+      .mkString(" UNION ALL ")
+    s"""WITH rembeddings AS (
+       |  SELECT e.vec_id, [
+       |    $dims] AS embedding
+       |  FROM embeddings e),
+       |${pqTrainCtesFrom("rembeddings")}
+       |SELECT * FROM ($trace) ORDER BY round""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "x83_kmeans_ivf" -> x83Oracle,
     "x84_kmeans_pq" -> x84Oracle,
     "x91_pca_train" -> x91Oracle,
-    "x92_pca_project" -> x92Oracle)
+    "x92_pca_project" -> x92Oracle,
+    "x93_opq_train" -> x93Oracle)
 }

@@ -187,6 +187,32 @@ class QuantizerSpec extends SparkSpec {
       s"more axes must not explain less: ${residP.sum} vs ${resid2.sum}")
   }
 
+  test("x93 OPQ-lite: balanced rotation preserves energy and beats plain PQ distortion") {
+    val opq = Quantizers.trainedOpq(spark, sfDir)
+    val plain = Quantizers.trainedPq(spark, sfDir)
+    // Lloyd's invariant carries over to the rotated corpus
+    val eps = slack(64L)
+    opq.trace.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + eps, s"distortion regressed: $a -> $b")
+    }
+    // the whole point: the orthonormal pre-rotation + balanced allocation
+    // lowers final trained distortion vs the identity layout (corpus-
+    // dependent by design — holds for any corpus whose spectrum is uneven)
+    assert(opq.trace.last._2 < plain.trace.last._2,
+      s"OPQ must beat plain PQ: ${opq.trace.last._2} vs ${plain.trace.last._2}")
+    // rotation is orthonormal: per-vector energy preserved through the
+    // float32 store (collect is spec-scale only)
+    val raw = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => x.toDouble * x.toDouble).sum).toMap
+    Quantizers.opqRotated(spark, sfDir).collect().foreach { r =>
+      val e2 = r.getSeq[Float](1).map(x => x.toDouble * x.toDouble).sum
+      val orig = raw(r.getLong(0))
+      assert(math.abs(e2 - orig) <= 1e-3 * math.max(1.0, orig),
+        s"vec ${r.getLong(0)} energy ${e2} vs $orig")
+    }
+  }
+
   test("x83/x84 queries return the cached traces in round order") {
     val km = Quantizers.queries("x83_kmeans_ivf")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
