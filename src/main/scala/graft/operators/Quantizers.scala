@@ -437,12 +437,35 @@ object Quantizers {
     trainedOpq(s, d).trace.toSeq.toDF("round", "distortion").orderBy(col("round"))
   }
 
+  /** x94 — OPQ ADC serving (E89): x56's ADC search under the x93 model —
+    * proof that the rotation buys reconstruction quality at unchanged
+    * serving cost. The query rotates once (64 dots — the same map the
+    * corpus paid at ingest), the LUT is the standard driver-computed
+    * pqM×pqK table against the ROTATED codebooks, and per-vector distance
+    * stays 8 lookups + 7 adds over the 4-bit codes. Twin: rotation
+    * interpolated (x92 contract), then the PROVEN x56 SQL chain — corpus
+    * encode, in-SQL LUT, ranked ADC — over the rotated CTE. */
+  val x94: Q = (s, d) => {
+    verifyDirHint = Some(d)
+    import VectorQueries.{withPqCodes, pqLut, pqAdist}
+    val rot = opqRotated(s, d)
+    val qv = rot.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val cbs = trainedOpq(s, d).cbs
+    withPqCodes(graft.Tables.spread(rot).select(col("vec_id"), col("embedding")), cbs)
+      .select(col("vec_id"), pqAdist(pqLut(qv, cbs)).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x83_kmeans_ivf" -> x83,
     "x84_kmeans_pq" -> x84,
     "x91_pca_train" -> x91,
     "x92_pca_project" -> x92,
-    "x93_opq_train" -> x93)
+    "x93_opq_train" -> x93,
+    "x94_opq_search" -> x94)
 
   // ---------------------------------------------------------------- twins
 
@@ -618,27 +641,41 @@ object Quantizers {
     * identical-order dot against the interpolated axis, CAST to FLOAT like
     * the Spark side's float32 store), then the x84 SQL-retraining chain
     * verbatim over it. */
-  private def x93Oracle: String = {
+  /** The rotated-corpus CTE shared by the x93/x94 twins: each output dim
+    * is the identical-order dot against the interpolated axis, CAST to
+    * FLOAT like the Spark side's float32 store. */
+  private def rotCteSql: String = {
     val m = x92Model
     def vecLit(v: Array[Double]): String =
       "CAST([" + v.map(_.toString).mkString(",") + "] AS DOUBLE[])"
     val dims = opqPerm.map(k =>
       s"CAST(${dotSql("e.embedding", vecLit(m.eigVecs(k)))} AS FLOAT)").mkString(",\n    ")
+    s"""rembeddings AS (
+       |  SELECT e.vec_id, [
+       |    $dims] AS embedding
+       |  FROM embeddings e)""".stripMargin
+  }
+
+  private def x93Oracle: String = {
     val trace = (0 until pqRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, CAST(SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS distortion FROM ppc$r")
       .mkString(" UNION ALL ")
-    s"""WITH rembeddings AS (
-       |  SELECT e.vec_id, [
-       |    $dims] AS embedding
-       |  FROM embeddings e),
+    s"""WITH $rotCteSql,
        |${pqTrainCtesFrom("rembeddings")}
        |SELECT * FROM ($trace) ORDER BY round""".stripMargin
   }
+
+  private def x94Oracle: String =
+    s"""WITH $rotCteSql,
+       |${VectorQueries.pqCtesFrom("rembeddings")},
+       |${VectorQueries.pqQLutCtesFrom("rembeddings")}
+       |${VectorQueries.pqAdcTailSql("pq p")}""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x83_kmeans_ivf" -> x83Oracle,
     "x84_kmeans_pq" -> x84Oracle,
     "x91_pca_train" -> x91Oracle,
     "x92_pca_project" -> x92Oracle,
-    "x93_opq_train" -> x93Oracle)
+    "x93_opq_train" -> x93Oracle,
+    "x94_opq_search" -> x94Oracle)
 }

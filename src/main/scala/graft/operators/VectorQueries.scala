@@ -189,8 +189,8 @@ object VectorQueries {
     * j of subspace i = vector j's i-th subvector); the fix-point training
     * keeps both engines bit-reproducible, which is what the oracle gate
     * needs. */
-  private[operators] val pqM = 8
-  private[operators] val pqDims = 8
+  private[graft] val pqM = 8
+  private[graft] val pqDims = 8
   private[operators] val pqK = 16
 
   /** [subspace][code] = (trained codeword, its ‖c‖² computed left-to-right).
@@ -452,20 +452,24 @@ object VectorQueries {
     * accumulation order equals the Scala foldLeft literal on the Spark
     * side), argmin via ROW_NUMBER (d ASC, code ASC) = array_min struct
     * ordering, then a per-vector pivot to c0..c7/d0..d7. */
-  private[operators] def pqCte: String = {
+  private[operators] def pqCte: String = "WITH " + pqCtesFrom("embeddings")
+
+  /** [[pqCte]]'s body (no WITH prefix) over an arbitrary corpus CTE/table —
+    * x94 runs the identical chain over the rotated corpus. */
+  private[operators] def pqCtesFrom(src: String): String = {
     val sv = s"list_slice(e.embedding, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
     val cPiv = (0 until pqM).map(i =>
       s"MAX(CASE WHEN sub=$i THEN code END) AS c$i").mkString(", ")
     val dPiv = (0 until pqM).map(i =>
       s"MAX(CASE WHEN sub=$i THEN d END) AS d$i").mkString(", ")
-    s"""WITH ${Quantizers.pqTrainCtes},
+    s"""${Quantizers.pqTrainCtesFrom(src)},
        |cb AS (SELECT sub, code, cvec FROM pcb${Quantizers.pqRounds}),
        |dists AS (
        |  SELECT e.vec_id, cb.sub, cb.code,
        |    (${pqDotSql(sv, sv)}
        |     - 2.0 * ${pqDotSql(sv, "cb.cvec")})
        |     + ${pqDotSql("cb.cvec", "cb.cvec")} AS d
-       |  FROM embeddings e CROSS JOIN cb),
+       |  FROM $src e CROSS JOIN cb),
        |chosen AS (
        |  SELECT vec_id, sub, code, d FROM (
        |    SELECT vec_id, sub, code, d,
@@ -487,9 +491,12 @@ object VectorQueries {
 
   /** GENERATED q + lut CTEs shared by the x56/x57 twins: the in-SQL LUT
     * with the identical (q−c)² accumulation as the Scala pqLut. */
-  private[operators] def pqQLutCtes: String = {
+  private[operators] def pqQLutCtes: String = pqQLutCtesFrom("embeddings")
+
+  /** [[pqQLutCtes]] with the query drawn from an arbitrary CTE/table. */
+  private[operators] def pqQLutCtesFrom(qsrc: String): String = {
     val qsv = s"list_slice(q.qe, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
-    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s"""q AS (SELECT embedding AS qe FROM $qsrc WHERE vec_id = 0),
        |lut AS (
        |  SELECT cb.sub, cb.code,
        |    list_aggregate(list_transform(list_zip($qsv, cb.cvec),

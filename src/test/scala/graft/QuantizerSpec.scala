@@ -213,6 +213,44 @@ class QuantizerSpec extends SparkSpec {
     }
   }
 
+  test("x94 OPQ ADC search equals an independent Scala reference") {
+    import graft.operators.VectorQueries.{pqM, pqDims}
+    val cbs = Quantizers.trainedOpq(spark, sfDir).cbs
+    val rot = Quantizers.opqRotated(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qv = rot.find(_._1 == 0L).get._2
+    // the same arithmetic in the same order: assignment via the
+    // ⟨s,s⟩ − 2⟨s,c⟩ + ‖c‖² expansion (ties → lowest code), LUT via the
+    // direct Σ(x−c)² accumulation — mirroring pqSubDist / pqLut exactly
+    def fdot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def fddot(a: Array[Float], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i))
+    val lut = Array.tabulate(pqM) { i =>
+      val sub = qv.slice(i * pqDims, (i + 1) * pqDims)
+      cbs(i).map { case (c, _) =>
+        sub.zip(c).foldLeft(0.0) { case (acc, (x, cc)) =>
+          val t0 = x.toDouble - cc; acc + t0 * t0
+        }
+      }
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = rot.map { case (id, v) =>
+      val raw = (0 until pqM).foldLeft(0.0) { (acc, i) =>
+        val sub = v.slice(i * pqDims, (i + 1) * pqDims)
+        val code = cbs(i).zipWithIndex.minBy { case ((c, cc), j) =>
+          ((fdot(sub, sub) - 2.0 * fddot(sub, c)) + cc, j)
+        }._2
+        acc + lut(i)(code)
+      }
+      (id, raw)
+    }.sortBy { case (id, raw) => (raw, id) }.take(10)
+      .map { case (id, raw) => (id, r6(raw)) }.toSeq
+    val got = Quantizers.x94(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
+
   test("x83/x84 queries return the cached traces in round order") {
     val km = Quantizers.queries("x83_kmeans_ivf")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
