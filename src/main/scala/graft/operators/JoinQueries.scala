@@ -78,15 +78,67 @@ object JoinQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** x96 — fuzzy self-join on edit distance ≤ 1 (E91): entity-resolution's
+    * core primitive — find all customer-name pairs one typo apart — via
+    * DELETION-NEIGHBORHOOD blocking instead of the unscalable N² sweep.
+    * Signature set of a name = the name itself plus each single-character
+    * deletion; any two strings within edit distance 1 SHARE a signature
+    * (substitution at p ⇒ both p-deletions equal; insertion/deletion ⇒ the
+    * shorter string is itself a deletion variant of the longer), so the
+    * equi-join on the h60'd signature is a COMPLETE candidate generator and
+    * the exact `levenshtein` filter touches only collisions.
+    *
+    * 100 TB shape: each name explodes into len+1 16-byte (hash, id) rows —
+    * a co-partitioned self-join on the signature hash, the x41 band-join
+    * chassis for strings; bucket fan-out is bounded by how many names share
+    * a (len−1)-subsequence, the string analogue of the x82 df cap. */
+  val x96: Q = (s, d) => {
+    val c = graft.Tables.spread(t(s, d, "customer"))
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val variants = transform(sequence(lit(1), length(col("name"))), p =>
+      concat(col("name").substr(lit(1), p - lit(1)),
+        col("name").substr(p + lit(1), lit(1000000))))
+    val sigs = c.select(col("id"), col("name"),
+      explode(array_distinct(graft.functions.VectorExprs.h60Array(
+        array_union(variants, array(col("name")))))).as("sig"))
+    val a = sigs.select(col("id").as("a_id"), col("name").as("a_name"), col("sig"))
+    val b = sigs.select(col("id").as("b_id"), col("name").as("b_name"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name")).distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q10_inner_join" -> q10,
     "q11_broadcast_chain" -> q11,
     "q12_left_outer" -> q12,
     "q13_semi_join" -> q13,
     "q14_anti_join" -> q14,
-    "q15_range_join" -> q15)
+    "q15_range_join" -> q15,
+    "x96_fuzzy_match" -> x96)
 
   val oracles: Map[String, String] = Map(
+    // The twin replays the SAME deletion-neighborhood blocking (so it runs
+    // at sf1 where the quadratic form cannot) + the same exact levenshtein
+    // verify; blocking internals need not match cross-engine — both are
+    // complete for distance ≤ 1, so the verified PAIR SET is identical.
+    "x96_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |sigs AS (
+        |  SELECT id, name, unnest(list_distinct(list_append(
+        |    list_transform(range(1, len(name) + 1),
+        |      p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS sig
+        |  FROM c),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id)
+        |SELECT a_id, b_id, CAST(levenshtein(an, bn) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(an, bn) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
     "q10_inner_join" ->
       """SELECT c_mktsegment, COUNT(*) AS c,
         |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE),2) AS s

@@ -113,14 +113,70 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** x95 — time-series resample + gap-fill (E90): regularize the event
+    * stream onto a dense hourly grid per event_type and carry the last
+    * observation forward (LOCF — the standard step before feeding irregular
+    * telemetry to anything that expects fixed-step series). Hours with no
+    * observation are flagged (`is_gap`) and inherit the previous filled
+    * value; hours before a type's first observation stay NULL.
+    *
+    * 100 TB shape: the observation agg is map-side-combined on (type,
+    * hour); the GRID is bounded by time-range × types — independent of
+    * event count — generated from a 1-row global bounds agg crossed with
+    * the type dimension (the benign scalar-broadcast shape); the LOCF
+    * window partitions by type and orders by hour, so its cost tracks the
+    * grid, not the data, and an enormous time range decomposes by range-
+    * bucketing the window (the x72 escape). Determinism: the per-bucket
+    * value is davg (fix-point sum / count — exact under any reduction
+    * order), so the carried value is the same double on both engines. */
+  val x95: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val obs = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_obs"), graft.Tables.davg(col("value")).as("v"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), tsStr(col("h")).as("h"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        graft.Tables.fround(last(col("v"), ignoreNulls = true).over(w), 6).as("filled"),
+        col("n_obs").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_tumbling_window" -> q31,
     "q32_sliding_window" -> q32,
     "q33_asof_join" -> q33,
     "q34_session_window" -> q34,
-    "x35_sessions_linear" -> x35)
+    "x35_sessions_linear" -> x35,
+    "x95_resample_locf" -> x95)
 
   val oracles: Map[String, String] = Map(
+    "x95_resample_locf" ->
+      """WITH obs AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (
+        |  SELECT ty.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        |  FROM ty CROSS JOIN b),
+        |j AS (
+        |  SELECT g.event_type, g.h, o.n_obs, o.v
+        |  FROM grid g LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h)
+        |SELECT event_type, CAST(h AS VARCHAR) AS h, COALESCE(n_obs, 0) AS n_obs,
+        |  floor(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0 AS filled,
+        |  n_obs IS NULL AS is_gap
+        |FROM j ORDER BY event_type, h""".stripMargin,
     "q31_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS n,
         |ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE),2) AS sv

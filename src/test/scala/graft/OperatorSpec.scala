@@ -388,6 +388,48 @@ class OperatorSpec extends SparkSpec {
       s"short unique doc untouched: ${got(4L)}")
   }
 
+  test("x95 resample/LOCF: planted gaps carry forward, pre-first-obs hours stay null") {
+    val dir = tmpDir("locf")
+    import spark.implicits._
+    def ts(h: Int, m: Int = 30) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // type A: obs in hours 0 and 3 (value 10, 40) → hours 1-2 are gaps
+    // carrying 10.0; type B: first obs in hour 2 → hours 0-1 NULL-filled.
+    // Hour 3 has TWO A-events (40, 41) → davg = 40.5 exactly.
+    Seq(
+      (1L, ts(0), 1L, "A", 10.0), (2L, ts(3, 10), 1L, "A", 40.0),
+      (3L, ts(3, 20), 1L, "A", 41.0), (4L, ts(2), 2L, "B", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.TemporalQueries.x95(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13),
+        r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("A", "00", 1L, 10.0, false),
+      ("A", "01", 0L, 10.0, true),
+      ("A", "02", 0L, 10.0, true),
+      ("A", "03", 2L, 40.5, false),
+      ("B", "00", 0L, null, true),
+      ("B", "01", 0L, null, true),
+      ("B", "02", 1L, 7.0, false),
+      ("B", "03", 0L, 7.0, true)), s"got $got")
+  }
+
+  test("x96 fuzzy match: deletion-neighborhood blocking is complete for lev<=1") {
+    val dir = tmpDir("fuzzy")
+    import spark.implicits._
+    // substitution (cat/cut), insertion (cat/cart), deletion (cat/ct),
+    // exact duplicate (cat/cat -> dist 0), distance-2 negatives (cut/cart,
+    // cart/ct), and an isolated name (dog)
+    Seq((1L, "cat"), (2L, "cut"), (3L, "cart"), (4L, "ct"), (5L, "dog"), (6L, "cat"))
+      .toDF("c_custkey", "c_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = JoinQueries.x96(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 6L, 0L),
+      (2L, 4L, 1L), (2L, 6L, 1L), (3L, 6L, 1L), (4L, 6L, 1L)), s"got $got")
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
