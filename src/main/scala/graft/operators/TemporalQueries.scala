@@ -149,15 +149,99 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** The x97 funnel: ordered step sequence a user must pass through. */
+  private[graft] val funnelSteps = Seq("view", "click", "purchase")
+
+  /** x97 — ordered funnel analysis (E92): how many users complete
+    * view → click → purchase IN ORDER (each step strictly after the
+    * previous one in the user's event sequence). One row_number window
+    * per user (deterministic total order by (ts, event_id)), then a chain
+    * of conditional-min joins: step k's earliest qualifying position is
+    * min(rn) over that step's events AFTER step k−1's position.
+    *
+    * 100 TB shape: the window and every join key on user_id — one shuffle,
+    * re-used co-partitioned across the chain (exchange reuse); per-step
+    * frames shrink monotonically (only converting users survive), and the
+    * output is |steps| rows. The degenerate-user bound is the per-user
+    * event count (the q18 window posture). */
+  val x97: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val r = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val stages = funnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = r.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => mine
+          case Some(p) => mine.join(p, "user_id").filter(col("rn") > col("r"))
+        }
+        Some(gated.groupBy(col("user_id")).agg(min(col("rn")).as("r")))
+    }.flatten
+    stages.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("step"), lit(funnelSteps(i)).as("event_type"),
+          col("users"))
+    }.reduce(_.union(_)).orderBy(col("step"))
+  }
+
+  /** x98 — weekly cohort retention (E93): users grouped by first-seen week,
+    * activity counted per (cohort, week-offset) — the retention matrix.
+    * Two map-side-combined aggs + one co-partitioned join on user_id; the
+    * matrix is bounded by weeks², independent of event count. */
+  val x98: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("wk_offset"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n_events"))
+      .select(col("cohort").cast("date").cast("string").as("cohort"),
+        col("wk_offset"), col("users"), col("n_events"))
+      .orderBy(col("cohort"), col("wk_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_tumbling_window" -> q31,
     "q32_sliding_window" -> q32,
     "q33_asof_join" -> q33,
     "q34_session_window" -> q34,
     "x35_sessions_linear" -> x35,
-    "x95_resample_locf" -> x95)
+    "x95_resample_locf" -> x95,
+    "x97_funnel" -> x97,
+    "x98_cohort_retention" -> x98)
 
   val oracles: Map[String, String] = Map(
+    "x97_funnel" -> {
+      val steps = funnelSteps
+      val ctes = steps.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"s1 AS (SELECT user_id, MIN(rn) AS r FROM r WHERE event_type = '$step' GROUP BY user_id)"
+        else
+          s"""s${i + 1} AS (
+             |  SELECT r.user_id, MIN(r.rn) AS r
+             |  FROM r JOIN s$i ON s$i.user_id = r.user_id AND r.rn > s$i.r
+             |  WHERE r.event_type = '$step' GROUP BY r.user_id)""".stripMargin
+      }.mkString(",\n")
+      val counts = steps.zipWithIndex.map { case (step, i) =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$step' AS event_type, COUNT(*) AS users FROM s${i + 1}"
+      }.mkString(" UNION ALL ")
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |$ctes
+         |SELECT * FROM ($counts) ORDER BY step""".stripMargin
+    },
+    "x98_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY user_id)
+        |SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort,
+        |  CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) / 7 AS BIGINT) AS wk_offset,
+        |  COUNT(DISTINCT ev.user_id) AS users, COUNT(*) AS n_events
+        |FROM ev JOIN f ON f.user_id = ev.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, wk_offset""".stripMargin,
     "x95_resample_locf" ->
       """WITH obs AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n_obs,

@@ -430,6 +430,47 @@ class OperatorSpec extends SparkSpec {
       (2L, 4L, 1L), (2L, 6L, 1L), (3L, 6L, 1L), (4L, 6L, 1L)), s"got $got")
   }
 
+  test("x97 funnel: out-of-order steps don't count, each stage gates the next") {
+    val dir = tmpDir("funnel")
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), 1L, "view", 1.0), (2L, ts(2), 1L, "click", 1.0), (3L, ts(3), 1L, "purchase", 1.0),
+      // user 2: click BEFORE view — must stop at step 1 despite a purchase
+      (4L, ts(1), 2L, "click", 1.0), (5L, ts(2), 2L, "view", 1.0), (6L, ts(3), 2L, "purchase", 1.0),
+      // user 3: view then click, no purchase
+      (7L, ts(1), 3L, "view", 1.0), (8L, ts(2), 3L, "click", 1.0),
+      // user 4: purchase only — never enters the funnel
+      (9L, ts(1), 4L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.TemporalQueries.x97(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // user 2's purchase follows their view, but step 2 (click after view)
+    // never fired — the stage gate keeps them out of step 3
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)), s"got $got")
+  }
+
+  test("x98 cohort retention: first-seen week partitions users, offsets count weeks") {
+    val dir = tmpDir("cohort")
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq(
+      (1L, ts(1), 10L, "view", 1.0),   // user 10: cohort Mon 01-01
+      (2L, ts(2), 10L, "view", 1.0),   //   same week — offset 0 again
+      (3L, ts(16), 10L, "view", 1.0),  //   week of 01-15 — offset 2
+      (4L, ts(8), 11L, "view", 1.0))   // user 11: cohort Mon 01-08, offset 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.TemporalQueries.x98(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 1L, 2L),
+      ("2024-01-01", 2L, 1L, 1L),
+      ("2024-01-08", 0L, 1L, 1L)), s"got $got")
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
