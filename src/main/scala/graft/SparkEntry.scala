@@ -35,7 +35,8 @@ object SparkEntry {
       PivotQueries.queries ++
       CurationQueries.queries ++
       LmQueries.queries ++
-      NoveltyQueries.queries
+      NoveltyQueries.queries ++
+      StatsQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -55,5 +56,6 @@ object SparkEntry {
       PivotQueries.oracles ++
       CurationQueries.oracles ++
       LmQueries.oracles ++
-      NoveltyQueries.oracles
+      NoveltyQueries.oracles ++
+      StatsQueries.oracles
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, davg, fround}
+
+/** Table-statistics / data-quality operators (SURVEY §2.2 E94–E96):
+  * ANALYZE-style column stats, equi-width histograms, and a referential-
+  * integrity audit across the TPC-H FK graph. These are the engine-side
+  * "know your data" primitives a 100 TB lakehouse runs continuously — the
+  * stats feed the optimizer (NDV/min-max for join ordering and pruning)
+  * and the audits gate ingest.
+  *
+  * Reference note: the reference verifies tables with row counts and
+  * head samples only (`/root/reference/duckdb/verify.py`); these are the
+  * north-star extensions of that verifier surface per SURVEY §2.2.
+  */
+object StatsQueries {
+  import CoreQueries.Q
+
+  /** The audited numeric columns of lineitem (x101/x102). */
+  private[graft] val statCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** x101 — ANALYZE-style column statistics (E94): one row per audited
+    * column with count / nulls / exact NDV / min / max / fix-point mean —
+    * the stats block `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`
+    * maintains for the optimizer.
+    *
+    * 100 TB shape: ONE wide aggregate over the scan (no unpivot — melting
+    * first would 4× the shuffled rows); the multi-column exact distincts
+    * expand map-side and combine per column, so the exchange carries
+    * partial aggregates, not data. The 1×(6·cols) result row is melted to
+    * per-column rows AFTER aggregation (driver-side width, cluster-side
+    * height). NDV is exact by contract here (the optimizer-stats use case
+    * tolerates approx_count_distinct — that scale escape is x63's). */
+  val x101: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val aggs = statCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"),
+        davg(col(c)).as(s"av_$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val perCol = statCols.map { c =>
+      one.select(lit(c).as("col_name"), col(s"n_$c").as("n_values"),
+        col(s"nn_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
+        fround(col(s"mn_$c"), 6).as("vmin"), fround(col(s"mx_$c"), 6).as("vmax"),
+        fround(col(s"av_$c"), 6).as("vmean"))
+    }
+    perCol.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
+  /** x102 — equi-width histograms (E95): B=8 bins per
+    * audited column between its global min/max, the `width_bucket`
+    * distribution sketch behind optimizer selectivity estimates and data-
+    * drift monitors.
+    *
+    * Two passes, both map-side-combined hash aggs: pass 1 is a 1-row
+    * global (min,max) per column (broadcast back as a cross join — the
+    * benign scalar-broadcast shape); pass 2 buckets each value by
+    * fix-point width and counts per (col, bin). The histogram is bounded
+    * by cols × B, independent of row count. Bin rule: half-open
+    * [lo, hi) with the max value folded into the last bin (the standard
+    * width_bucket clamp); empty bins are materialized with cnt=0 via the
+    * bounded grid so drift diffs line up positionally. */
+  val x102: Q = (s, d) => {
+    val nBins = 8
+    val li = t(s, d, "lineitem")
+    val bAggs = statCols.map(c => min(col(c)).as(s"mn_$c")) ++
+      statCols.map(c => max(col(c)).as(s"mx_$c"))
+    val bounds = li.agg(bAggs.head, bAggs.tail: _*)
+    val binned = statCols.map { c =>
+      li.select(col(c).as("v")).where(col("v").isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select(lit(c).as("col_name"),
+          least(floor((col("v") - col(s"mn_$c")) * nBins / (col(s"mx_$c") - col(s"mn_$c"))),
+            lit(nBins - 1L)).cast("long").as("bin"))
+        .groupBy(col("col_name"), col("bin")).agg(count(lit(1)).as("cnt"))
+    }.reduce(_.unionAll(_))
+    val grid = statCols.map(c =>
+      broadcast(bounds).select(lit(c).as("col_name"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"),
+        col(s"mn_$c").as("mn"), col(s"mx_$c").as("mx"))).reduce(_.unionAll(_))
+    grid.join(binned, Seq("col_name", "bin"), "left")
+      .select(col("col_name"), col("bin"),
+        fround(col("mn") + col("bin") * (col("mx") - col("mn")) / nBins, 6).as("lo"),
+        fround(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / nBins, 6).as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("col_name"), col("bin"))
+  }
+
+  /** The audited FK edges: (child table, fk column, parent table, pk column).
+    * Shared with the generated x103 twin so both engines walk one list. */
+  private[graft] val fkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** x103 — referential-integrity audit (E96): orphan detection across the
+    * full TPC-H FK graph — one row per edge with child row count, distinct
+    * FK values, and rows whose FK has no parent (NULL FKs are not orphans).
+    *
+    * 100 TB shape: each edge is ONE left join on the key (PK side unique ⇒
+    * no row multiplication) with the counts riding the same aggregate;
+    * small parents (nation/region/part at dim scale) broadcast under AQE,
+    * big ones (orders under lineitem) shuffle co-partitioned on the key —
+    * exactly the join the fact table already buckets for. The 7 audits are
+    * independent jobs over independent scans; output is |edges| rows. */
+  val x103: Q = (s, d) => {
+    fkEdges.map { case (child, fk, parent, pk) =>
+      val c = t(s, d, child).select(col(fk).cast("long").as("fk"))
+      val p = t(s, d, parent).select(col(pk).cast("long").as("pk"))
+      c.join(p, col("fk") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fk")).as("n_fk_distinct"),
+          sum(when(col("fk").isNotNull && col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(child).as("child"), lit(fk).as("fk"), lit(parent).as("parent"),
+          col("n_rows"), col("n_fk_distinct"), col("n_orphans"))
+    }.reduce(_.unionAll(_)).orderBy(col("child"), col("fk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x101_analyze_stats" -> x101,
+    "x102_histograms" -> x102,
+    "x103_fk_audit" -> x103)
+
+  val oracles: Map[String, String] = Map(
+    "x101_analyze_stats" -> {
+      val blocks = statCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_values,
+           |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS ndv,
+           |  floor(MIN($c) * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+           |  floor(MAX($c) * 1000000.0 + 0.5) / 1000000.0 AS vmax,
+           |  floor(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           |        * 1000000.0 + 0.5) / 1000000.0 AS vmean
+           |FROM lineitem""".stripMargin
+      }
+      s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name"
+    },
+    "x102_histograms" -> {
+      val blocks = statCols.map { c =>
+        s"""SELECT '$c' AS col_name, g.bin,
+           |  floor((b.mn + g.bin * (b.mx - b.mn) / 8) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+           |  floor((b.mn + (g.bin + 1) * (b.mx - b.mn) / 8) * 1000000.0 + 0.5) / 1000000.0 AS hi,
+           |  COALESCE(h.cnt, 0) AS cnt
+           |FROM (SELECT MIN($c) AS mn, MAX($c) AS mx FROM lineitem) b
+           |CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) g
+           |LEFT JOIN (
+           |  SELECT LEAST(CAST(floor(($c - b2.mn) * 8 / (b2.mx - b2.mn)) AS BIGINT), 7) AS bin,
+           |         COUNT(*) AS cnt
+           |  FROM lineitem, (SELECT MIN($c) AS mn, MAX($c) AS mx FROM lineitem) b2
+           |  WHERE $c IS NOT NULL GROUP BY 1) h ON h.bin = g.bin""".stripMargin
+      }
+      s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name, bin"
+    },
+    "x103_fk_audit" -> {
+      val blocks = fkEdges.map { case (child, fk, parent, pk) =>
+        s"""SELECT '$child' AS child, '$fk' AS fk, '$parent' AS parent,
+           |  COUNT(*) AS n_rows, COUNT(DISTINCT c.$fk) AS n_fk_distinct,
+           |  COUNT(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL THEN 1 END) AS n_orphans
+           |FROM $child c LEFT JOIN $parent p ON p.$pk = c.$fk""".stripMargin
+      }
+      s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY child, fk"
+    })
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatsQueries
+
+/** Planted-defect and self-consistency tests for the stats/audit family
+  * (x101 ANALYZE stats, x102 histograms, x103 FK audit). The synthetic
+  * TPC-H data is referentially intact, so the orphan detector is proven on
+  * a deliberately corrupted copy of the tables. */
+class StatsSpec extends SparkSpec {
+
+  test("x101 column stats agree with directly computed values") {
+    val rows = StatsQueries.x101(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val n = li.count()
+    val qty = rows.find(_.getString(0) == "l_quantity").get
+    assert(qty.getLong(1) == n, "count(l_quantity) = rows (no nulls in testdata)")
+    assert(qty.getLong(2) == 0L, "no nulls")
+    val ndv = li.select(col("l_quantity")).distinct().count()
+    assert(qty.getLong(3) == ndv, s"exact NDV: ${qty.getLong(3)} vs $ndv")
+    assert(qty.getDouble(4) <= qty.getDouble(6) && qty.getDouble(6) <= qty.getDouble(5),
+      "min <= mean <= max")
+  }
+
+  test("x102 histograms: counts cover the table, edges tile [min,max], max folds into last bin") {
+    val rows = StatsQueries.x102(spark, sfDir).collect()
+    assert(rows.length == 4 * 8)
+    val n = Tables.t(spark, sfDir, "lineitem").count()
+    StatsQueries.statCols.foreach { c =>
+      val bins = rows.filter(_.getString(0) == c).sortBy(_.getLong(1))
+      assert(bins.map(_.getLong(4)).sum == n, s"$c: bin counts must sum to row count")
+      // edges tile: each bin's hi is the next bin's lo (same fix-point arithmetic)
+      bins.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(3) == b.getDouble(2), s"$c: non-contiguous bins $a | $b")
+      }
+      assert(bins.last.getLong(4) > 0, s"$c: max value must fold into the last bin")
+    }
+  }
+
+  test("x103 audit is clean on intact data and finds planted orphans") {
+    val clean = StatsQueries.x103(spark, sfDir).collect()
+    assert(clean.length == StatsQueries.fkEdges.length)
+    assert(clean.forall(_.getLong(5) == 0L), s"synthetic TPC-H must be intact: ${clean.mkString(";")}")
+
+    // corrupt a copy: drop one order that has lineitems, then the audit must
+    // report exactly that order's lineitem rows as orphans on the
+    // lineitem->orders edge and stay clean elsewhere
+    val dir = tmpDir("fkaudit")
+    val tables = Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+    val victim = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).limit(1).collect().head.getLong(0)
+    tables.foreach { tn =>
+      val df = Tables.t(spark, sfDir, tn)
+      val out = if (tn == "orders") df.filter(col("o_orderkey") =!= victim) else df
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$tn.parquet")
+    }
+    val expectOrphans = Tables.t(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") === victim).count()
+    assert(expectOrphans > 0, "victim order must have lineitems")
+    val audit = StatsQueries.x103(spark, dir).collect()
+    val liOrders = audit.find(r => r.getString(0) == "lineitem" && r.getString(1) == "l_orderkey").get
+    assert(liOrders.getLong(5) == expectOrphans,
+      s"planted orphans: ${liOrders.getLong(5)} vs $expectOrphans")
+    assert(audit.filterNot(r => r.getString(0) == "lineitem" && r.getString(1) == "l_orderkey")
+      .forall(_.getLong(5) == 0L), "other edges stay clean")
+  }
+}
