@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, dsum, tsStr}
+import graft.Tables.{t, dsum, tsStr, davg, fround}
 
 /** SURVEY.md §2.4 Q31–Q32 + E6 (as-of join) + E25 (session window), batch
   * forms. The same window()/session_window() expressions run unchanged under
@@ -202,7 +202,89 @@ object TemporalQueries {
       .orderBy(col("cohort"), col("wk_offset"))
   }
 
+  /** x99 — SCD Type-2 history build (E97): compress each user's event-type
+    * change log into versioned validity intervals — the slowly-changing-
+    * dimension table a warehouse maintains for "what was this entity's
+    * state at time T" queries. Consecutive duplicates collapse (only CHANGE
+    * rows survive), `valid_from` = the change's timestamp, `valid_to` = the
+    * next change's (NULL ⇒ current), `version` numbers the history.
+    *
+    * 100 TB shape: ONE shuffle on user_id reused across both windows (the
+    * lag that detects changes and the lead/row_number that close intervals
+    * run over the same partitioning — Catalyst plans a single exchange +
+    * sort); the survivor frame shrinks to the change count before the
+    * second window touches it. Deterministic total order by (ts, event_id)
+    * — the q18 window posture; per-user state is the per-key sort, never
+    * global. */
+  val x99: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .select(col("user_id"),
+        row_number().over(w2).cast("long").as("version"),
+        col("event_type").as("state"),
+        tsStr(col("ts")).as("valid_from"),
+        tsStr(lead(col("ts"), 1).over(w2)).as("valid_to"),
+        lead(col("ts"), 1).over(w2).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Minimum prior observations before x104 scores a point. */
+  private val madMinPrior = 12
+
+  /** Exact median of a (sorted-on-demand) array column — shared by x104's
+    * rolling median and MAD. Even counts average the two middles, matching
+    * quantile_cont(0.5); the twin replays the identical sorted-element
+    * arithmetic rather than trusting cross-engine median semantics. */
+  private def arrMedian(a: Column): Column = {
+    val srt = array_sort(a)
+    val n = size(a)
+    when(n % 2 === 1, element_at(srt, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(srt, (n / 2).cast("int")) +
+        element_at(srt, (n / 2 + 1).cast("int"))) / 2.0)
+  }
+
+  /** x104 — rolling-median/MAD anomaly detection (E98): score each hourly
+    * observation of the per-type value series against the ROBUST location/
+    * scale of its trailing 24 observations (≈24 h on a dense series) —
+    * |v − median| > 3·1.4826·MAD flags the
+    * point (1.4826 rescales MAD to σ under normality). Median/MAD, not
+    * mean/stddev, so a burst of outliers cannot mask itself by inflating
+    * the baseline — the standard telemetry/data-drift monitor.
+    *
+    * 100 TB shape: the hourly pre-aggregation is the x95 map-side-combined
+    * (type, hour) agg, so the windowed series is bounded by time-range ×
+    * types, independent of event count; the trailing frame materializes
+    * ≤24 doubles per grid row (collect_list over a ROWS frame — bounded by
+    * construction, the deliberate exception to expression-only windows);
+    * scoring is per-row expression arithmetic. Points with <12 prior
+    * observations emit NULL scores and is_anom=false (warm-up guard). */
+  val x104: Q = (s, d) => {
+    val hourly = t(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(davg(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val k = 3 * 1.4826
+    val framed = hourly.withColumn("prior", collect_list(col("v")).over(w))
+    framed
+      .withColumn("n_prior", size(col("prior")).cast("long"))
+      .withColumn("med", when(col("n_prior") >= madMinPrior, arrMedian(col("prior"))))
+      .withColumn("mad", when(col("n_prior") >= madMinPrior,
+        arrMedian(transform(col("prior"), p => abs(p - col("med"))))))
+      .select(col("event_type"), tsStr(col("h")).as("h"), fround(col("v"), 6).as("v"),
+        col("n_prior"), fround(col("med"), 6).as("med"), fround(col("mad"), 6).as("mad"),
+        coalesce(abs(col("v") - col("med")) > lit(k) * col("mad"), lit(false)).as("is_anom"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x99_scd2_history" -> x99,
+    "x104_rolling_mad" -> x104,
     "q31_tumbling_window" -> q31,
     "q32_sliding_window" -> q32,
     "q33_asof_join" -> q33,
@@ -212,7 +294,58 @@ object TemporalQueries {
     "x97_funnel" -> x97,
     "x98_cohort_retention" -> x98)
 
+  /** Exact-median SQL over a DuckDB list expression — the twin of
+    * [[arrMedian]]: identical sorted-element arithmetic, 1-based indexing
+    * and integer division on both engines. */
+  private def medSql(l: String): String =
+    s"""CASE WHEN len($l) % 2 = 1 THEN list_sort($l)[(len($l) + 1) // 2]
+       |     ELSE (list_sort($l)[len($l) // 2] + list_sort($l)[len($l) // 2 + 1]) / 2.0 END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x99_scd2_history" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM r
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type AS state,
+        |  CAST(ts AS VARCHAR) AS valid_from,
+        |  CAST(lead(ts) OVER w AS VARCHAR) AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "x104_rolling_mad" -> {
+      val k = 3 * 1.4826
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS v
+         |  FROM events GROUP BY 1, 2),
+         |f AS (
+         |  SELECT event_type, h, v,
+         |    list(v) OVER (PARTITION BY event_type ORDER BY h
+         |                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prior
+         |  FROM hourly),
+         |m AS (
+         |  -- COALESCE: list() over an empty frame is NULL in DuckDB where
+         |  -- collect_list is [] in Spark
+         |  SELECT event_type, h, v, prior, COALESCE(len(prior), 0) AS n_prior,
+         |    CASE WHEN len(prior) >= $madMinPrior THEN ${medSql("prior")} END AS med
+         |  FROM f),
+         |mm AS (
+         |  SELECT *, CASE WHEN n_prior >= $madMinPrior
+         |    THEN ${medSql("list_transform(prior, p -> abs(p - med))")} END AS mad
+         |  FROM m)
+         |SELECT event_type, CAST(h AS VARCHAR) AS h,
+         |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS v,
+         |  CAST(n_prior AS BIGINT) AS n_prior,
+         |  floor(med * 1000000.0 + 0.5) / 1000000.0 AS med,
+         |  floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad,
+         |  COALESCE(abs(v - med) > $k * mad, false) AS is_anom
+         |FROM mm ORDER BY event_type, h""".stripMargin
+    },
     "x97_funnel" -> {
       val steps = funnelSteps
       val ctes = steps.zipWithIndex.map { case (step, i) =>

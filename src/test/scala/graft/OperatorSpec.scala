@@ -471,6 +471,64 @@ class OperatorSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1L)), s"got $got")
   }
 
+  test("x99 SCD2: consecutive duplicates collapse, intervals chain, last version is current") {
+    val dir = tmpDir("scd2")
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq(
+      // user 1: view, view (dup — collapses), click, view again (new version)
+      (1L, ts(1), 1L, "view", 1.0), (2L, ts(2), 1L, "view", 1.0),
+      (3L, ts(3), 1L, "click", 1.0), (4L, ts(4), 1L, "view", 1.0),
+      // user 2: single state — one current version
+      (5L, ts(1), 2L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.TemporalQueries.x99(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "view", "2024-01-01 10:01:00", Some("2024-01-01 10:03:00"), false),
+      (1L, 2L, "click", "2024-01-01 10:03:00", Some("2024-01-01 10:04:00"), false),
+      (1L, 3L, "view", "2024-01-01 10:04:00", None, true),
+      (2L, 1L, "purchase", "2024-01-01 10:01:00", None, true)), s"got $got")
+    // interval chaining: each non-current valid_to is the next version's valid_from
+    got.filter(_._1 == 1L).sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5.contains(b._4), s"interval break: $a | $b")
+    }
+  }
+
+  test("x104 rolling MAD: warm-up unflagged, stable series unflagged, planted spike flagged") {
+    val dir = tmpDir("mad")
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // 15 stable hours at 10.0, then a spike at hour 15, then stable again
+    val rows = (0 until 20).map { h =>
+      val v = if (h == 15) 100.0 else 10.0
+      (h.toLong, ts(h), 1L, "view", v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.TemporalQueries.x104(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3), Option(if (r.isNullAt(4)) null else r.getDouble(4)),
+        r.getBoolean(6))).toSeq
+    // hours 0..11: fewer than 12 prior observations -> null med, unflagged
+    got.take(12).foreach { case (h, n, med, anom) =>
+      assert(n < 12 && med.isEmpty && !anom, s"warm-up row flagged: ($h, $n, $med, $anom)")
+    }
+    // hours 12..14: stable baseline (med 10, mad 0) -> |10-10| > 0 is false
+    got.slice(12, 15).foreach { case (h, _, med, anom) =>
+      assert(med.contains(10.0) && !anom, s"stable row misflagged: $h $med $anom")
+    }
+    // hour 15: the spike against the robust baseline
+    val spike = got(15)
+    assert(spike._3.contains(10.0) && spike._4, s"spike not flagged: $spike")
+    // hours 16..19: back to normal; the spike sits in the trailing frame but
+    // cannot shift the MEDIAN -> still unflagged (the robustness claim)
+    got.drop(16).foreach { case (h, _, _, anom) =>
+      assert(!anom, s"post-spike row misflagged by contaminated baseline: $h")
+    }
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
