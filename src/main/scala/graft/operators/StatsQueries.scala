@@ -126,12 +126,141 @@ object StatsQueries {
     }.reduce(_.unionAll(_)).orderBy(col("child"), col("fk"))
   }
 
+  /** x100 layout-audit constants: 64 target files, 8-bit per-dimension
+    * normalization (so the interleaved z-value fits 16 bits). */
+  private val zFiles = 64
+  private val zBits = 8
+
+  /** Bit-interleave two `zBits`-wide longs (a in the odd positions, b in
+    * the even) — the Morton/Z-order curve index. Non-overlapping bit
+    * positions make `+` equal `|`, and the same term list is emitted into
+    * the twin by [[zSql]]. */
+  private def zInterleave(a: Column, b: Column): Column =
+    (0 until zBits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[zInterleave]] over SQL expressions. */
+  private def zSql(a: String, b: String): String =
+    (0 until zBits).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i + 1)} + (($b >> $i) & 1) * ${1L << (2 * i)})"
+    }.mkString(" + ")
+
+  /** x100 — Z-order data-layout clustering + file-skipping audit (E99):
+    * the `OPTIMIZE ZORDER BY (l_partkey, l_suppkey)` decision, measured.
+    * Rows are assigned to 64 files under three layouts — ingest order
+    * (orderkey ranges), single-key sort (partkey ranges), and the Morton
+    * curve over (partkey, suppkey) — and for each layout the audit
+    * computes the per-file (min,max) key stats a lakehouse keeps, then
+    * replays every distinct key as a point probe against those stats:
+    * `avg_scan_part` / `avg_scan_supp` = how many of the 64 files a
+    * partkey / suppkey predicate must open on average. Linear layout
+    * prunes nothing on either probe dim, single-key sort is perfect on
+    * its key and blind on the other, Z-order prunes BOTH — the reason
+    * multi-dimensional clustering wins at 100 TB, stated as a number.
+    *
+    * 100 TB shape: file assignment is pure per-row arithmetic against a
+    * 1-row broadcast bounds agg (equal-WIDTH ranges, monotone in the sort
+    * key — no global sort, no sampled range partitioner, so the layout is
+    * deterministic and the twin can replay it); per-(layout,file) stats
+    * are one hash agg bounded by 3·64 rows; the probe sweep joins the
+    * BROADCAST stats table against the distinct-key stream and averages —
+    * nothing quadratic, nothing collected. The real write path would end
+    * `.repartitionByRange(64, zval)` + per-file stats as parquet footers;
+    * the audit computes exactly those footers. */
+  val x100: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val bAggs = Seq("ok", "pk", "sk").flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val bounds = li.agg(bAggs.head, bAggs.tail: _*)
+    // equal-width bucketing: floor((v - mn) * n / (mx - mn + 1)) — monotone,
+    // deterministic, bounded to [0, n); double arithmetic exact at key scale
+    def bucket(v: Column, mn: Column, mx: Column, n: Int): Column =
+      floor((v - mn) * n.toDouble / (mx - mn + lit(1)))
+    val e = li.crossJoin(broadcast(bounds))
+      .withColumn("pk8", bucket(col("pk"), col("mn_pk"), col("mx_pk"), 1 << zBits))
+      .withColumn("sk8", bucket(col("sk"), col("mn_sk"), col("mx_sk"), 1 << zBits))
+      .withColumn("zval", zInterleave(col("pk8"), col("sk8")))
+    val layouts = Seq(
+      ("linear", bucket(col("ok"), col("mn_ok"), col("mx_ok"), zFiles)),
+      ("partsort", bucket(col("pk"), col("mn_pk"), col("mx_pk"), zFiles)),
+      ("zorder", floor(col("zval") * zFiles.toDouble / (1 << (2 * zBits)))))
+    val stats = layouts.map { case (name, fileCol) =>
+      e.select(lit(name).as("layout"), fileCol.cast("long").as("file"), col("pk"), col("sk"))
+        .groupBy(col("layout"), col("file"))
+        .agg(count(lit(1)).as("n"), min(col("pk")).as("f_mn_pk"), max(col("pk")).as("f_mx_pk"),
+          min(col("sk")).as("f_mn_sk"), max(col("sk")).as("f_mx_sk"))
+    }.reduce(_.unionAll(_))
+    def probeAvg(keyCol: String, lo: String, hi: String) =
+      li.select(col(keyCol).as("probe")).distinct()
+        .join(broadcast(stats), col("probe") >= col(lo) && col("probe") <= col(hi))
+        .groupBy(col("layout"))
+        .agg((count(lit(1)) / countDistinct(col("probe"))).as(s"avg_scan_$keyCol"))
+    val balance = stats.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"), min(col("n")).as("min_file_rows"),
+        max(col("n")).as("max_file_rows"))
+    balance
+      .join(probeAvg("pk", "f_mn_pk", "f_mx_pk"), "layout")
+      .join(probeAvg("sk", "f_mn_sk", "f_mx_sk"), "layout")
+      .select(col("layout"), col("n_files"), col("min_file_rows"), col("max_file_rows"),
+        fround(col("avg_scan_pk"), 6).as("avg_scan_part"),
+        fround(col("avg_scan_sk"), 6).as("avg_scan_supp"))
+      .orderBy(col("layout"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x100_zorder_audit" -> x100,
     "x101_analyze_stats" -> x101,
     "x102_histograms" -> x102,
     "x103_fk_audit" -> x103)
 
   val oracles: Map[String, String] = Map(
+    "x100_zorder_audit" ->
+      s"""WITH b AS (
+         |  SELECT MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,
+         |         MIN(l_partkey) AS mn_pk, MAX(l_partkey) AS mx_pk,
+         |         MIN(l_suppkey) AS mn_sk, MAX(l_suppkey) AS mx_sk
+         |  FROM lineitem),
+         |e AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+         |    CAST(floor((l_partkey - b.mn_pk) * ${1 << zBits}.0 / (b.mx_pk - b.mn_pk + 1)) AS BIGINT) AS pk8,
+         |    CAST(floor((l_suppkey - b.mn_sk) * ${1 << zBits}.0 / (b.mx_sk - b.mn_sk + 1)) AS BIGINT) AS sk8,
+         |    b.mn_ok, b.mx_ok, b.mn_pk, b.mx_pk, b.mn_sk, b.mx_sk
+         |  FROM lineitem, b),
+         |z AS (SELECT *, ${zSql("pk8", "sk8")} AS zval FROM e),
+         |f AS (
+         |  SELECT 'linear' AS layout,
+         |    CAST(floor((ok - mn_ok) * $zFiles.0 / (mx_ok - mn_ok + 1)) AS BIGINT) AS file, pk, sk FROM z
+         |  UNION ALL
+         |  SELECT 'partsort',
+         |    CAST(floor((pk - mn_pk) * $zFiles.0 / (mx_pk - mn_pk + 1)) AS BIGINT), pk, sk FROM z
+         |  UNION ALL
+         |  SELECT 'zorder',
+         |    CAST(floor(zval * $zFiles.0 / ${1 << (2 * zBits)}) AS BIGINT), pk, sk FROM z),
+         |stats AS (
+         |  SELECT layout, file, COUNT(*) AS n, MIN(pk) AS f_mn_pk, MAX(pk) AS f_mx_pk,
+         |         MIN(sk) AS f_mn_sk, MAX(sk) AS f_mx_sk
+         |  FROM f GROUP BY 1, 2),
+         |pav AS (
+         |  SELECT s.layout, COUNT(*) / COUNT(DISTINCT p.probe) AS avg_scan_part
+         |  FROM (SELECT DISTINCT l_partkey AS probe FROM lineitem) p
+         |  JOIN stats s ON p.probe >= s.f_mn_pk AND p.probe <= s.f_mx_pk
+         |  GROUP BY 1),
+         |sav AS (
+         |  SELECT s.layout, COUNT(*) / COUNT(DISTINCT p.probe) AS avg_scan_supp
+         |  FROM (SELECT DISTINCT l_suppkey AS probe FROM lineitem) p
+         |  JOIN stats s ON p.probe >= s.f_mn_sk AND p.probe <= s.f_mx_sk
+         |  GROUP BY 1),
+         |bal AS (
+         |  SELECT layout, COUNT(*) AS n_files, MIN(n) AS min_file_rows, MAX(n) AS max_file_rows
+         |  FROM stats GROUP BY 1)
+         |SELECT bal.layout, n_files, min_file_rows, max_file_rows,
+         |  floor(avg_scan_part * 1000000.0 + 0.5) / 1000000.0 AS avg_scan_part,
+         |  floor(avg_scan_supp * 1000000.0 + 0.5) / 1000000.0 AS avg_scan_supp
+         |FROM bal JOIN pav USING (layout) JOIN sav USING (layout)
+         |ORDER BY layout""".stripMargin,
     "x101_analyze_stats" -> {
       val blocks = statCols.map { c =>
         s"""SELECT '$c' AS col_name, COUNT($c) AS n_values,

@@ -38,6 +38,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("x100 layout audit: zorder prunes both probe dims, single-key sort only its own") {
+    val rows = StatsQueries.x100(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
+    val (linF, linP, linS) = rows("linear")
+    val (_, psP, psS) = rows("partsort")
+    val (_, zP, zS) = rows("zorder")
+    // linear layout (ingest order) prunes ~nothing on either key
+    assert(linP > linF * 0.8 && linS > linF * 0.8, s"linear should not prune: $rows")
+    // single-key sort: near-perfect on its own key, blind on the other
+    assert(psP < linP / 4, s"partsort must prune partkey probes: $rows")
+    assert(psS > linF * 0.8, s"partsort is blind on suppkey: $rows")
+    // zorder prunes BOTH dimensions materially
+    assert(zP < linP / 2 && zS < linS / 2, s"zorder must prune both dims: $rows")
+  }
+
   test("x103 audit is clean on intact data and finds planted orphans") {
     val clean = StatsQueries.x103(spark, sfDir).collect()
     assert(clean.length == StatsQueries.fkEdges.length)
