@@ -112,7 +112,54 @@ object JoinQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** x106 — MERGE INTO / upsert apply (E101): the lakehouse-defining
+    * mutation — apply a change batch (updates / deletes / inserts) to a
+    * snapshot in one pass with MERGE precedence: matched+D deletes,
+    * matched+U replaces, unmatched+I inserts, everything else carries the
+    * base row. The change set is derived deterministically from the
+    * snapshot itself (key mod classes + beyond-max inserts) so both
+    * engines build the identical batch; delete wins over update on keys in
+    * both classes (the precedence rule is applied at change-build time, so
+    * the join sees at most ONE change per key — the uniqueness contract
+    * real MERGE enforces with a cardinality check).
+    *
+    * 100 TB shape: ONE full-outer join co-partitioned on the key — the
+    * shuffle core of Delta/Iceberg MERGE (their file-rewrite half is the
+    * snapshot-commit machinery in `streaming.IngestJob`; this operator is
+    * the row-level semantics both rewrite strategies share). The change
+    * batch is typically MUCH smaller than the snapshot — under AQE it
+    * broadcasts and the base side never shuffles at all. */
+  val x106: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val upd = c.filter(col("c_custkey") % 10 === 0 && !(col("c_custkey") % 17 === 3))
+      .select(col("c_custkey").as("k"), col("c_name").as("u_name"),
+        col("c_nationkey").as("u_nat"), (col("c_acctbal") + 100.0).as("u_bal"),
+        col("c_mktsegment").as("u_seg"), lit("U").as("op"))
+    val del = c.filter(col("c_custkey") % 17 === 3)
+      .select(col("c_custkey").as("k"), lit(null).cast("string").as("u_name"),
+        lit(null).cast("int").as("u_nat"), lit(null).cast("double").as("u_bal"),
+        lit(null).cast("string").as("u_seg"), lit("D").as("op"))
+    val ins = broadcast(c.agg(max(col("c_custkey")).as("mx")))
+      .select(explode(sequence(lit(1), lit(20))).as("i"), col("mx"))
+      .select((col("mx") + col("i")).as("k"),
+        concat(lit("Customer#new-"), col("i").cast("string")).as("u_name"),
+        (col("i") % 25).cast("int").as("u_nat"),
+        (col("i") * lit(10.0)).as("u_bal"),
+        lit("AUTOMOBILE").as("u_seg"), lit("I").as("op"))
+    val changes = upd.unionAll(del).unionAll(ins)
+    def pick(u: String, b: String) = when(col("op").isNotNull, col(u)).otherwise(col(b))
+    c.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        pick("u_name", "c_name").as("c_name"),
+        pick("u_nat", "c_nationkey").as("c_nationkey"),
+        graft.Tables.fround(pick("u_bal", "c_acctbal"), 2).as("c_acctbal"),
+        pick("u_seg", "c_mktsegment").as("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x106_merge_upsert" -> x106,
     "q10_inner_join" -> q10,
     "q11_broadcast_chain" -> q11,
     "q12_left_outer" -> q12,
@@ -122,6 +169,28 @@ object JoinQueries {
     "x96_fuzzy_match" -> x96)
 
   val oracles: Map[String, String] = Map(
+    "x106_merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT c_custkey AS k, c_name AS u_name, c_nationkey AS u_nat,
+        |         c_acctbal + 100.0 AS u_bal, c_mktsegment AS u_seg, 'U' AS op
+        |  FROM customer WHERE c_custkey % 10 = 0 AND NOT c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, NULL, NULL, 'D'
+        |  FROM customer WHERE c_custkey % 17 = 3
+        |  UNION ALL
+        |  SELECT mx + i, 'Customer#new-' || CAST(i AS VARCHAR), CAST(i % 25 AS INT),
+        |         i * 10.0, 'AUTOMOBILE', 'I'
+        |  FROM (SELECT MAX(c_custkey) AS mx FROM customer),
+        |       (SELECT unnest(range(1, 21)) AS i))
+        |SELECT COALESCE(c.c_custkey, g.k) AS c_custkey,
+        |  CASE WHEN g.op IS NOT NULL THEN g.u_name ELSE c.c_name END AS c_name,
+        |  CASE WHEN g.op IS NOT NULL THEN g.u_nat ELSE c.c_nationkey END AS c_nationkey,
+        |  floor((CASE WHEN g.op IS NOT NULL THEN g.u_bal ELSE c.c_acctbal END)
+        |        * 100.0 + 0.5) / 100.0 AS c_acctbal,
+        |  CASE WHEN g.op IS NOT NULL THEN g.u_seg ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM customer c FULL OUTER JOIN chg g ON g.k = c.c_custkey
+        |WHERE g.op IS NULL OR g.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     // The twin replays the SAME deletion-neighborhood blocking (so it runs
     // at sf1 where the quadratic form cannot) + the same exact levenshtein
     // verify; blocking internals need not match cross-engine — both are

@@ -256,7 +256,45 @@ object UdfQueries {
     hits.toSeq.toDF("tok", "n_occ", "freq")
   }
 
+  /** x105 count-min dimensions: d hash rows × w buckets. */
+  private val cmsD = 4
+  private val cmsW = 1024
+
+  /** x105 — count-min sketch point-frequency estimation (E100): the
+    * OTHER mergeable frequency sketch (x81's Misra–Gries bounds which keys
+    * can be heavy; CMS answers "how often does THIS key occur" for any
+    * key, with a one-sided error: estimates never undercount and
+    * overcount by ≤ εN with high probability, ε = e/w). The sketch is a
+    * d×w counter grid — row r counts the token stream under hash salt r;
+    * a point estimate is the MIN over the d rows.
+    *
+    * 100 TB shape: the grid is the aggregation KEY SPACE, so the exchange
+    * after map-side combine is bounded by d·w = 4096 rows per task no
+    * matter the corpus; counters are plain longs (associative sum — the
+    * streaming-mergeable property, same as E85's MG state). The probe
+    * set (top-20 exact tokens, deterministic tie-break) joins the
+    * 4096-row sketch by BROADCAST. Hash is h60 (cross-engine parity — the
+    * twin replays the exact bucket arithmetic, so the ESTIMATES
+    * themselves hash-match, not just the exact counts). */
+  val x105: Q = (s, d) => {
+    val toks = graft.Tables.spread(t(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+    def buckets(tok: org.apache.spark.sql.Column) = array(
+      (0 until cmsD).map(r => pmod(graft.Tables.h60(concat(tok, lit("#" + r))), lit(cmsW.toLong))): _*)
+    val sketch = toks.select(posexplode(buckets(col("tok"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), col("tok")).limit(20)
+    probes.select(col("tok"), col("exact_n"), posexplode(buckets(col("tok"))).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact_n")).agg(min(col("n")).as("est_n"))
+      .select(col("tok"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(desc("exact_n"), col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x105_countmin" -> x105,
     "x60_udf_vowels" -> x60,
     "x61_udaf_topk" -> x61,
     "x62_udtf_bigrams" -> x62,
@@ -264,6 +302,26 @@ object UdfQueries {
     "x81_heavy_hitters" -> x81)
 
   val oracles: Map[String, String] = Map(
+    "x105_countmin" -> {
+      def bucketSql(tokExpr: String) =
+        s"CAST(('0x' || substring(md5($tokExpr || '#' || CAST(rr.r AS VARCHAR)), 1, 15)) AS BIGINT) % $cmsW"
+      s"""WITH g AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |b AS (
+         |  SELECT g.tok, rr.r, ${bucketSql("g.tok")} AS bucket
+         |  FROM g, (SELECT unnest(range(0, $cmsD)) AS r) rr),
+         |sk AS (SELECT r, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+         |ex AS (SELECT tok, COUNT(*) AS exact_n FROM g GROUP BY tok
+         |       ORDER BY exact_n DESC, tok LIMIT 20),
+         |pb AS (
+         |  SELECT ex.tok, ex.exact_n, rr.r, ${bucketSql("ex.tok")} AS bucket
+         |  FROM ex, (SELECT unnest(range(0, $cmsD)) AS r) rr),
+         |est AS (
+         |  SELECT pb.tok, pb.exact_n, MIN(sk.n) AS est_n
+         |  FROM pb JOIN sk ON sk.r = pb.r AND sk.bucket = pb.bucket
+         |  GROUP BY 1, 2)
+         |SELECT tok, exact_n, est_n, est_n - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, tok""".stripMargin
+    },
     "x81_heavy_hitters" ->
       """WITH g AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |t AS (SELECT COUNT(*) AS total FROM g),

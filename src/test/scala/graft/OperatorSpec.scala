@@ -529,6 +529,49 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x106 merge: update applies, delete wins over update, inserts land, untouched rows carry") {
+    val dir = tmpDir("merge")
+    import spark.implicits._
+    // key 20 is in BOTH the update (%10=0) and delete (%17=3) classes —
+    // the precedence rule must delete it, not update it
+    Seq((3L, "c3", 1, 50.0, "SEG"), (7L, "c7", 2, 60.0, "SEG"),
+      (10L, "c10", 3, 70.0, "SEG"), (20L, "c20", 4, 80.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = operators.JoinQueries.x106(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(3)))).toMap
+    assert(got.keySet == (Set(7L, 10L) ++ (21L to 40L)), s"keys: ${got.keySet}")
+    assert(got(7L) == (("c7", 60.0)), "untouched row must carry unchanged")
+    assert(got(10L) == (("c10", 170.0)), "update must add 100 to acctbal")
+    assert(got(21L) == (("Customer#new-1", 10.0)), "insert row shape")
+    assert(!got.contains(3L) && !got.contains(20L), "deletes (incl. precedence case) must vanish")
+  }
+
+  test("x105 count-min: estimates never undercount; collision-free corpus estimates exactly") {
+    // one-sided error on the real corpus: est >= exact for every probe
+    val got = operators.UdfQueries.x105(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS undercounted: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1), s"overcount arithmetic: $r")
+    }
+    // planted corpus with ~6 distinct tokens over 1024 buckets x 4 rows:
+    // a probe only overcounts if its bucket collides in ALL 4 rows — with
+    // fixed h60 hashes this is deterministic, and these tokens don't collide
+    val dir = tmpDir("cms")
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma alpha", "en", "s", 22L),
+      (2L, "beta beta delta epsilon", "en", "s", 23L),
+      (3L, "alpha zeta", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = operators.UdfQueries.x105(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(planted.keySet == Set("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    planted.foreach { case (t, (_, over)) => assert(over == 0L, s"$t overcounted") }
+    assert(planted("alpha")._1 == 3L && planted("beta")._1 == 3L && planted("zeta")._1 == 1L)
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
