@@ -14,7 +14,11 @@ object ExplainAudit {
     "q29_cosine_topk", "x20_cosine_neardup", "x22_ann_ivf", "q37_in_subquery",
     "x23_multi_query_topk", // corpus × broadcast query-vector sweep, as q29
     "x29_ann_recall", // exact-side brute force is the same q29/x23 sweep
-    "x87_sq8_search") // same broadcast-queries sweep; =!= self-exclusion makes it non-equi
+    "x87_sq8_search", // same broadcast-queries sweep; =!= self-exclusion makes it non-equi
+    // probe >= min AND probe <= max against the BROADCAST 3×64-row file-stats
+    // table: a range-predicate NLJ whose build side is bounded by layouts ×
+    // files by construction — the file-skipping replay itself
+    "x100_zorder_audit")
 
   /** A BroadcastNestedLoopJoin is benign when its broadcast side IS a
     * global (no-grouping-key) aggregate: provably ONE row, so the "nested
