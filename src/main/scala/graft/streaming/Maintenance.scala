@@ -383,22 +383,33 @@ object Maintenance {
       tableDir: String,
       updates: DataFrame,
       key: String,
-      tsCol: String): CompactionStats = {
+      tsCol: String,
+      tombstoneKeys: Option[DataFrame] = None): CompactionStats = {
     val cms = commits(tableDir)
     require(cms.nonEmpty, s"mergeIntoMor: no committed snapshots in $tableDir")
     val newId = nextId(cms)
     val stagedData = stagePath(tableDir, "batch", newId)
     val stagedDel = stagePath(tableDir, "deletes", newId)
-    updates.withColumn("p_date", to_date(col(tsCol)))
-      .write.mode("overwrite").partitionBy("p_date").parquet(stagedData.toString)
-    updates.select(col(key)).distinct()
-      .write.mode("overwrite").parquet(stagedDel.toString)
-    val n = spark.read.parquet(stagedData.toString).count()
+    // tombstoneKeys (CDC deletes — E102): keys retired WITHOUT replacement
+    // rows. They ride the same equality-delete file as the upsert keys; a
+    // pure-tombstone commit carries a delete file and no data snapshot.
+    val n0 = updates.count()
+    if (n0 > 0)
+      updates.withColumn("p_date", to_date(col(tsCol)))
+        .write.mode("overwrite").partitionBy("p_date").parquet(stagedData.toString)
+    val delKeys = tombstoneKeys
+      .map(tk => updates.select(col(key)).unionByName(
+        tk.select(col(tk.columns.head).as(key))))
+      .getOrElse(updates.select(col(key)))
+      .distinct()
+    delKeys.write.mode("overwrite").parquet(stagedDel.toString)
+    val n = if (n0 > 0) spark.read.parquet(stagedData.toString).count() else 0L
     val line = s"""{"batch":$newId,"rows":$n,"rejects":0,"committed":true,""" +
       s""""deleteKey":"$key"}"""
-    if (!commitStaged(tableDir, cms, line, Seq(
-        stagedData -> Paths.get(s"$tableDir/data/batch=$newId"),
-        stagedDel -> Paths.get(s"$tableDir/_deletes/$newId"))))
+    val moves =
+      (if (n0 > 0) Seq(stagedData -> Paths.get(s"$tableDir/data/batch=$newId")) else Seq.empty) ++
+        Seq(stagedDel -> Paths.get(s"$tableDir/_deletes/$newId"))
+    if (!commitStaged(tableDir, cms, line, moves))
       throw new java.util.ConcurrentModificationException(
         s"mergeIntoMor: $tableDir log moved during merge; re-run")
     CompactionStats(newId, Seq.empty, n)

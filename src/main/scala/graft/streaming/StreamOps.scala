@@ -16,6 +16,10 @@ case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 /** Document row with a source stratum (E70 stream-static scoring). */
 case class SrcDoc(doc_id: Long, ts: Timestamp, source: String, text: String)
 
+/** CDC change record over the trade table (E102): full row + op (I/U/D). */
+case class CdcTrade(trade_id: String, symbol: String, price: Double, qty: Int,
+    side: String, ts_event: Timestamp, notes: String, op: String)
+
 case class UserRunningCount(user_id: Long, n: Long, total_value: Double)
 
 /** E23–E28 — streaming semantics (SURVEY §2.2). Each op takes a streaming
@@ -269,4 +273,38 @@ object StreamOps {
           }
       }
   }
+
+  /** E102 — streaming CDC apply: a change-record stream (op column `I`/`U`
+    * upserts, `D` tombstones) applied continuously to a committed table as
+    * merge-on-read upserts — the Debezium→lakehouse ingestion shape. Each
+    * micro-batch: (1) latest-wins per key by the event-time column (CDC
+    * feeds carry multiple changes per key per batch; the merge contract is
+    * ≤1), (2) split upserts from tombstones, (3) one `mergeIntoMor` commit:
+    * upsert rows become the data snapshot, upsert+tombstone keys the
+    * equality-delete file. Nothing rewrites — write cost per trigger is
+    * O(|batch|) however large the table, the property continuous upserts
+    * need; `Maintenance.rewriteDeletes` folds the accumulated delete debt
+    * on a maintenance schedule, independent of this stream.
+    *
+    * Crash/replay: a foreachBatch replay re-commits the same changes, and
+    * re-applying an upsert batch converges (the replay's equality-deletes
+    * retire the first attempt's rows, the data re-lands identically) — the
+    * effective table state is exactly-once even though the commit count is
+    * at-least-once. */
+  def cdcApply(changes: DataFrame, tableDir: String, key: String, tsCol: String,
+      opCol: String = "op"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(desc(tsCol))
+        val latest = batch
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
+        val tombstones = latest.filter(col(opCol) === "D").select(col(key))
+        Maintenance.mergeIntoMor(spark, tableDir, upserts, key, tsCol,
+          tombstoneKeys = Some(tombstones))
+      }
+      ()
+    }
 }

@@ -449,4 +449,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(_._4).toSeq.sorted == Seq(2L, 3L))
   }
+
+  test("E102: streaming CDC apply — upserts land, tombstones delete, latest-wins, debt folds") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val work = tmpDir("cdc")
+    val topic = FileTopic(s"$work/topic")
+    TradeGen.produce(spark, topic, 50, 7L)
+    IngestJob.start(spark, topic, s"$work/table", AnalyticsPipeline.tradeSchema,
+      Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt", Trigger.AvailableNow())
+      .awaitTermination()
+    val table = s"$work/table"
+    val before = IngestJob.readTable(spark, table)
+    assert(before.count() == 50L)
+    val ids = before.select("trade_id").as[String].collect().sorted.take(2).toSeq
+    def cts(m: Int) = Timestamp.valueOf(f"2030-01-01 10:$m%02d:00")
+
+    val input = MemoryStream[CdcTrade]
+    val q = StreamOps.cdcApply(input.toDF(), table, "trade_id", "ts_event")
+      .option("checkpointLocation", s"$work/cdcckpt").start()
+    // batch 1: update ids(0), insert NEW-1; ids(1) gets U then D at a LATER
+    // ts in the SAME batch — latest-wins must resolve to the tombstone
+    input.addData(Seq(
+      CdcTrade(ids(0), "ZZZ", 111.0, 1, "buy", cts(1), "", "U"),
+      CdcTrade("NEW-1", "ZZZ", 222.0, 1, "buy", cts(1), "", "I"),
+      CdcTrade(ids(1), "ZZZ", 1.0, 1, "buy", cts(1), "", "U"),
+      CdcTrade(ids(1), "ZZZ", 2.0, 1, "buy", cts(2), "", "D")))
+    q.processAllAvailable()
+    val after1 = IngestJob.readTable(spark, table)
+    assert(after1.count() == 50L, "50 - 1 tombstone + 1 insert")
+    assert(after1.filter(col("trade_id") === ids(0))
+      .select("price").as[Double].head == 111.0)
+    assert(after1.filter(col("trade_id") === ids(1)).count() == 0L, "in-batch D after U deletes")
+    assert(after1.filter(col("trade_id") === "NEW-1").count() == 1L)
+    // batch 2: re-update ids(0) (upsert-over-upsert), pure tombstone NEW-1
+    input.addData(Seq(
+      CdcTrade(ids(0), "ZZZ", 333.0, 1, "buy", cts(3), "", "U"),
+      CdcTrade("NEW-1", "ZZZ", 0.0, 1, "buy", cts(3), "", "D")))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = IngestJob.readTable(spark, table)
+    assert(after2.count() == 49L)
+    assert(after2.filter(col("trade_id") === ids(0))
+      .select("price").as[Double].head == 333.0, "second upsert wins over first")
+    // folding the equality-delete debt must not change visible state
+    assert(Maintenance.rewriteDeletes(spark, table).isDefined)
+    val folded = IngestJob.readTable(spark, table)
+    assert(folded.count() == 49L)
+    assert(folded.filter(col("trade_id") === ids(0)).select("price").as[Double].head == 333.0)
+    // time travel to the seed snapshot still sees the pre-CDC table
+    assert(IngestJob.readTableAsOf(spark, table, 0L).count() == 50L)
+  }
 }
