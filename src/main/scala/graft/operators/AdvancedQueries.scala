@@ -46,6 +46,35 @@ object AdvancedQueries {
         element_at(col("ps"), 2).as("p90"))
       .orderBy(col("event_type"))
 
+  /** x108 — exact distributed quantiles by rank selection (E104): the
+    * third leg of the quantile triptych. q35 is exact but materializes a
+    * per-group array (collect_list — bounded by group size, the skewed
+    * group concentrates on one executor); x64 is approx (mergeable GK
+    * summary, constant memory, rank error); x108 is EXACT at scale: one
+    * exchange+sort on (group, value) and a row_number/count window, then
+    * each requested q picks the order-statistic element at 0-indexed rank
+    * ⌊(n−1)·q⌋ (percentile_disc semantics — a PICKED element, never
+    * interpolated, so the value is bit-identical cross-engine; the only
+    * float op is the (n−1)·q product, the same IEEE multiply on both
+    * sides). No per-group array ever materializes — memory per task is
+    * the sort buffer, which spills; a skewed group costs sort time, not
+    * heap. The 100 TB exact path where q35 OOMs and x64's error bound is
+    * not acceptable (compliance percentiles, SLA attestation); both
+    * windows share one partitioning, so the rank and the count ride a
+    * single exchange. */
+  val x108: Q = (s, d) => {
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    t(s, d, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("q", explode(array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)))
+      .filter(col("rn") - 1 === floor((col("n") - 1) * col("q")))
+      .select(col("event_type"), col("q"), col("value").as("qv"), col("n"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** Q36 — scalar subquery + HAVING: priorities of above-average-price
     * orders. Catalyst plans the scalar subquery as an independent stage
     * reused as a literal; HAVING becomes a post-agg filter. */
@@ -872,7 +901,8 @@ object AdvancedQueries {
     "x28_indexed_retrieval" -> x28,
     "x85_refine_search" -> x85,
     "x29_ann_recall" -> x29,
-    "x64_approx_percentiles" -> x64)
+    "x64_approx_percentiles" -> x64,
+    "x108_rank_quantiles" -> x108)
 
   private def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
@@ -1104,6 +1134,17 @@ object AdvancedQueries {
     "x28_indexed_retrieval" -> retrievalOracle,
     "x85_refine_search" -> refineOracle,
     "x29_ann_recall" -> recallOracle,
+    "x108_rank_quantiles" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q)
+        |SELECT event_type, q, value AS qv, n
+        |FROM w, qs WHERE rn - 1 = floor((n - 1) * q)
+        |ORDER BY event_type, q""".stripMargin,
     "q35_percentiles" ->
       """WITH g AS (
         |  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n

@@ -293,8 +293,74 @@ object UdfQueries {
       .orderBy(desc("exact_n"), col("tok"))
   }
 
+  private val hllP = 10
+  private val hllM = 1 << hllP // 1024 registers
+  /** HLL bias constant α_m for m=1024 (Flajolet et al. 2007, Fig. 3). The
+    * double is computed ONCE here and crosses to the twin as its shortest
+    * round-trip decimal string, so both engines divide by bit-identical
+    * constants. */
+  private val hllAlpha: Double = 0.7213 / (1 + 1.079 / hllM)
+  /** Pre-folded numerator α·m²·2⁵² — the 2⁵² un-scales the fix-point
+    * register sum (see x107) in the same constant. */
+  private val hllK: Double = hllAlpha * hllM.toDouble * hllM.toDouble * math.pow(2.0, 52)
+
+  /** x107 — deterministic HyperLogLog distinct count (E103): per-lang
+    * 3-shingle vocabulary NDV estimated from a 1024-register HLL and
+    * compared against the exact distinct, with the ESTIMATE ITSELF
+    * oracle-hash-checked — unlike x63's `approx_count_distinct`, whose
+    * HLL++ registers are engine-private, this sketch is built from h60
+    * arithmetic both engines replay bit-identically.
+    *
+    * Register construction is integer-only (no libm): the 60-bit h60
+    * splits into a 10-bit bucket (top bits) and a 50-bit suffix; the
+    * rank ρ = leading-zeros+1 of the suffix comes from an OR-shift smear
+    * (propagate the MSB into every lower bit) followed by `bit_count` —
+    * ρ = 51 − popcount(smear(v)), with v=0 ⇒ ρ=51, the all-zeros case.
+    * The indicator sum Σ 2^−reg is kept in FIX-POINT (each term is the
+    * exact long 2^(52−reg), empty registers contribute 2⁵²) so the
+    * reduction is an order-independent integer sum — the only floating
+    * division is the final α·m²·2⁵²/Σ, one deterministic IEEE op per
+    * group. Raw estimator only (no small-range linear-counting branch:
+    * that needs ln, a libm call whose last ulp differs across engines);
+    * the shingle vocab keeps every group in the raw regime (n > 2.5m).
+    *
+    * 100 TB shape: this is the MERGEABLE distinct-count — the
+    * (group, bucket) max-agg is map-side combined, the exchange is
+    * bounded by groups × 1024 rows of 16 B whatever the corpus, and
+    * registers from disjoint shards max-merge exactly (the property
+    * x63's black-box sketch also has, demonstrated here in replayable
+    * form). The exact countDistinct alongside is the verification cost,
+    * not the operator — at scale you ship only the sketch. */
+  val x107: Q = (s, d) => {
+    val sh = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"),
+        explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("g"))
+    val h = graft.Tables.h60(col("g"))
+    def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((a, k) => a.bitwiseOR(shiftright(a, k)))
+    val rho = lit(51) - bit_count(smear(h.bitwiseAND(lit((1L << 50) - 1))))
+    val regs = sh
+      .select(col("lang"), col("g"), shiftright(h, 50).as("bucket"), rho.as("rho"))
+    val sketch = regs.groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(col("lang"))
+      .agg((sum(expr("shiftleft(cast(1 as bigint), 52 - reg)"))
+        + (lit(hllM.toLong) - count(lit(1))) * lit(1L << 52)).as("sumterm"))
+    val exact = sh.groupBy(col("lang")).agg(countDistinct(col("g")).as("exact_ndv"))
+    val est = lit(hllK) / col("sumterm").cast("double")
+    sketch.join(exact, "lang")
+      .select(col("lang"),
+        graft.Tables.fround(est, 3).as("hll_ndv"),
+        col("exact_ndv"),
+        graft.Tables.fround((est - col("exact_ndv")) / col("exact_ndv") * 100, 3)
+          .as("err_pct"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x105_countmin" -> x105,
+    "x107_hll_distinct" -> x107,
     "x60_udf_vowels" -> x60,
     "x61_udaf_topk" -> x61,
     "x62_udtf_bigrams" -> x62,
@@ -302,6 +368,26 @@ object UdfQueries {
     "x81_heavy_hitters" -> x81)
 
   val oracles: Map[String, String] = Map(
+    "x107_hll_distinct" ->
+      s"""WITH sh AS (SELECT lang, unnest(s) AS g FROM (${DedupQueries.shingleSql(3, "lang")})),
+         |h AS (SELECT lang, g, ${graft.Tables.h60Sql("g")} AS h FROM sh),
+         |b AS (SELECT lang, h >> 50 AS bucket, h & ((1::BIGINT << 50) - 1) AS v FROM h),
+         |s1 AS (SELECT lang, bucket, v | (v >> 1) AS t FROM b),
+         |s2 AS (SELECT lang, bucket, t | (t >> 2) AS t FROM s1),
+         |s3 AS (SELECT lang, bucket, t | (t >> 4) AS t FROM s2),
+         |s4 AS (SELECT lang, bucket, t | (t >> 8) AS t FROM s3),
+         |s5 AS (SELECT lang, bucket, t | (t >> 16) AS t FROM s4),
+         |s6 AS (SELECT lang, bucket, t | (t >> 32) AS t FROM s5),
+         |reg AS (SELECT lang, bucket, MAX(51 - bit_count(t)) AS reg FROM s6 GROUP BY 1, 2),
+         |agg AS (SELECT lang,
+         |          SUM(1::BIGINT << (52 - reg)) + ($hllM - COUNT(*)) * (1::BIGINT << 52) AS sumterm
+         |        FROM reg GROUP BY 1),
+         |ex AS (SELECT lang, COUNT(DISTINCT g) AS exact_ndv FROM sh GROUP BY 1)
+         |SELECT a.lang,
+         |  floor($hllK / CAST(sumterm AS DOUBLE) * 1000 + 0.5) / 1000 AS hll_ndv,
+         |  exact_ndv,
+         |  floor(($hllK / CAST(sumterm AS DOUBLE) - exact_ndv) / exact_ndv * 100 * 1000 + 0.5) / 1000 AS err_pct
+         |FROM agg a JOIN ex USING (lang) ORDER BY a.lang""".stripMargin,
     "x105_countmin" -> {
       def bucketSql(tokExpr: String) =
         s"CAST(('0x' || substring(md5($tokExpr || '#' || CAST(rr.r AS VARCHAR)), 1, 15)) AS BIGINT) % $cmsW"

@@ -48,6 +48,35 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("x108 rank quantiles: exact order statistics, q35-consistent, monotone in q") {
+    val got = AdvancedQueries.x108(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // independent reference: local sort per group, pick ⌊(n−1)·q⌋
+    val vals = Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    assert(got.keySet == vals.keySet.flatMap(k => qs.map(k -> _)))
+    vals.foreach { case (k, sorted) =>
+      val n = sorted.length
+      qs.foreach { q =>
+        val (qv, gotN) = got((k, q))
+        assert(gotN == n.toLong)
+        assert(qv == sorted(math.floor((n - 1) * q).toInt),
+          s"$k q=$q: got $qv want ${sorted(math.floor((n - 1) * q).toInt)}")
+      }
+      // monotone in q (sorted-element selection guarantees it; assert anyway)
+      val picked = qs.map(q => got((k, q))._1)
+      assert(picked == picked.sorted, s"$k quantiles not monotone: $picked")
+    }
+    // p50 agrees with q35's exact element pick (ceil(n·0.5) 1-indexed equals
+    // ⌊(n−1)·0.5⌋ 0-indexed for even n, and for odd n both hit the middle)
+    val q35p50 = AdvancedQueries.q35(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    q35p50.foreach { case (k, p50) => assert(got((k, 0.5))._1 == p50, s"$k p50 vs q35") }
+  }
+
   test("IVF ANN: top-10 is a plausible subset with bounded recall loss") {
     val brute = operators.VectorQueries.q29(spark, sfDir)
       .select("vec_id").as[Long].collect().toSet

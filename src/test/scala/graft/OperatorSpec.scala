@@ -572,6 +572,53 @@ class OperatorSpec extends SparkSpec {
     assert(planted("alpha")._1 == 3L && planted("beta")._1 == 3L && planted("zeta")._1 == 1L)
   }
 
+  test("x107 HLL: independent Scala sketch reproduces the estimates bit-exactly; error bounded") {
+    val got = operators.UdfQueries.x107(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    // independent reference: the same shingle stream, but registers via
+    // numberOfLeadingZeros (not the query's OR-smear + popcount) and md5 via
+    // MessageDigest (not the codegen H60 expression) — a full third
+    // implementation agreeing bit-for-bit with both engines
+    val docs = operators.DedupQueries
+    import spark.implicits._
+    val shingles = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), explode(array_distinct(docs.shingles3(col("toks")))).as("g"))
+      .as[(String, String)].collect()
+    def h60ref(sx: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val m = 1024
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val regs = collection.mutable.Map.empty[(String, Long), Int]
+    val exactRef = collection.mutable.Map.empty[String, collection.mutable.Set[String]]
+    shingles.foreach { case (lang, g) =>
+      val h = h60ref(g)
+      val bucket = h >>> 50
+      val v = h & ((1L << 50) - 1)
+      val rho = if (v == 0L) 51 else java.lang.Long.numberOfLeadingZeros(v) - 14 + 1
+      val k = (lang, bucket)
+      regs(k) = math.max(regs.getOrElse(k, 0), rho)
+      exactRef.getOrElseUpdate(lang, collection.mutable.Set.empty) += g
+    }
+    got.foreach { case (lang, (est, exact, errPct)) =>
+      assert(exact == exactRef(lang).size.toLong, s"$lang exact NDV mismatch")
+      // raw-regime precondition (no linear-counting branch): n > 2.5m
+      assert(exact > (2.5 * m).toLong, s"$lang below the raw-HLL regime: $exact")
+      val present = regs.keys.filter(_._1 == lang).toSeq
+      val sumterm = present.map(k => 1L << (52 - regs(k))).sum +
+        (m - present.size).toLong * (1L << 52)
+      val estRef = alpha * m.toDouble * m.toDouble * math.pow(2.0, 52) / sumterm.toDouble
+      assert(est == math.floor(estRef * 1000 + 0.5) / 1000,
+        s"$lang estimate: query=$est ref=$estRef")
+      // HLL standard error at m=1024 is ~1.04/32 = 3.3%; 15% = well past 3σ
+      assert(math.abs(est - exact) / exact < 0.15, s"$lang err ${errPct}%")
+    }
+  }
+
   test("x81 Misra-Gries: heavy hitters survive eviction under any partitioning") {
     val k = 8
     val mg = new UdfQueries.MisraGries(k)
