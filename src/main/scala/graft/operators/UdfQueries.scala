@@ -294,7 +294,7 @@ object UdfQueries {
   }
 
   private val hllP = 10
-  private val hllM = 1 << hllP // 1024 registers
+  private[graft] val hllM = 1 << hllP // 1024 registers
   /** HLL bias constant α_m for m=1024 (Flajolet et al. 2007, Fig. 3). The
     * double is computed ONCE here and crosses to the twin as its shortest
     * round-trip decimal string, so both engines divide by bit-identical
@@ -302,7 +302,50 @@ object UdfQueries {
   private val hllAlpha: Double = 0.7213 / (1 + 1.079 / hllM)
   /** Pre-folded numerator α·m²·2⁵² — the 2⁵² un-scales the fix-point
     * register sum (see x107) in the same constant. */
-  private val hllK: Double = hllAlpha * hllM.toDouble * hllM.toDouble * math.pow(2.0, 52)
+  private[graft] val hllK: Double = hllAlpha * hllM.toDouble * hllM.toDouble * math.pow(2.0, 52)
+
+  /** The x107 register update/estimate arithmetic as plain Scala, shared by
+    * the streaming form (E105) so batch and stream produce BIT-IDENTICAL
+    * estimates from the same h60 stream: bucket = top 10 bits, rank =
+    * leading-zeros+1 of the 50-bit suffix, estimate = α·m²·2⁵² over the
+    * fix-point indicator sum (empty registers contribute 2⁵²). */
+  private[graft] def hllBucket(h: Long): Int = (h >>> 50).toInt
+  private[graft] def hllRho(h: Long): Byte = {
+    val v = h & ((1L << 50) - 1)
+    (if (v == 0L) 51 else java.lang.Long.numberOfLeadingZeros(v) - 13).toByte
+  }
+  private[graft] def hllEstimate(regs: Array[Byte]): Double = {
+    var sum = 0L
+    var i = 0
+    while (i < regs.length) { sum += 1L << (52 - regs(i)); i += 1 }
+    hllK / sum.toDouble
+  }
+
+  /** Mergeable HLL register buffer over pre-hashed h60 keys: the E105
+    * streaming state. 1024 bytes per group, constant whatever the stream
+    * has seen; merge is elementwise max, so the estimate is independent of
+    * micro-batch boundaries and merge order — the same sketch-mergeability
+    * argument as the MG buffer above, here with NO error from merging at
+    * all (max is exact). */
+  class HllSketch extends Aggregator[Long, Array[Byte], Double] {
+    override def zero: Array[Byte] = new Array[Byte](hllM)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      val i = hllBucket(h)
+      val r = hllRho(h)
+      if (r > b(i)) b(i) = r
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Byte]): Double = hllEstimate(b)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  val hllUdaf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new HllSketch).apply(_)
 
   /** x107 — deterministic HyperLogLog distinct count (E103): per-lang
     * 3-shingle vocabulary NDV estimated from a 1024-register HLL and

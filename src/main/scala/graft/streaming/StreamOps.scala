@@ -216,6 +216,26 @@ object StreamOps {
       .agg(UdfQueries.mgUdaf(col("gh")).as("cands"), count(lit(1)).as("total"))
   }
 
+  /** E105 — streaming distinct count: x107's deterministic HLL registers
+    * as a CONTINUOUS per-group aggregation. The register buffer merges by
+    * elementwise max — exact under any merge order and any micro-batch
+    * boundary — so the state store holds 1024 bytes per group (constant,
+    * no watermark) and complete-mode output republishes the running
+    * vocabulary estimate per trigger. Shares the batch op's h60 stream and
+    * register arithmetic ([[graft.operators.UdfQueries.HllSketch]]), so
+    * the streamed estimate is BIT-IDENTICAL to running x107 over the
+    * accumulated corpus — the sketch-equivalence the spec asserts. At
+    * 100 TB this is the cardinality monitor on the ingest path: per-source
+    * vocab growth, join-key NDV drift, dedup-rate tracking, each a 1 KB
+    * state cell. */
+  def streamingDistinctShingles(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), explode(
+        array_distinct(graft.operators.DedupQueries.shingles3(col("toks")))).as("g"))
+      .select(col("lang"), graft.Tables.h60(col("g")).as("gh"))
+      .groupBy(col("lang"))
+      .agg(graft.operators.UdfQueries.hllUdaf(col("gh")).as("hll_ndv"))
+
   /** E28 (transformWithState form) — the same running per-user totals on
     * Spark 4's arbitrary-state API: typed `ValueState` handles, explicit
     * TTL support, multiple state variables per key, timers — and it runs on

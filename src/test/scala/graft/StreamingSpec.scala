@@ -216,6 +216,32 @@ class StreamingSpec extends SparkSpec {
     assert(cands.size <= graft.operators.UdfQueries.hhK, s"sketch exceeded k: ${cands.size}")
   }
 
+  test("E105: streaming HLL distinct matches batch x107 bit-exactly across micro-batches") {
+    // the real sf0.001 corpus split into two micro-batches by doc parity:
+    // register max-merge is exact, so the streamed estimate must equal the
+    // batch x107 estimate over the union BIT-FOR-BIT, whatever the split
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    def toDocs(xs: Array[(Long, String, String)]): Seq[Doc] =
+      xs.toSeq.map { case (i, l, tx) => Doc(i, ts(1), l, tx) }
+    val input = MemoryStream[Doc]
+    val q = StreamOps.streamingDistinctShingles(input.toDF())
+      .writeStream.format("memory").queryName("shll").outputMode("complete").start()
+    input.addData(toDocs(b1)); q.processAllAvailable()
+    input.addData(toDocs(b2)); q.processAllAvailable()
+    val streamed = spark.table("shll").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q.stop()
+    val batch = operators.UdfQueries.x107(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (lang, est) =>
+      assert(math.floor(streamed(lang) * 1000 + 0.5) / 1000 == est,
+        s"$lang: streamed ${streamed(lang)} vs batch $est")
+    }
+  }
+
   test("E28: mapGroupsWithState running per-user counts accumulate across batches") {
     val input = MemoryStream[Event]
     val q = StreamOps.runningUserCounts(input.toDS())
