@@ -36,7 +36,8 @@ object SparkEntry {
       CurationQueries.queries ++
       LmQueries.queries ++
       NoveltyQueries.queries ++
-      StatsQueries.queries
+      StatsQueries.queries ++
+      IvmQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -57,5 +58,6 @@ object SparkEntry {
       CurationQueries.oracles ++
       LmQueries.oracles ++
       NoveltyQueries.oracles ++
-      StatsQueries.oracles
+      StatsQueries.oracles ++
+      IvmQueries.oracles
 }

@@ -61,16 +61,21 @@ object AdvancedQueries {
     * heap. The 100 TB exact path where q35 OOMs and x64's error bound is
     * not acceptable (compliance percentiles, SLA attestation); both
     * windows share one partitioning, so the rank and the count ride a
-    * single exchange. */
+    * single exchange. Candidate selection is an array-level `filter`
+    * BEFORE the explode, so the post-window stage drops every
+    * non-order-statistic row at 1× width and only the ≤|qs| surviving
+    * rows per group ever expand. */
   val x108: Q = (s, d) => {
     val byV = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
     val all = Window.partitionBy(col("event_type"))
+    val qsArr = array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)
     t(s, d, "events")
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("rn", row_number().over(byV))
       .withColumn("n", count(lit(1)).over(all))
-      .withColumn("q", explode(array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)))
-      .filter(col("rn") - 1 === floor((col("n") - 1) * col("q")))
+      .withColumn("qs", filter(qsArr, q => col("rn") - 1 === floor((col("n") - 1) * q)))
+      .filter(size(col("qs")) > 0)
+      .withColumn("q", explode(col("qs")))
       .select(col("event_type"), col("q"), col("value").as("qv"), col("n"))
       .orderBy(col("event_type"), col("q"))
   }

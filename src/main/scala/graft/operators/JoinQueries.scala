@@ -178,8 +178,62 @@ object JoinQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** x110 interval-join bucket width (days). Intervals here are 1–30 days
+    * (TPC-H receipt = ship + U[1,30]), so each expands to ≤ 3 buckets —
+    * the expansion factor is ⌈len/width⌉+1, tuned to the interval-length
+    * distribution. Shared with the spec; the twin states the DECLARATIVE
+    * inequality form (DuckDB plans it as an IEJoin). */
+  private[graft] val ivBucketDays = 16
+
+  /** x110 — bucketed interval-overlap join (E107): for every distinct
+    * order date, how many lineitems were IN TRANSIT (shipped but not yet
+    * received: l_shipdate ≤ d < l_receiptdate) and their total quantity —
+    * the point-in-interval join behind temporal analytics (active
+    * sessions at time t, open incidents at t, inventory in flight).
+    *
+    * The naive plan is a nested-loop over |probes|×|intervals| (Spark
+    * turns a pure inequality join into BroadcastNestedLoopJoin — fine for
+    * a dim-sized side, quadratic death at 100 TB). This operator is the
+    * SCALE formulation: decompose each interval into the fixed-width date
+    * buckets it covers (bounded expansion: ≤ ⌈30/16⌉+1 = 3 rows per
+    * interval), bucket each probe point by the same width, equi-join on
+    * the bucket id, and apply the exact range predicate AFTER the join.
+    * Complete by construction — an interval covering d covers d's bucket
+    * — and duplicate-free: a POINT has exactly one bucket, so each
+    * qualifying (probe, interval) pair meets exactly once, no dedup pass.
+    * Both sides shuffle-partition on the bucket key; candidate fan-in per
+    * bucket tracks data density, and a hot bucket splits under AQE skew
+    * handling. This is x72's range-bucket escape promoted to a general
+    * binary join operator. */
+  val x110: Q = (s, d) => {
+    val epoch = lit("1992-01-01").cast("date")
+    // receipt = ship + 1..30 days, derived deterministically from the keys
+    // (the testdata carries no receiptdate) — interval construction is part
+    // of the shared contract, the JOIN is the operator under test
+    val li = t(s, d, "lineitem")
+      .select(col("l_shipdate").cast("date").as("sd"),
+        (col("l_orderkey") * 7 + col("l_linenumber")).as("tk"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("sdn", datediff(col("sd"), epoch).cast("long"))
+      .withColumn("rdn", col("sdn") + 1 + pmod(col("tk"), lit(30L)))
+    val iv = li.withColumn("bk",
+      explode(sequence(floor(col("sdn") / ivBucketDays),
+        floor((col("rdn") - 1) / ivBucketDays))))
+    val probes = t(s, d, "orders")
+      .select(col("o_orderdate").cast("date").as("pd")).distinct()
+      .withColumn("pdn", datediff(col("pd"), epoch).cast("long"))
+      .withColumn("bk", floor(col("pdn") / ivBucketDays))
+    probes.join(iv, Seq("bk"))
+      .filter(col("sdn") <= col("pdn") && col("pdn") < col("rdn"))
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("n_transit"), sum(col("qty")).as("qty_transit"))
+      .select(col("pd").as("probe_date"), col("n_transit"), col("qty_transit"))
+      .orderBy(col("probe_date"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x106_merge_upsert" -> x106,
+    "x110_interval_join" -> x110,
     "q10_inner_join" -> q10,
     "q11_broadcast_chain" -> q11,
     "q12_left_outer" -> q12,
@@ -189,6 +243,23 @@ object JoinQueries {
     "x96_fuzzy_match" -> x96)
 
   val oracles: Map[String, String] = Map(
+    // The twin is the DECLARATIVE inequality join (DuckDB's optimizer
+    // picks IEJoin); the Spark side's bucket decomposition must produce
+    // the identical pair set — that equivalence is what the oracle checks.
+    "x110_interval_join" ->
+      """WITH iv AS (
+        |  SELECT CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS sdn,
+        |    CAST(l_shipdate AS DATE) - DATE '1992-01-01'
+        |      + 1 + (l_orderkey * 7 + l_linenumber) % 30 AS rdn,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |p AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS pd,
+        |        CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS pdn
+        |      FROM orders)
+        |SELECT pd AS probe_date, COUNT(*) AS n_transit,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_transit
+        |FROM p JOIN iv ON sdn <= pdn AND pdn < rdn
+        |GROUP BY pd ORDER BY pd""".stripMargin,
     "x106_merge_upsert" ->
       """WITH chg AS (
         |  SELECT c_custkey AS k, c_name AS u_name, c_nationkey AS u_nat,

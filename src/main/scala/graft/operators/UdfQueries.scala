@@ -256,9 +256,14 @@ object UdfQueries {
     hits.toSeq.toDF("tok", "n_occ", "freq")
   }
 
-  /** x105 count-min dimensions: d hash rows × w buckets. */
+  /** x105/x115 count-min dimensions: d hash rows × w buckets. */
   private val cmsD = 4
   private val cmsW = 1024
+
+  /** The d salted CMS bucket ids of a token — h60 of `tok#r` mod w, the
+    * arithmetic the x105/x115 twins replay verbatim. */
+  private def cmsBuckets(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array(
+    (0 until cmsD).map(r => pmod(graft.Tables.h60(concat(tok, lit("#" + r))), lit(cmsW.toLong))): _*)
 
   /** x105 — count-min sketch point-frequency estimation (E100): the
     * OTHER mergeable frequency sketch (x81's Misra–Gries bounds which keys
@@ -279,13 +284,11 @@ object UdfQueries {
   val x105: Q = (s, d) => {
     val toks = graft.Tables.spread(t(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("tok"))
-    def buckets(tok: org.apache.spark.sql.Column) = array(
-      (0 until cmsD).map(r => pmod(graft.Tables.h60(concat(tok, lit("#" + r))), lit(cmsW.toLong))): _*)
-    val sketch = toks.select(posexplode(buckets(col("tok"))).as(Seq("r", "bucket")))
+    val sketch = toks.select(posexplode(cmsBuckets(col("tok"))).as(Seq("r", "bucket")))
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
     val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
       .orderBy(desc("exact_n"), col("tok")).limit(20)
-    probes.select(col("tok"), col("exact_n"), posexplode(buckets(col("tok"))).as(Seq("r", "bucket")))
+    probes.select(col("tok"), col("exact_n"), posexplode(cmsBuckets(col("tok"))).as(Seq("r", "bucket")))
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("tok"), col("exact_n")).agg(min(col("n")).as("est_n"))
       .select(col("tok"), col("exact_n"), col("est_n"),
@@ -401,9 +404,109 @@ object UdfQueries {
       .orderBy(col("lang"))
   }
 
+  /** x111 — HLL sketch set algebra (E108): per-source distinct-shingle
+    * sketches combined WITHOUT touching data again — union NDV by
+    * register-wise max (exact merge, the HLL property) and intersection
+    * by inclusion–exclusion |A∩B| ≈ ndv(A)+ndv(B)−ndv(A∪B) — the
+    * corpus-overlap matrix ("how much of source B is already in A?")
+    * priced in sketch space. Registers are x107's deterministic h60
+    * construction, so estimates hash-match the twin; the exact
+    * intersection rides alongside as the verification column (at scale
+    * you ship only the sketches).
+    *
+    * 100 TB shape: the corpus is touched ONCE (the per-source register
+    * agg, map-side combined, exchange bounded at sources×1024 16 B
+    * rows); ALL pairwise set algebra happens on the |S|×1024 register
+    * table — |S|² pairs cost |S|²·m sketch-row operations, zero data
+    * passes, and adding a new source means sketching only that source.
+    * The pair expansion is an equi-join on the source name against a
+    * broadcast 2|pairs|-row membership table, never a theta join. */
+  val x111: Q = (s, d) => {
+    val sh = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"),
+        explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("g"))
+      .distinct()
+    val h = graft.Tables.h60(col("g"))
+    def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((a, k) => a.bitwiseOR(shiftright(a, k)))
+    val rho = lit(51) - bit_count(smear(h.bitwiseAND(lit((1L << 50) - 1))))
+    val regs = sh.select(col("source"), shiftright(h, 50).as("bucket"), rho.as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val sumterm = sum(expr("shiftleft(cast(1 as bigint), 52 - reg)")) +
+      (lit(hllM.toLong) - count(lit(1))) * lit(1L << 52)
+    val singles = regs.groupBy(col("source")).agg(sumterm.as("st"))
+    val srcs = regs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val members = pairs.select(col("sa"), col("sb"), col("sa").as("source"))
+      .unionAll(pairs.select(col("sa"), col("sb"), col("sb").as("source")))
+    val unions = broadcast(members).join(regs, "source")
+      .groupBy(col("sa"), col("sb"), col("bucket")).agg(max(col("reg")).as("reg"))
+      .groupBy(col("sa"), col("sb")).agg(sumterm.as("ust"))
+    val ex = sh.select(col("source").as("sa"), col("g"))
+      .join(sh.select(col("source").as("sb"), col("g")), Seq("g"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("exact_inter"))
+    def est(st: org.apache.spark.sql.Column) = lit(hllK) / st.cast("double")
+    pairs
+      .join(singles.select(col("source").as("sa"), col("st").as("sta")), "sa")
+      .join(singles.select(col("source").as("sb"), col("st").as("stb")), "sb")
+      .join(unions, Seq("sa", "sb"))
+      .join(ex, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        graft.Tables.fround(est(col("sta")), 3).as("ndv_a"),
+        graft.Tables.fround(est(col("stb")), 3).as("ndv_b"),
+        graft.Tables.fround(est(col("ust")), 3).as("ndv_union"),
+        graft.Tables.fround(est(col("sta")) + est(col("stb")) - est(col("ust")), 3)
+          .as("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  /** x115 — CMS join-size estimation (E111): predict the output
+    * cardinality of a token equi-join between two sources as the inner
+    * product of their count-min grids — |A⋈B| = Σ_k cA(k)·cB(k), and
+    * min_r Σ_w gridA[r][w]·gridB[r][w] overestimates it one-sidedly
+    * (AMS/CM inner-product estimation). This is the planner question
+    * behind every dedup fan-out guard in this engine ("how many candidate
+    * pairs will this gram join produce?") answered BEFORE running the
+    * join, from two 4×1024 sketches.
+    *
+    * 100 TB shape: each side is one map-side-combined grid agg (exchange
+    * bounded at d·w rows regardless of corpus); the estimate is a
+    * d·w-row join of two bounded grids. Grids of per-shard streams sum
+    * counter-wise (CMS is linear), so the estimate composes over
+    * partitions and over time; counters and products are longs — at
+    * corpus scales where Σc²  approaches 2⁶³ the grid rows widen to
+    * doubles, the estimate stays an estimate. The exact inner product
+    * alongside is the verification cost, not the operator. */
+  val x115: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+    def toks(src: String) = docs.filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    def grid(side: DataFrame) = side
+      .select(posexplode(cmsBuckets(col("tok"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
+    val est = grid(toks("src0"))
+      .join(grid(toks("src1")).withColumnRenamed("n", "nb"), Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("n") * col("nb")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+    val exact = toks("src0").groupBy(col("tok")).agg(count(lit(1)).as("na"))
+      .join(toks("src1").groupBy(col("tok")).agg(count(lit(1)).as("nb")), "tok")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_pairs"))
+    est.crossJoin(exact).select(col("est_pairs"), col("exact_pairs"),
+      graft.Tables.fround(
+        (col("est_pairs") - col("exact_pairs")) / col("exact_pairs") * 100, 3)
+        .as("over_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x105_countmin" -> x105,
     "x107_hll_distinct" -> x107,
+    "x111_hll_set_algebra" -> x111,
+    "x115_cms_joinsize" -> x115,
     "x60_udf_vowels" -> x60,
     "x61_udaf_topk" -> x61,
     "x62_udtf_bigrams" -> x62,
@@ -431,6 +534,67 @@ object UdfQueries {
          |  exact_ndv,
          |  floor(($hllK / CAST(sumterm AS DOUBLE) - exact_ndv) / exact_ndv * 100 * 1000 + 0.5) / 1000 AS err_pct
          |FROM agg a JOIN ex USING (lang) ORDER BY a.lang""".stripMargin,
+    "x111_hll_set_algebra" ->
+      s"""WITH sh0 AS (SELECT source, unnest(s) AS g FROM (${DedupQueries.shingleSql(3, "source")})),
+         |sh AS (SELECT DISTINCT source, g FROM sh0),
+         |h AS (SELECT source, ${graft.Tables.h60Sql("g")} AS h FROM sh),
+         |b AS (SELECT source, h >> 50 AS bucket, h & ((1::BIGINT << 50) - 1) AS v FROM h),
+         |s1 AS (SELECT source, bucket, v | (v >> 1) AS t FROM b),
+         |s2 AS (SELECT source, bucket, t | (t >> 2) AS t FROM s1),
+         |s3 AS (SELECT source, bucket, t | (t >> 4) AS t FROM s2),
+         |s4 AS (SELECT source, bucket, t | (t >> 8) AS t FROM s3),
+         |s5 AS (SELECT source, bucket, t | (t >> 16) AS t FROM s4),
+         |s6 AS (SELECT source, bucket, t | (t >> 32) AS t FROM s5),
+         |reg AS (SELECT source, bucket, MAX(51 - bit_count(t)) AS reg FROM s6 GROUP BY 1, 2),
+         |single AS (SELECT source,
+         |             SUM(1::BIGINT << (52 - reg)) + ($hllM - COUNT(*)) * (1::BIGINT << 52) AS st
+         |           FROM reg GROUP BY 1),
+         |srcs AS (SELECT DISTINCT source FROM reg),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b
+         |          WHERE a.source < b.source),
+         |u AS (SELECT sa, sb, bucket, MAX(reg) AS reg
+         |      FROM (SELECT sa, sb, sa AS source FROM pairs
+         |            UNION ALL SELECT sa, sb, sb FROM pairs) m
+         |      JOIN reg USING (source) GROUP BY 1, 2, 3),
+         |us AS (SELECT sa, sb,
+         |         SUM(1::BIGINT << (52 - reg)) + ($hllM - COUNT(*)) * (1::BIGINT << 52) AS ust
+         |       FROM u GROUP BY 1, 2),
+         |ex AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS exact_inter
+         |       FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         |SELECT p.sa, p.sb,
+         |  floor($hllK / CAST(ja.st AS DOUBLE) * 1000 + 0.5) / 1000 AS ndv_a,
+         |  floor($hllK / CAST(jb.st AS DOUBLE) * 1000 + 0.5) / 1000 AS ndv_b,
+         |  floor($hllK / CAST(us.ust AS DOUBLE) * 1000 + 0.5) / 1000 AS ndv_union,
+         |  floor(($hllK / CAST(ja.st AS DOUBLE) + $hllK / CAST(jb.st AS DOUBLE)
+         |         - $hllK / CAST(us.ust AS DOUBLE)) * 1000 + 0.5) / 1000 AS est_inter,
+         |  COALESCE(ex.exact_inter, 0) AS exact_inter
+         |FROM pairs p
+         |JOIN single ja ON ja.source = p.sa
+         |JOIN single jb ON jb.source = p.sb
+         |JOIN us ON us.sa = p.sa AND us.sb = p.sb
+         |LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+         |ORDER BY p.sa, p.sb""".stripMargin,
+    "x115_cms_joinsize" -> {
+      def bucketSql(tokExpr: String) =
+        s"CAST(('0x' || substring(md5($tokExpr || '#' || CAST(rr.r AS VARCHAR)), 1, 15)) AS BIGINT) % $cmsW"
+      s"""WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
+         |tb AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src1'),
+         |ga AS (SELECT r, bucket, COUNT(*) AS n FROM (
+         |  SELECT rr.r, ${bucketSql("ta.tok")} AS bucket
+         |  FROM ta, (SELECT unnest(range(0, $cmsD)) AS r) rr) GROUP BY 1, 2),
+         |gb AS (SELECT r, bucket, COUNT(*) AS n FROM (
+         |  SELECT rr.r, ${bucketSql("tb.tok")} AS bucket
+         |  FROM tb, (SELECT unnest(range(0, $cmsD)) AS r) rr) GROUP BY 1, 2),
+         |ip AS (SELECT ga.r, CAST(SUM(ga.n * gb.n) AS BIGINT) AS ip
+         |       FROM ga JOIN gb ON gb.r = ga.r AND gb.bucket = ga.bucket GROUP BY 1),
+         |est AS (SELECT MIN(ip) AS est_pairs FROM ip),
+         |exa AS (SELECT CAST(COALESCE(SUM(ca.na * cb.nb), 0) AS BIGINT) AS exact_pairs FROM
+         |  (SELECT tok, COUNT(*) AS na FROM ta GROUP BY 1) ca
+         |  JOIN (SELECT tok, COUNT(*) AS nb FROM tb GROUP BY 1) cb USING (tok))
+         |SELECT est_pairs, exact_pairs,
+         |  floor(CAST(est_pairs - exact_pairs AS DOUBLE) / exact_pairs * 100 * 1000 + 0.5) / 1000 AS over_pct
+         |FROM est, exa""".stripMargin
+    },
     "x105_countmin" -> {
       def bucketSql(tokExpr: String) =
         s"CAST(('0x' || substring(md5($tokExpr || '#' || CAST(rr.r AS VARCHAR)), 1, 15)) AS BIGINT) % $cmsW"

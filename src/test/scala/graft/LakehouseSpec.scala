@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvmQueries, JoinQueries, UdfQueries}
+
+/** Contract tests for the round-10 lakehouse/sketch family: x109
+  * incremental view maintenance (maintained ≡ recompute), x110 bucketed
+  * interval join (bucketed ≡ naive inequality join), x111 HLL set algebra
+  * (union/intersection estimates vs exact), x115 CMS join-size estimation
+  * (one-sided error + collision-free exactness), x116 histogram drift
+  * (shifted column flags, independent column does not). */
+class LakehouseSpec extends SparkSpec {
+
+  test("x109: maintained view is bit-identical to a full recompute over the mutated base") {
+    // replay the x109 change derivation on the base, mutate the base rows
+    // directly, recompute the view from scratch, and compare
+    val base = Tables.t(spark, sfDir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+    val kept = base.filter(!(col("k") % 13 === 1) && !(col("k") % 13 === 2))
+    val migrated = base.filter(col("k") % 13 === 2)
+      .select(col("k"), lit(IvmQueries.priorities.head).as("g"), (col("c") + 1000L).as("c"))
+    val prArr = array(IvmQueries.priorities.map(lit): _*)
+    val inserted = spark.range(1, 21).toDF("i")
+      .select((col("i") + 1000000L).as("k"),
+        element_at(prArr, (col("i") % 5 + 1).cast("int")).as("g"),
+        (col("i") * 12345L).as("c"))
+    val mutated = kept.unionAll(migrated).unionAll(inserted)
+    val recomputed = mutated.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sc"))
+      .filter(col("n_orders") > 0)
+      .select(col("g").as("o_orderpriority"), col("n_orders"),
+        Tables.fround(col("sc") / 100.0, 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+    val maintained = IvmQueries.x109(spark, sfDir)
+    assert(maintained.collect().toSeq == recomputed.collect().toSeq,
+      "IVM delta application must equal full recompute over the mutated base")
+  }
+
+  test("x109: view covers all five priorities and sums stay positive") {
+    val rows = IvmQueries.x109(spark, sfDir).collect()
+    assert(rows.length == 5, "all five priority groups survive (inserts repopulate)")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) > 0, s"positive count/sum: $r")
+    }
+  }
+
+  test("x110: bucketed interval join equals the naive inequality join") {
+    // naive form: cross the probes against the intervals with only the
+    // range predicate — the plan Spark turns into BroadcastNestedLoopJoin.
+    // The bucketed operator must produce the identical aggregate.
+    val epoch = lit("1992-01-01").cast("date")
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_shipdate").cast("date").as("sd"),
+        (col("l_orderkey") * 7 + col("l_linenumber")).as("tk"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("sdn", datediff(col("sd"), epoch).cast("long"))
+      .withColumn("rdn", col("sdn") + 1 + pmod(col("tk"), lit(30L)))
+    val probes = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderdate").cast("date").as("pd")).distinct()
+      .withColumn("pdn", datediff(col("pd"), epoch).cast("long"))
+    val naive = probes.join(li, col("sdn") <= col("pdn") && col("pdn") < col("rdn"))
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("n_transit"), sum(col("qty")).as("qty_transit"))
+      .select(col("pd").as("probe_date"), col("n_transit"), col("qty_transit"))
+      .orderBy(col("probe_date"))
+    assert(JoinQueries.x110(spark, sfDir).collect().toSeq == naive.collect().toSeq,
+      "bucket decomposition must reproduce the naive inequality join exactly")
+  }
+
+  test("x111: HLL set algebra estimates track exact intersections") {
+    val rows = UdfQueries.x111(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ndvA, ndvB, ndvU) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val estI = r.getDouble(5)
+      assert(ndvU >= math.max(ndvA, ndvB) - 1e-9, s"union ≥ max single: $r")
+      assert(ndvU <= ndvA + ndvB + 1e-9, s"union ≤ sum of singles: $r")
+      assert(estI == ndvA + ndvB - ndvU ||
+        math.abs(estI - (ndvA + ndvB - ndvU)) < 0.002, s"inclusion-exclusion: $r")
+    }
+    // aggregate accuracy: mean |est - exact| over pairs should be well
+    // under the single-sketch σ ≈ 1.04/√m · ndv (inclusion–exclusion sums
+    // three sketch errors; 4.5σ is the x107 bound, use it per pair)
+    val sigma = 1.04 / math.sqrt(UdfQueries.hllM.toDouble)
+    rows.foreach { r =>
+      val tol = 4.5 * sigma * (r.getDouble(2) + r.getDouble(3) + r.getDouble(4))
+      assert(math.abs(r.getDouble(5) - r.getLong(6)) <= tol,
+        s"est_inter within stacked sketch error: $r (tol $tol)")
+    }
+  }
+
+  test("x115: CMS estimate never undercounts, and is exact on a collision-free plant") {
+    val row = UdfQueries.x115(spark, sfDir).collect().head
+    assert(row.getLong(0) >= row.getLong(1), "CMS inner product is a one-sided overestimate")
+    // collision-free plant: 60 distinct single-token docs in 4×1024
+    // buckets — the min over 4 salted rows erases any lone collision, so
+    // the estimate must equal the exact inner product (20 shared tokens)
+    import spark.implicits._
+    val plantDir = tmpDir("cmsplant")
+    val a = Seq.tabulate(40)(i => (s"tok$i", "src0")).toDF("text", "source")
+    val b = Seq.tabulate(40)(i => (s"tok${i * 2}", "src1")).toDF("text", "source")
+    a.unionAll(b).select(monotonically_increasing_id().as("doc_id"), col("text"),
+      lit("en").as("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$plantDir/documents.parquet")
+    val plant = UdfQueries.x115(spark, plantDir).collect().head
+    assert(plant.getLong(1) == 20L, s"plant exact = 20 shared tokens: $plant")
+    assert(plant.getLong(0) == 20L, s"plant estimate exact under min-of-4-rows: $plant")
+  }
+
+  test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
+    val rows = IvmQueries.x116(spark, sfDir).collect()
+    val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(byCol("l_quantity")._2, s"l_quantity must drift (B drops qty>25): $byCol")
+    assert(!byCol("l_discount")._2, s"l_discount is quantity-independent: $byCol")
+    assert(!byCol("l_tax")._2, s"l_tax is quantity-independent: $byCol")
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1, s"TVD ∈ [0,1]: $r")
+    }
+  }
+}
