@@ -433,7 +433,54 @@ object SamplingQueries {
         (col("off") + col("rn_local") - 1).cast("long").as("pos"))
   }
 
+  /** x113 sample size (grid points over the cumulative weight line). */
+  private[graft] val ppsN = 50
+
+  /** x113 — PPS systematic sampling (E110): a weight-proportional sample
+    * with EXACT total size and zero RNG — survey sampling's systematic
+    * probability-proportional-to-size design made deterministic: docs are
+    * laid on the cumulative-weight line in h60(doc_id) order (a fixed
+    * pseudo-random permutation, the same trick as x70's hash sampling),
+    * the line is cut by n equally spaced grid points, and each doc is
+    * drawn once per grid point inside its weight segment — multiplicity
+    * m_i = ⌊cum_i·n/W⌋ − ⌊(cum_i−w_i)·n/W⌋. Pure integer arithmetic
+    * (long product + integer division — no doubles anywhere), inclusion
+    * probability ∝ weight, and Σm_i telescopes to exactly n. The
+    * weighted-sampling complement of x75 (which keeps a quality-biased
+    * SUBSET; this draws a fixed-size weight-proportional SAMPLE, docs
+    * heavier than W/n drawing multiple times).
+    *
+    * 100 TB shape: the cumulative sum is DECOMPOSED (the x72/x79
+    * two-phase escape): h60's top 8 bits pre-bucket the permutation into
+    * 256 ordered ranges, per-bucket totals (one map-side-combined agg,
+    * 256 rows) prefix-sum into bucket offsets on a bounded window, and
+    * the within-bucket running sum is a window partitioned BY bucket —
+    * no global single-partition sort ever happens. The twin states the
+    * single declarative global window; the oracle checks the
+    * decomposition reproduces it exactly. */
+  val x113: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("h", graft.Tables.h60(col("doc_id")))
+      .withColumn("bk", shiftright(col("h"), 52))
+    val offs = docs.groupBy(col("bk")).agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(
+        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bk"), col("off"))
+    val wtot = docs.agg(sum(col("w")).as("wsum"))
+    docs.join(broadcast(offs), Seq("bk"))
+      .withColumn("wc", sum(col("w")).over(
+        Window.partitionBy(col("bk")).orderBy(col("h"), col("doc_id"))))
+      .withColumn("cum", col("off") + col("wc"))
+      .crossJoin(broadcast(wtot))
+      .withColumn("m", expr(s"((cum * $ppsN) div wsum) - (((cum - w) * $ppsN) div wsum)"))
+      .filter(col("m") > 0)
+      .select(col("doc_id"), col("w"), col("m"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x113_pps_sample" -> x113,
     "x79_shard_assign" -> x79,
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
@@ -479,6 +526,23 @@ object SamplingQueries {
        |FROM b ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Declarative twin: ONE global cumulative window over the h60 order —
+    // the Spark side's 256-bucket decomposition must reproduce it exactly.
+    "x113_pps_sample" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    ${graft.Tables.h60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    CAST(SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM w0),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM w0)
+         |SELECT doc_id, w,
+         |  (cum * $ppsN) // wsum - ((cum - w) * $ppsN) // wsum AS m
+         |FROM c, t
+         |WHERE (cum * $ppsN) // wsum - ((cum - w) * $ppsN) // wsum > 0
+         |ORDER BY doc_id""".stripMargin,
     "x79_shard_assign" -> shardAssignOracle,
     "x77_length_batches" -> lengthBatchesOracle,
     "x70_hash_sample" ->

@@ -429,7 +429,100 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** x112 — positional phrase search (E109): find and count exact
+    * occurrences of a multi-token phrase via POSITION-LIST INTERSECTION —
+    * the inverted-index primitive behind every phrase/proximity query
+    * (Manning et al., IIR §2.4): each phrase term contributes its
+    * (doc, position) postings, term k's positions shift by −k, and an
+    * occurrence is a (doc, pos) key present in ALL lists. The probe
+    * phrase is data-derived (the corpus's most frequent trigram, ties by
+    * gram — both engines derive the identical phrase) so the operator
+    * survives testdata regeneration.
+    *
+    * 100 TB shape: each postings stream is term-frequency-bounded (the
+    * broadcast phrase filter prunes the token stream BEFORE any
+    * exchange), the intersection is a chain of equi-joins co-partitioned
+    * on (doc_id, pos) — rarest-term-first ordering bounds intermediate
+    * size by the rarest term's postings, positions never expand into
+    * materialized n-grams (the x107 shingle path materializes every
+    * trigram; THIS path pays |phrase| filtered scans instead, the win
+    * when phrases are long or ad-hoc). The twin states the declarative
+    * semantics (count of matching trigram shingles) — the oracle checks
+    * the two formulations coincide. */
+  val x112: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val top = docs
+      .select(explode(DedupQueries.shinglesN(split(col("text"), " "), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("g")).limit(1)
+      .select(split(col("g"), " ").as("ws"))
+      .select(element_at(col("ws"), 1).as("w1"), element_at(col("ws"), 2).as("w2"),
+        element_at(col("ws"), 3).as("w3"))
+    def postings(w: String, shift: Int) =
+      toks.join(broadcast(top.select(col(w))), col("tok") === col(w))
+        .select(col("doc_id"), (col("pos") - shift).as("p"))
+    postings("w1", 0)
+      .join(postings("w2", 1), Seq("doc_id", "p"))
+      .join(postings("w3", 2), Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(top.select(
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))))
+      .select(col("doc_id"), col("phrase"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x114 collocation constants: candidate df band + per-doc cap. */
+  private val collocMinDf = 5
+  private val collocCap = 24
+
+  /** x114 — collocation detection via lift (E112): token pairs that
+    * co-occur in documents far more than independence predicts —
+    * lift(a,b) = N·n_ab / (n_a·n_b), the ln-free core of PMI (PMI =
+    * ln lift; ln is a libm call outside the determinism budget, and lift
+    * ranks identically). The collocation/multi-word-expression signal
+    * tokenizer and phrase-vocab builders run over a corpus.
+    *
+    * Fan-out control (the x82 lesson): candidate tokens need df ≥ 5
+    * (kills noise pairs) and each doc contributes at most its 24 RAREST
+    * candidates (df asc, tok — deterministic), so the per-doc pair
+    * expansion is ≤ C(24,2) = 276 rows whatever the doc; the pair count
+    * is an equi-self-join co-partitioned on doc_id, never cross-doc. (A
+    * real corpus would also upper-band df to drop boilerplate — the
+    * testdata's vocab is a few dozen ubiquitous tokens, so the cap alone
+    * carries the fan-out bound here.) Lift is one long·long product per
+    * side and a single IEEE division, frounded; ties break
+    * lexicographically. */
+  val x114: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val cand = df.filter(col("df") >= collocMinDf).select(col("tok"), col("df"))
+    val kept = toks.join(broadcast(cand), Seq("tok"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("r") <= collocCap)
+      .select(col("doc_id"), col("tok"), col("df"))
+    val pairs = kept.select(col("doc_id"), col("tok").as("ta"), col("df").as("dfa"))
+      .join(kept.select(col("doc_id"), col("tok").as("tb"), col("df").as("dfb")),
+        Seq("doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("dfa"), col("dfb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs.crossJoin(broadcast(nd))
+      .withColumn("lift_raw", (col("nd") * col("n_ab")) / (col("dfa") * col("dfb")))
+      .orderBy(desc("lift_raw"), col("ta"), col("tb")).limit(15)
+      .select(col("ta"), col("tb"), col("n_ab"), col("dfa"), col("dfb"),
+        graft.Tables.fround(col("lift_raw"), 6).as("lift"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x112_phrase_search" -> x112,
+    "x114_collocations" -> x114,
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
     "x31_token_count" -> x31,
@@ -517,6 +610,36 @@ object TextQueries {
        |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Declarative twin: a phrase occurrence IS a matching trigram shingle
+    // — the positional-index intersection must coincide with the n-gram
+    // count, which is exactly what the oracle checks.
+    "x112_phrase_search" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(s) AS g
+         |  FROM (${DedupQueries.shingleSql(3, "doc_id", distinct = false)})),
+         |top AS (SELECT g FROM (
+         |  SELECT g, COUNT(*) AS n FROM sh GROUP BY 1 ORDER BY n DESC, g LIMIT 1))
+         |SELECT sh.doc_id, top.g AS phrase, COUNT(*) AS n_occ
+         |FROM sh JOIN top ON sh.g = top.g
+         |GROUP BY 1, 2 ORDER BY sh.doc_id""".stripMargin,
+    "x114_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+         |nd AS (SELECT COUNT(*) AS nd FROM documents),
+         |cand AS (SELECT tok, df FROM df WHERE df >= $collocMinDf),
+         |kept AS (SELECT doc_id, tok, df FROM (
+         |  SELECT t.doc_id, t.tok, c.df,
+         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY c.df, t.tok) AS r
+         |  FROM toks t JOIN cand c USING (tok)) WHERE r <= $collocCap),
+         |pr AS (
+         |  SELECT a.tok AS ta, b.tok AS tb, a.df AS dfa, b.df AS dfb, COUNT(*) AS n_ab
+         |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3)
+         |SELECT ta, tb, n_ab, dfa, dfb,
+         |  floor((nd.nd * n_ab) / (dfa * dfb) * 1000000.0 + 0.5) / 1000000.0 AS lift
+         |FROM pr, nd
+         |ORDER BY (nd.nd * n_ab) / (dfa * dfb) DESC, ta, tb LIMIT 15""".stripMargin,
     "x68_tfidf_keywords" -> tfidfOracle,
     "x38_source_overlap" -> sourceOverlapOracle,
     "x39_seq_pack" -> seqPackOracle,

@@ -108,6 +108,84 @@ class LakehouseSpec extends SparkSpec {
     assert(plant.getLong(0) == 20L, s"plant estimate exact under min-of-4-rows: $plant")
   }
 
+  /** Independent h60: first 15 hex digits of md5, parsed base-16 — the
+    * PropertiesSpec reference formulation, re-derived here so x113's check
+    * shares no code with the implementation. */
+  private def h60ref(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("x112: positional intersection equals a plain-Scala sliding-window count") {
+    val rows = graft.operators.TextQueries.x112(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the top trigram must occur somewhere")
+    val phrase = rows.head.getString(1).split(" ").toSeq
+    assert(phrase.length == 3)
+    val expected = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSeq.sliding(3).count(_ == phrase))
+      .filter(_._2 > 0).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
+    assert(got == expected, s"positional counts must match sliding-window counts")
+  }
+
+  test("x113: multiplicities sum to exactly n and match an independent replay") {
+    val rows = graft.operators.SamplingQueries.x113(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == 50L, "Σm telescopes to exactly n")
+    // independent replay: plain-Scala cumulative walk in (h60, doc_id) order
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (h60ref(id.toString), id) }
+    val wTot = docs.map(_._2).sum
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w) =>
+      cum += w
+      val m = (cum * 50) / wTot - ((cum - w) * 50) / wTot
+      if (m > 0) Some((id, w, m)) else None
+    }.sortBy(_._1).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expected)
+    // inclusion ∝ weight: any doc heavier than one grid stride must draw
+    val stride = wTot / 50
+    val picked = expected.map(_._1).toSet
+    docs.filter(_._2 > stride).foreach { case (id, w) =>
+      assert(picked.contains(id), s"doc $id (w=$w > stride $stride) must be sampled")
+    }
+  }
+
+  test("x114: planted perfect collocation ranks first, sub-support tokens are excluded") {
+    import spark.implicits._
+    val plantDir = tmpDir("colloc")
+    // 12 docs: "alpha beta" together in half (lift 2.0), "gamma"/"delta"
+    // alternate (never co-occur), "common" everywhere (lift 0.5 with
+    // anything), "rare" twice (df < 5 — must be excluded)
+    val texts = (0 until 12).map { i =>
+      val parts = (if (i < 6) Seq("alpha", "beta") else Nil) ++
+        Seq(if (i % 2 == 0) "gamma" else "delta", "common") ++
+        (if (i < 2) Seq("rare") else Nil)
+      (parts.mkString(" "), i.toLong)
+    }
+    texts.toDF("text", "doc_id")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), lit("src0").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$plantDir/documents.parquet")
+    val rows = graft.operators.TextQueries.x114(spark, plantDir).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getString(0) == "alpha" && top.getString(1) == "beta",
+      s"the always-together pair must rank first: ${rows.toSeq}")
+    assert(top.getLong(2) == 6L && top.getDouble(5) == 2.0,
+      s"n_ab=6 and lift = 12·6/(6·6) = 2: $top")
+    assert(!rows.exists(r => r.getString(0) == "rare" || r.getString(1) == "rare"),
+      "df<5 tokens must be excluded")
+    assert(!rows.exists(r => r.getString(0) == "gamma" && r.getString(1) == "delta"),
+      "never-co-occurring pair must be absent")
+    rows.tail.foreach(r => assert(r.getDouble(5) < top.getDouble(5),
+      s"planted pair uniquely maximal: $r"))
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
