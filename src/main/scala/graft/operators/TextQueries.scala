@@ -457,18 +457,21 @@ object TextQueries {
       .select(explode(DedupQueries.shinglesN(split(col("text"), " "), 3)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("g")).limit(1)
-      .select(split(col("g"), " ").as("ws"))
+      .select(split(col("g"), " ").as("ws"), col("g").as("phrase"))
       .select(element_at(col("ws"), 1).as("w1"), element_at(col("ws"), 2).as("w2"),
-        element_at(col("ws"), 3).as("w3"))
+        element_at(col("ws"), 3).as("w3"), col("phrase"))
+    // the phrase string rides the FIRST postings join (tok = w1 is an
+    // equi condition → BroadcastHashJoin), so no scalar crossJoin is ever
+    // planned — the phrase column just flows through the intersection
+    val first = toks.join(broadcast(top), col("tok") === col("w1"))
+      .select(col("doc_id"), col("pos").as("p"), col("phrase"))
     def postings(w: String, shift: Int) =
       toks.join(broadcast(top.select(col(w))), col("tok") === col(w))
         .select(col("doc_id"), (col("pos") - shift).as("p"))
-    postings("w1", 0)
+    first
       .join(postings("w2", 1), Seq("doc_id", "p"))
       .join(postings("w3", 2), Seq("doc_id", "p"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
-      .crossJoin(broadcast(top.select(
-        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))))
+      .groupBy(col("doc_id"), col("phrase")).agg(count(lit(1)).as("n_occ"))
       .select(col("doc_id"), col("phrase"), col("n_occ"))
       .orderBy(col("doc_id"))
   }

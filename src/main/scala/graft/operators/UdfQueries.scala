@@ -436,10 +436,14 @@ object UdfQueries {
     val sumterm = sum(expr("shiftleft(cast(1 as bigint), 52 - reg)")) +
       (lit(hllM.toLong) - count(lit(1))) * lit(1L << 52)
     val singles = regs.groupBy(col("source")).agg(sumterm.as("st"))
-    val srcs = regs.select(col("source")).distinct()
-    val pairs = srcs.select(col("source").as("sa"))
-      .crossJoin(srcs.select(col("source").as("sb")))
-      .filter(col("sa") < col("sb"))
+    // source list = the MODEL dimension (|S| names, like the ANN family's
+    // seed/probe collects) — bounded driver collect, pairs materialize as
+    // a LocalRelation instead of a cartesian NLJ plan
+    val srcList = regs.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    import s.implicits._
+    val pairs = (for { a <- srcList; b <- srcList if a < b } yield (a, b))
+      .toDF("sa", "sb")
     val members = pairs.select(col("sa"), col("sb"), col("sa").as("source"))
       .unionAll(pairs.select(col("sa"), col("sb"), col("sb").as("source")))
     val unions = broadcast(members).join(regs, "source")
