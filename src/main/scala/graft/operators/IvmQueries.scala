@@ -103,40 +103,43 @@ object IvmQueries {
     * of the cross-engine determinism budget — the x107 argument) and are
     * undefined on empty bins, while TVD is bounded [0,1] and total.
     *
-    * 100 TB shape: the x102 posture — one 1-row bounds agg over each
-    * snapshot (map-side combined, broadcast back), one (col,bin) hash agg
-    * per snapshot bounded by cols×B, and the comparison joins two
-    * cols×B-row frames — nothing downstream of the scans depends on row
-    * count. In production the A-side histogram is yesterday's PERSISTED
-    * audit row (x102's output), so drift costs one pass over the new
-    * snapshot only. */
+    * 100 TB shape: TWO corpus passes total — one 1-row bounds agg
+    * (map-side combined, broadcast back) and ONE melted (col,bin) hash
+    * agg carrying BOTH snapshots' counts (the B-side count rides as a
+    * conditional sum, since B is a predicate over the same scan; two
+    * disjoint snapshots would contribute one pass each). Melting happens
+    * MAP-SIDE before the aggregation, so the exchange stays bounded at
+    * cols×B partial rows — the x101 "don't melt before the shuffle"
+    * rule is about shuffled DATA rows, which never materialize here.
+    * In production the A-side histogram is yesterday's PERSISTED audit
+    * row (x102's output), so drift costs one pass over the new snapshot
+    * only. */
   val x116: Q = (s, d) => {
     val nBins = 8
     val cols = StatsQueries.statCols
     val li = t(s, d, "lineitem")
-    val snapA = li
-    val snapB = li.filter(expr(driftPred))
-    val bAggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    // shared bounds over A ∪ B: B ⊆ A here, so bounds(A) suffice — but the
-    // operator computes union bounds anyway (the production shape, where
-    // neither snapshot contains the other)
-    val bounds = snapA.select(cols.map(col): _*).unionAll(snapB.select(cols.map(col): _*))
-      .agg(bAggs.head, bAggs.tail: _*)
-    def hist(snap: org.apache.spark.sql.DataFrame, tag: String) =
-      cols.map { c =>
-        snap.select(col(c).as("v")).where(col("v").isNotNull)
-          .crossJoin(broadcast(bounds))
-          .select(lit(c).as("col_name"),
-            least(floor((col("v") - col(s"mn_$c")) * nBins / (col(s"mx_$c") - col(s"mn_$c"))),
-              lit(nBins - 1L)).cast("long").as("bin"))
-          .groupBy(col("col_name"), col("bin")).agg(count(lit(1)).as(s"cnt_$tag"))
-      }.reduce(_.unionAll(_))
+    val stackExpr = "stack(" + cols.length + ", " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"
+    val melted = li.withColumn("is_b", expr(driftPred))
+      .select(expr(stackExpr), col("is_b"))
+      .where(col("v").isNotNull)
+    // shared bounds over A ∪ B: B ⊆ A here so the A-side pass covers the
+    // union; disjoint snapshots would union their melts first
+    val bounds = melted.groupBy(col("col_name"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val hist = melted.join(broadcast(bounds), "col_name")
+      .select(col("col_name"),
+        least(floor((col("v") - col("mn")) * nBins / (col("mx") - col("mn"))),
+          lit(nBins - 1L)).cast("long").as("bin"),
+        col("is_b"))
+      .groupBy(col("col_name"), col("bin"))
+      .agg(count(lit(1)).as("cnt_a"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("cnt_b"))
     val grid = cols.map(c =>
       s.range(0, nBins).toDF("bin").select(lit(c).as("col_name"), col("bin")))
       .reduce(_.unionAll(_))
     val joined = grid
-      .join(hist(snapA, "a"), Seq("col_name", "bin"), "left")
-      .join(hist(snapB, "b"), Seq("col_name", "bin"), "left")
+      .join(hist, Seq("col_name", "bin"), "left")
       .select(col("col_name"), col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("na"), coalesce(col("cnt_b"), lit(0L)).as("nb"))
     val tot = joined.groupBy(col("col_name"))
