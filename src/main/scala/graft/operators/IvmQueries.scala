@@ -118,30 +118,28 @@ object IvmQueries {
     val nBins = 8
     val cols = StatsQueries.statCols
     val li = t(s, d, "lineitem")
-    val stackExpr = "stack(" + cols.length + ", " +
-      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"
-    val melted = li.withColumn("is_b", expr(driftPred))
-      .select(expr(stackExpr), col("is_b"))
-      .where(col("v").isNotNull)
-    // shared bounds over A ∪ B: B ⊆ A here so the A-side pass covers the
-    // union; disjoint snapshots would union their melts first
-    val bounds = melted.groupBy(col("col_name"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val hist = melted.join(broadcast(bounds), "col_name")
-      .select(col("col_name"),
-        least(floor((col("v") - col("mn")) * nBins / (col("mx") - col("mn"))),
-          lit(nBins - 1L)).cast("long").as("bin"),
-        col("is_b"))
-      .groupBy(col("col_name"), col("bin"))
-      .agg(count(lit(1)).as("cnt_a"),
-        sum(when(col("is_b"), 1L).otherwise(0L)).as("cnt_b"))
-    val grid = cols.map(c =>
-      s.range(0, nBins).toDF("bin").select(lit(c).as("col_name"), col("bin")))
-      .reduce(_.unionAll(_))
-    val joined = grid
-      .join(hist, Seq("col_name", "bin"), "left")
-      .select(col("col_name"), col("bin"),
-        coalesce(col("cnt_a"), lit(0L)).as("na"), coalesce(col("cnt_b"), lit(0L)).as("nb"))
+    // pass 1: one WIDE 1-row bounds agg (map-side combined, 2·cols cells)
+    val bAggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val bounds = li.agg(bAggs.head, bAggs.tail: _*)
+    // pass 2: one WIDE conditional-sum agg — cols×bins×2 codegen'd
+    // counters over a single scan (no row melt ever reaches an exchange;
+    // the 1-row result melts AFTER aggregation, the x101 rule)
+    def binc(c: String) = least(
+      floor((col(c) - col(s"mn_$c")) * nBins / (col(s"mx_$c") - col(s"mn_$c"))),
+      lit(nBins - 1L))
+    val hAggs = for { c <- cols; b <- 0 until nBins; side <- Seq("a", "b") } yield {
+      val inBin = col(c).isNotNull && binc(c) === b
+      val cond = if (side == "a") inBin else inBin && col("is_b")
+      sum(when(cond, 1L).otherwise(0L)).as(s"${side}_${c}_$b")
+    }
+    val one = li.withColumn("is_b", expr(driftPred))
+      .crossJoin(broadcast(bounds)) // 1-row global-agg build side
+      .agg(hAggs.head, hAggs.tail: _*)
+    val hStack = "stack(" + (cols.length * nBins) + ", " +
+      (for { c <- cols; b <- 0 until nBins }
+        yield s"'$c', ${b}L, a_${c}_$b, b_${c}_$b").mkString(", ") +
+      ") as (col_name, bin, na, nb)"
+    val joined = one.selectExpr(hStack)
     val tot = joined.groupBy(col("col_name"))
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     joined.join(broadcast(tot), "col_name")
