@@ -92,16 +92,14 @@ object JoinQueries {
     * a co-partitioned self-join on the signature hash, the x41 band-join
     * chassis for strings; bucket fan-out is bounded by how many names share
     * a (len−1)-subsequence, the string analogue of the x82 df cap. */
-  val x96: Q = (s, d) => {
+  /** Name-level fuzzy pair generation behind x96 AND x119: deletion-
+    * neighborhood blocking + exact levenshtein verify over DISTINCT names
+    * → (a_name, b_name, dist ≤ 1), a_name < b_name. Dedupe-then-expand
+    * (round-9 rewrite, −8× at sf1): under duplicate-heavy data the
+    * candidate stream shrinks ~dup² vs id-level blocking. */
+  private def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
     val cust = t(s, d, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // Dedupe-then-expand (round-9 rewrite, −8× at sf1): the blocking join,
-    // candidate distinct and levenshtein verify all run on DISTINCT NAMES;
-    // id pairs materialize only at output. Under duplicate-heavy data
-    // (sf1's 10-way flood; real entity resolution is exactly this) the
-    // candidate stream shrinks ~dup² — identical names collide on EVERY
-    // signature, so id-level blocking pays the collision-group quadratic
-    // on rows the name-level join resolves once.
     val names = graft.Tables.spread(cust.select(col("name")).distinct())
     val variants = transform(sequence(lit(1), length(col("name"))), p =>
       concat(col("name").substr(lit(1), p - lit(1)),
@@ -111,12 +109,18 @@ object JoinQueries {
         array_union(variants, array(col("name")))))).as("sig"))
     val a = sigs.select(col("name").as("a_name"), col("sig"))
     val b = sigs.select(col("name").as("b_name"), col("sig"))
-    val namePairs = a.join(b, Seq("sig"))
+    a.join(b, Seq("sig"))
       .filter(col("a_name") < col("b_name"))
       .select(col("a_name"), col("b_name")).distinct()
       .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_name"), col("b_name"),
         levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+  }
+
+  val x96: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val namePairs = fuzzyNamePairs(s, d)
     // cross-name expansion: every id of one name against every id of the
     // other (distinct names ⇒ distinct ids; orient by id order)
     val cross = namePairs
@@ -231,9 +235,114 @@ object JoinQueries {
       .orderBy(col("probe_date"))
   }
 
+  /** x117 salt fan-out. */
+  private val saltR = 8L
+
+  /** Shared deletion-neighborhood blocking CTEs (customer table → verified
+    * candidate set `cand`), embedded by both the x96 and x119 twins. */
+  private val fuzzyPairCtes =
+    """c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      |sigs AS (
+      |  SELECT id, name, unnest(list_distinct(list_append(
+      |    list_transform(range(1, len(name) + 1),
+      |      p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS sig
+      |  FROM c),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
+      |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id)""".stripMargin
+
+  /** x117 — salted skew join (E114): the hot-key survival technique made
+    * a first-class, equivalence-proven operator. A shuffled equi-join
+    * sends every row of a key to ONE reducer — a key holding 1% of a
+    * 100 TB fact table is a 1 TB straggler task. Salting splits each
+    * build-side key into R copies (key, 0..R−1) and tags each probe row
+    * with a deterministic salt in [0,R), so the equi-join on (key, salt)
+    * spreads every hot key over R reducers while preserving the EXACT
+    * join semantics: each probe row still meets exactly one copy of its
+    * build row. AQE's skew-join split handles moderate skew at runtime;
+    * explicit salting is the static insurance for extreme keys and for
+    * skewed AGGREGATIONS the AQE splitter can't touch (its partial-agg
+    * counterpart is the map-side combine every agg here already gets).
+    * Cost: R× the build side (small by definition — it broadcasts or
+    * shuffles R×|dim| rows), zero extra passes over the fact side.
+    *
+    * Oracle + spec prove the invariant that makes the trick safe: the
+    * salted plan's result is bit-identical to the plain join's. */
+  val x117: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val prof = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val salted = prof.withColumn("salt", explode(sequence(lit(0L), lit(saltR - 1))))
+    val fact = ev.withColumn("salt", pmod(col("event_id"), lit(saltR)))
+    fact.join(salted, Seq("user_id", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("partner_weight"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x119 — entity canonicalization (E115): the entity-resolution endgame
+    * composing the proven pieces — x96's complete distance≤1 candidate
+    * pairs feed [[DedupQueries.connectedComponents]] (size-adaptive:
+    * driver union-find under the edge threshold, distributed min-label +
+    * path-halving past it), and each component becomes ONE canonical
+    * entity: id = the component's min custkey (the min-label invariant
+    * makes label == canonical id, no extra pass), canonical name = that
+    * row's name. Output is the ≥2-member entity table (size, distinct
+    * spellings, canonical name) — the survivorship table a master-data
+    * pipeline publishes.
+    *
+    * 100 TB shape: the WHOLE pipeline stays at name granularity — the
+    * same dedupe-then-expand that rewrote x96 applies a second time to
+    * the clustering itself: components run over the distinct-NAME graph
+    * (nodes = one per name, keyed by the name's min custkey so the
+    * min-label invariant still yields the global min custkey as entity
+    * id; edges = verified name pairs — at sf1 that's 15 k nodes / ~30 k
+    * edges instead of 150 k nodes / 26.9 M id pairs, and the id-level
+    * expansion never happens at all), and customers join their name's
+    * label only in the final summary agg. The twin re-runs blocking +
+    * exact verify + a recursive min-label reachability CTE — the
+    * clustering itself is oracle-verified, not just the pair set.
+    *
+    * Measured pitfall, kept deliberately: the fixture's serial names
+    * (Customer#000000000, …001, …) are pairwise distance-1 CHAINS, so
+    * single-link transitive closure collapses the whole table into ONE
+    * entity — the classic ER over-merge that production systems counter
+    * with stronger pair scores or cannot-link constraints. The spec
+    * asserts BOTH behaviors: the collapse on the fixture and correct
+    * multi-cluster separation on a planted corpus. */
+  val x119: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // node id of a name = its min custkey (unique per name, and the
+    // min-label CC then emits the global min custkey as the cluster label)
+    val nameIds = cust.groupBy(col("name")).agg(min(col("id")).as("nid"))
+    val edges = fuzzyNamePairs(s, d)
+      .join(nameIds.select(col("name").as("a_name"), col("nid").as("a")), "a_name")
+      .join(nameIds.select(col("name").as("b_name"), col("nid").as("b")), "b_name")
+      .select(col("a"), col("b"))
+    val lab = DedupQueries.connectedComponents(
+      nameIds.select(col("nid").as("id")), edges)
+    // left + coalesce: a name with no fuzzy neighbor is a singleton NODE
+    // (connectedComponents omits it) but may still own ≥2 identical-name
+    // customers — its label is its own nid
+    val mem = cust.join(nameIds, "name")
+      .join(lab.select(col("id").as("nid"), col("label")), Seq("nid"), "left")
+      .withColumn("label", coalesce(col("label"), col("nid")))
+    val summary = mem.groupBy(col("label"))
+      .agg(count(lit(1)).as("size"), countDistinct(col("name")).as("n_names"))
+      .filter(col("size") >= 2)
+    summary
+      .join(cust.select(col("id").as("label"), col("name").as("canonical_name")), "label")
+      .select(col("label").as("entity_id"), col("size"), col("n_names"),
+        col("canonical_name"))
+      .orderBy(col("entity_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x106_merge_upsert" -> x106,
     "x110_interval_join" -> x110,
+    "x117_salted_join" -> x117,
+    "x119_entity_resolution" -> x119,
     "q10_inner_join" -> q10,
     "q11_broadcast_chain" -> q11,
     "q12_left_outer" -> q12,
@@ -287,18 +396,37 @@ object JoinQueries {
     // verify; blocking internals need not match cross-engine — both are
     // complete for distance ≤ 1, so the verified PAIR SET is identical.
     "x96_fuzzy_match" ->
-      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-        |sigs AS (
-        |  SELECT id, name, unnest(list_distinct(list_append(
-        |    list_transform(range(1, len(name) + 1),
-        |      p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS sig
-        |  FROM c),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
-        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id)
-        |SELECT a_id, b_id, CAST(levenshtein(an, bn) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(an, bn) <= 1
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $fuzzyPairCtes
+         |SELECT a_id, b_id, CAST(levenshtein(an, bn) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(an, bn) <= 1
+         |ORDER BY a_id, b_id""".stripMargin,
+    "x117_salted_join" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(p.n_events) AS BIGINT) AS partner_weight
+        |FROM events e
+        |JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) p
+        |  USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Shared blocking CTEs + the x44-style recursive min-label
+    // reachability — the CLUSTERING is verified, not just the pairs.
+    "x119_entity_resolution" ->
+      s"""WITH RECURSIVE $fuzzyPairCtes,
+         |pr AS (SELECT a_id, b_id FROM cand WHERE levenshtein(an, bn) <= 1),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pr
+         |          UNION SELECT b_id, a_id FROM pr),
+         |reach(v, l) AS (
+         |  SELECT id, id FROM c
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+         |lab AS (SELECT v AS id, MIN(l) AS label FROM reach GROUP BY v),
+         |summ AS (
+         |  SELECT l.label, COUNT(*) AS size, COUNT(DISTINCT c.name) AS n_names
+         |  FROM lab l JOIN c ON c.id = l.id
+         |  GROUP BY 1 HAVING COUNT(*) >= 2)
+         |SELECT s.label AS entity_id, s.size, s.n_names,
+         |  c.name AS canonical_name
+         |FROM summ s JOIN c ON c.id = s.label
+         |ORDER BY entity_id""".stripMargin,
     "q10_inner_join" ->
       """SELECT c_mktsegment, COUNT(*) AS c,
         |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE),2) AS s

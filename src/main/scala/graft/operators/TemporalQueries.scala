@@ -282,7 +282,47 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** x118 — SCD2 point-in-time join (E116): enrich a fact stream with the
+    * dimension version VALID AT fact time — the lookup every
+    * feature-store / training-data pipeline must get right to avoid
+    * label leakage (using a dim state written AFTER the fact happened).
+    * The split is deterministic (even event_ids build the x99-style SCD2
+    * state history, odd event_ids probe it), and each probe finds the
+    * interval [valid_from, valid_to) covering its timestamp — or
+    * 'unseen' when the user has no history yet, the cold-start row a
+    * leakage-free pipeline must surface rather than backfill. Output is
+    * the prior-state × observed-event transition matrix.
+    *
+    * 100 TB shape: ONE equi-join co-partitioned on user_id with the
+    * interval predicate as the join residual — per-user version chains
+    * are change-count-bounded and intervals are disjoint, so each probe
+    * row matches ≤1 version and the join never multiplies; no bucket
+    * decomposition needed because the equi key already co-locates
+    * (x110 is the keyless case). The windows building the SCD2 side
+    * share one user_id exchange (the x99 posture). */
+  val x118: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev.filter(col("event_id") % 2 === 0)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val scd = changes.select(col("user_id").as("su"),
+      col("event_type").as("state"), col("ts").as("vf"),
+      lead(col("ts"), 1).over(w).as("vt"))
+    val probes = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("pu"), col("event_type").as("ptype"), col("ts").as("pts"))
+    probes.join(scd,
+        col("su") === col("pu") && col("vf") <= col("pts") &&
+          (col("vt").isNull || col("pts") < col("vt")), "left")
+      .groupBy(coalesce(col("state"), lit("unseen")).as("prior_state"),
+        col("ptype").as("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("pu")).as("n_users"))
+      .orderBy(col("prior_state"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x118_pit_join" -> x118,
     "x99_scd2_history" -> x99,
     "x104_rolling_mad" -> x104,
     "q31_tumbling_window" -> q31,
@@ -302,6 +342,25 @@ object TemporalQueries {
        |     ELSE (list_sort($l)[len($l) // 2] + list_sort($l)[len($l) // 2 + 1]) / 2.0 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x118_pit_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events WHERE event_id % 2 = 0),
+        |marks AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM dim),
+        |chg AS (SELECT user_id, event_type, ts, event_id FROM marks
+        |        WHERE prev IS NULL OR prev <> event_type),
+        |scd AS (
+        |  SELECT user_id, event_type AS state, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM chg),
+        |probes AS (SELECT user_id, event_type, ts FROM events WHERE event_id % 2 = 1)
+        |SELECT COALESCE(s.state, 'unseen') AS prior_state, p.event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT p.user_id) AS n_users
+        |FROM probes p LEFT JOIN scd s
+        |  ON s.user_id = p.user_id AND s.vf <= p.ts AND (s.vt IS NULL OR p.ts < s.vt)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x99_scd2_history" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

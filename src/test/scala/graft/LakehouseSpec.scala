@@ -186,6 +186,62 @@ class LakehouseSpec extends SparkSpec {
       s"planted pair uniquely maximal: $r"))
   }
 
+  test("x117: salted join result is bit-identical to the plain join") {
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val prof = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val plain = ev.join(prof, "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("partner_weight"))
+      .orderBy(col("event_type"))
+    assert(JoinQueries.x117(spark, sfDir).collect().toSeq == plain.collect().toSeq,
+      "salting must preserve exact join semantics")
+  }
+
+  test("x118: planted history — probes hit the version valid at their time, cold users are unseen") {
+    import spark.implicits._
+    val plantDir = tmpDir("pit")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    // user 1: dim versions signup@10:00 → purchase@11:00 (even ids);
+    // probes at 09:30 (pre-history), 10:30, 11:30 (odd ids); user 2: probe only
+    val rows = Seq(
+      (0L, ts(10, 0), 1L, "signup"), (2L, ts(11, 0), 1L, "purchase"),
+      (5L, ts(9, 30), 1L, "view"), (1L, ts(10, 30), 1L, "click"),
+      (3L, ts(11, 30), 1L, "click"), (7L, ts(10, 0), 2L, "click"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val got = graft.operators.TemporalQueries.x118(spark, plantDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      ("signup", "click", 1L, 1L),   // 10:30 probe sits in [10:00, 11:00)
+      ("purchase", "click", 1L, 1L), // 11:30 probe sits in [11:00, ∞)
+      ("unseen", "view", 1L, 1L),    // 09:30 probe precedes user 1's history
+      ("unseen", "click", 1L, 1L))   // user 2 has no dim rows at all
+    assert(got == expected, s"got $got")
+  }
+
+  test("x119: planted clusters — chained fuzzy cluster, exact-dup cluster, singleton excluded") {
+    import spark.implicits._
+    val plantDir = tmpDir("entity")
+    Seq((1L, "Ann"), (2L, "Anne"), (3L, "Aune"), // Ann-Anne-Aune chain (1-1, endpoints 2)
+      (10L, "Bob"), (11L, "Bob"),                // exact duplicates
+      (20L, "Xavier"))                           // singleton — excluded
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$plantDir/customer.parquet")
+    val got = graft.operators.JoinQueries.x119(spark, plantDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, 3L, 3L, "Ann"), (10L, 2L, 1L, "Bob")),
+      s"single-link closure merges the chain, keeps clusters apart: $got")
+  }
+
+  test("x119: serial fixture names collapse into one chain — the documented single-link pitfall") {
+    val rows = graft.operators.JoinQueries.x119(spark, sfDir).collect()
+    val nCust = Tables.t(spark, sfDir, "customer").count()
+    assert(rows.length == 1 && rows.head.getLong(1) == nCust,
+      "Customer#000000N names are pairwise distance-1 chains → one entity")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
