@@ -13,6 +13,9 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: Strin
   * plus the ingest event time the dedup watermark rides on). */
 case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 
+/** Signed view delta (E117 streaming IVM): group, count delta, sum delta. */
+case class ViewDelta(g: String, dn: Long, ds: Long)
+
 /** Document row with a source stratum (E70 stream-static scoring). */
 case class SrcDoc(doc_id: Long, ts: Timestamp, source: String, text: String)
 
@@ -292,6 +295,47 @@ object StreamOps {
             next
           }
       }
+  }
+
+  /** E117 — streaming incremental view maintenance: x109's counting-
+    * algorithm deltas as a NATIVE streaming aggregation. The insight IVM
+    * and Structured Streaming share is the same algebra — signed deltas
+    * (dn, ds) are mergeable, so the state store IS the materialized view
+    * (one (n, Σ) cell per group, constant per key, no watermark), each
+    * micro-batch folds in via the agg's merge, and complete-mode output
+    * republishes the maintained view every trigger. Seeding: the base
+    * table enters as batch 0's +1/+value deltas — after that the base is
+    * NEVER re-scanned, the x109 contract. The spec proves the streamed
+    * view over (base-as-deltas + change batch) equals the batch x109
+    * result bit-exactly; consumers filter n > 0 (a group deleted down to
+    * zero vanishes, as in x109). */
+  def maintainAggView(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("g"))
+      .agg(sum(col("dn")).as("n_orders"), sum(col("ds")).as("sc"))
+
+  /** E118 — streaming drift monitor: x116's TVD check per micro-batch
+    * against a STATIC baseline histogram (the stream-static posture of
+    * E70 — the baseline is yesterday's persisted x102/x116 audit row, the
+    * stream is today's ingest). Called from foreachBatch; one bounded
+    * (bin) hash agg per batch, the comparison joins the B-row baseline —
+    * cost independent of batch size beyond the scan. Bins CLAMP into the
+    * baseline's [mn, mx) frame (drifted data lands in the edge bins —
+    * exactly the signal; x116's shared-bounds recompute is the batch-side
+    * variant where bounds may move). Returns one row: (n, tvd, drifted).
+    */
+  def driftTvd(batch: DataFrame, baseline: DataFrame, mn: Double, mx: Double,
+      nBins: Int = 8, tau: Double = 0.1): DataFrame = {
+    val binc = greatest(lit(0L),
+      least(floor((col("v") - mn) * nBins / (mx - mn)), lit(nBins - 1L))).cast("long")
+    val h = batch.where(col("v").isNotNull)
+      .select(binc.as("bin")).groupBy(col("bin")).agg(count(lit(1)).as("nb"))
+    val tot = h.agg(sum(col("nb")).as("n"))
+    baseline.join(h, Seq("bin"), "left")
+      .crossJoin(broadcast(tot)) // 1-row global aggregate
+      .select(col("pb"), (coalesce(col("nb"), lit(0L)) / col("n")).as("pv"), col("n"))
+      .agg(max(col("n")).as("n"), (sum(abs(col("pb") - col("pv"))) / 2).as("tvd"))
+      .select(col("n"), graft.Tables.fround(col("tvd"), 6).as("tvd"),
+        (col("tvd") > tau).as("drifted"))
   }
 
   /** E102 — streaming CDC apply: a change-record stream (op column `I`/`U`

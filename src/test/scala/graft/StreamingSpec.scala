@@ -476,6 +476,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._4).toSeq.sorted == Seq(2L, 3L))
   }
 
+  test("E117: streamed IVM over base-as-deltas + change batch equals batch x109 bit-exactly") {
+    import org.apache.spark.sql.functions._
+    val pr = graft.operators.IvmQueries.priorities
+    val base = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val batch0 = base.toSeq.map { case (_, g, c) => ViewDelta(g, 1L, c) }
+    val changes =
+      base.toSeq.collect { case (k, g, c) if k % 13 == 1 => ViewDelta(g, -1L, -c) } ++
+      base.toSeq.collect { case (k, g, c) if k % 13 == 2 => ViewDelta(g, -1L, -c) } ++
+      base.toSeq.collect { case (k, _, c) if k % 13 == 2 => ViewDelta(pr.head, 1L, c + 1000L) } ++
+      (1 to 20).map(i => ViewDelta(pr(i % 5), 1L, i * 12345L))
+    val input = MemoryStream[ViewDelta]
+    val q = StreamOps.maintainAggView(input.toDF())
+      .writeStream.format("memory").queryName("ivm").outputMode("complete").start()
+    input.addData(batch0); q.processAllAvailable()
+    input.addData(changes); q.processAllAvailable()
+    val streamed = spark.table("ivm").filter(col("n_orders") > 0)
+      .select(col("g").as("o_orderpriority"), col("n_orders"),
+        Tables.fround(col("sc") / 100.0, 2).as("sum_price"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    q.stop()
+    val batch = graft.operators.IvmQueries.x109(spark, sfDir).collect().toSeq
+    assert(streamed == batch,
+      "the state store IS the maintained view — streamed == batch IVM bit-exactly")
+  }
+
+  test("E118: streaming drift monitor — matching batch silent, shifted/out-of-range batches flag") {
+    val baseline = (0 until 8).map(b => (b.toLong, 0.125)).toDF("bin", "pb")
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+    val input = MemoryStream[Double]
+    val q = input.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val r = StreamOps.driftTvd(batch, baseline, 0.0, 1.0).head
+          flags += ((r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        }
+        ()
+      }.start()
+    // batch 1: 4 values dead-center in each of the 8 bins — matches baseline
+    input.addData((0 until 8).flatMap(b => Seq.fill(4)(0.0625 + b * 0.125)))
+    q.processAllAvailable()
+    // batch 2: everything collapses into bin 0
+    input.addData(Seq.fill(32)(0.01)); q.processAllAvailable()
+    // batch 3: out-of-range values clamp into the edge bin and still flag
+    input.addData(Seq.fill(16)(1.5)); q.processAllAvailable()
+    q.stop()
+    assert(flags.toSeq == Seq(
+      (32L, 0.0, false),   // uniform: TVD exactly 0
+      (32L, 0.875, true),  // all-in-one-bin: (|1−.125| + 7×.125)/2
+      (16L, 0.875, true)), // clamped into bin 7: same mass displacement
+      s"got $flags")
+  }
+
   test("E102: streaming CDC apply — upserts land, tombstones delete, latest-wins, debt folds") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
