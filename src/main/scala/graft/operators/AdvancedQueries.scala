@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -907,7 +908,102 @@ object AdvancedQueries {
     "x85_refine_search" -> x85,
     "x29_ann_recall" -> x29,
     "x64_approx_percentiles" -> x64,
-    "x108_rank_quantiles" -> x108)
+    "x108_rank_quantiles" -> x108,
+    "x120_mmr_rerank" -> ((s, d) => x120(s, d)))
+
+  /** x120 MMR constants: query batch, shortlist width, picks, trade-off. */
+  private val mmrQ = 20
+  private[graft] val mmrC = 12
+  private[graft] val mmrK = 5
+
+  /** x120 — MMR diversity re-rank (E119): maximal marginal relevance
+    * (Carbonell & Goldstein 1998) over a retrieval shortlist — greedy
+    * selection of k results maximizing λ·rel(c) − (1−λ)·max_{s∈selected}
+    * sim(c, s), λ=½, the de-dup-at-serving-time step that keeps a
+    * training-data retriever from returning k near-copies of the same
+    * document. Two-phase by construction: the SHORTLIST is the x27
+    * IVF-probed top-C (C=12, the proven bounded-TopK chain), and the
+    * O(k·C) greedy with its C² pairwise sims runs per query group over
+    * ≤C rows — `flatMapGroups` is exactly right here (bounded
+    * per-group state, the mapPartitions-at-the-seam rule), never a
+    * corpus-scale loop. Selection comparator: mmr DESC, vec_id ASC —
+    * deterministic; rel and pair sims round to 4 dp first (the family's
+    * cosine convention) so the greedy's comparisons are on
+    * bit-identical values cross-engine.
+    *
+    * 100 TB shape: shortlist traffic is the x27 story (probe-pruned,
+    * TopK-bounded exchanges of k rows/query); the MMR stage adds zero
+    * shuffles beyond the C-row groupByKey and touches C·dim floats per
+    * query. The twin re-runs the ENTIRE pipeline in SQL — training,
+    * probes, shortlist, pairwise sims, and the greedy as K generated
+    * selection stages (the bpeOracle K-stage pattern). */
+  val x120: Q = (s, d) => {
+    import s.implicits._
+    val cents = Quantizers.trainedCents(s, d)
+    val base = assignedCorpusWith(s, d, cents)
+    val q = base.filter(col("vec_id") < mmrQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probes = q.select(col("q_id"),
+        explode(array(cents.map { case (cid, c) =>
+          struct(cdot(col("qe"), c).as("sc"), lit(cid).as("cid"))
+        }: _*)).as("s"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("s.cid").as("cid"))
+    val topc = udaf(new UdfQueries.TopK(mmrC),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val shortlist = base.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(q), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4).as("rel"),
+        col("vec_id"))
+      .groupBy(col("q_id")).agg(topc(col("rel"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c._2").as("vec_id"), col("c._1").as("rel"))
+    val cand = shortlist
+      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("rel"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    def rdot(a: Array[Float], b: Array[Float]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+      s0
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, vec_id asc
+      val nrm = cs.map(c => math.sqrt(rdot(c._4, c._4)))
+      def pairSim(i: Int, j: Int): Double =
+        round4(rdot(cs(i)._4, cs(j)._4) / (nrm(i) * nrm(j)))
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      while (selected.length < math.min(mmrK, cs.length)) {
+        var bestI = -1; var bestScore = Double.NegativeInfinity
+        cs.indices.foreach { i =>
+          if (!selected.contains(i)) {
+            val score =
+              if (selected.isEmpty) cs(i)._3
+              else 0.5 * cs(i)._3 - 0.5 * selected.map(j => pairSim(i, j)).max
+            // mmr DESC, vec_id ASC — cs is vec_id-ascending within equal
+            // rel, so strict > keeps the first (smallest id) on ties only
+            // when candidates are pre-sorted by the FULL comparator; order
+            // explicitly instead:
+            if (score > bestScore ||
+                (score == bestScore && bestI >= 0 && cs(i)._2 < cs(bestI)._2)) {
+              bestI = i; bestScore = score
+            }
+          }
+        }
+        selected += bestI
+        out += ((qid, selected.length.toLong, cs(bestI)._2, bestScore))
+      }
+      out.iterator
+    }.toDF("q_id", "rn", "vec_id", "mmr")
+      .orderBy(col("q_id"), col("rn"))
+  }
 
   private def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
@@ -994,6 +1090,72 @@ object AdvancedQueries {
        |  FROM sims)
        |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim FROM ranked
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** GENERATED x120 oracle: the retrievalOracle shortlist chain widened to
+    * C, candidate-pair cosines, then the greedy as K generated selection
+    * stages (the bpeOracle K-stage pattern) — each stage ranks the
+    * remaining candidates by 0.5·rel − 0.5·max-sim-to-selected with the
+    * identical (mmr DESC, vec_id) comparator and appends its pick to the
+    * accumulated selection. */
+  private def mmrOracle: String = {
+    val cosQ =
+      s"${dotSql("a.embedding", "q.qe")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")}))"
+    val stages = (2 to mmrK).map { k =>
+      s"""sel$k AS (SELECT q_id, vec_id, mmr FROM (
+         |    SELECT c.q_id, c.vec_id, 0.5 * c.rel - 0.5 * m.ms AS mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |        ORDER BY 0.5 * c.rel - 0.5 * m.ms DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.q_id, p.ai AS vec_id, MAX(p.sim) AS ms
+         |          FROM pp p JOIN selacc${k - 1} s
+         |            ON s.q_id = p.q_id AND s.vec_id = p.bi
+         |          GROUP BY 1, 2) m
+         |      ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selacc${k - 1} s2
+         |                      WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+         |  ) WHERE rn = 1),
+         |selacc$k AS (SELECT q_id, vec_id FROM selacc${k - 1}
+         |             UNION ALL SELECT q_id, vec_id FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to mmrK)
+      .map(k => s"SELECT q_id, $k AS rn, vec_id, mmr FROM sel$k")
+      .mkString("\n UNION ALL ")
+    s"""$assignedCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $mmrQ),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("q.qe", "c.cemb")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN cents c) WHERE pr <= $nprobe),
+       |sims AS (
+       |  SELECT p.q_id, a.vec_id, ROUND($cosQ, 4) AS rel
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |cand AS (SELECT q_id, vec_id, rel FROM (
+       |  SELECT q_id, vec_id, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |  FROM sims) WHERE rn <= $mmrC),
+       |ce AS (SELECT c.q_id, c.vec_id, e.embedding
+       |       FROM cand c JOIN embeddings e USING (vec_id)),
+       |pp AS (SELECT a.q_id, a.vec_id AS ai, b.vec_id AS bi, ROUND($cosPairSql, 4) AS sim
+       |       FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT q_id, vec_id, rel AS mmr FROM (
+       |  SELECT q_id, vec_id, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |selacc1 AS (SELECT q_id, vec_id FROM sel1),
+       |$stages
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, mmr FROM (
+       | $fin
+       |) ORDER BY q_id, rn""".stripMargin
+      // MATERIALIZED (the x67/bpeOracle lesson): each greedy stage
+      // references cand and pp, and DuckDB inlines CTEs by default — five
+      // stages of re-inlining the whole retrain+shortlist chain is
+      // exponential. Pinning the two shared frames cuts the graph.
+      .pipe(raw => Seq("cand", "pp")
+        .foldLeft(raw)((sql, cte) => sql.replace(s"$cte AS (", s"$cte AS MATERIALIZED (")))
   }
 
   /** GENERATED x29 oracle: the retrievalOracle CTE chain (approx set) plus
@@ -1134,6 +1296,7 @@ object AdvancedQueries {
     "x69_embed_outliers" -> outlierOracle,
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
+    "x120_mmr_rerank" -> mmrOracle,
     "x27_retrieval_join" -> retrievalOracle,
     // x28 serves the SAME contract from the persisted index — one oracle
     "x28_indexed_retrieval" -> retrievalOracle,
