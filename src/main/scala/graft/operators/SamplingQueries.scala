@@ -479,8 +479,60 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x121 apportionment constants: total sample budget. */
+  private[graft] val tempT = 200L
+
+  /** x121 — temperature-smoothed mixture apportionment (E120): the
+    * multilingual/multi-source sampling rule behind mT5/XLM-R-style
+    * mixtures — sample shares ∝ n_s^α with α=½, which up-weights small
+    * sources against head domination while keeping big sources dominant.
+    * α=½ is the one temperature whose power is an EXACT IEEE op (sqrt is
+    * correctly rounded; general n^α needs exp/ln — the libm wall), so
+    * the whole pipeline stays deterministic: weights are fix-point
+    * √n·10⁶ longs, shares apportion by LARGEST REMAINDER in pure integer
+    * arithmetic (base = ⌊T·w/W⌋, the T−Σbase leftovers go to the largest
+    * T·w mod W, ties by source — Hamilton's method, Σ target ≡ T
+    * exactly), and each source keeps exactly its target count by h60
+    * rank (the x70 hash-gate made size-exact). The kept SET ships as a
+    * bit_xor(h60) checksum, the x49/x75 audit trick.
+    *
+    * 100 TB shape: the apportionment runs entirely on the |S|-row counts
+    * frame (two bounded windows); the only corpus-scale work is one
+    * count agg and one per-source rank window — partitioned by source,
+    * skew-bounded by the biggest source, and replaceable by the x113
+    * decomposition if one source dwarfs memory. */
+  val x121: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n")) * 1e6 + lit(0.5)).cast("long"))
+    val wTot = Window.partitionBy(lit(1))
+    val apportioned = counts
+      .withColumn("wsum", sum(col("w")).over(wTot))
+      .withColumn("base", expr(s"($tempT * w) div wsum"))
+      .withColumn("rem", expr(s"($tempT * w) % wsum"))
+      .withColumn("extra", lit(tempT) - sum(col("base")).over(wTot))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(desc("rem"), col("source"))))
+      .withColumn("target", col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+      .select(col("source"), col("n"), col("w"), col("target"))
+    val ranked = docs
+      .withColumn("h", graft.Tables.h60(col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+    val kept = ranked.join(broadcast(apportioned), Seq("source"))
+      .filter(col("rn") <= col("target"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), bit_xor(col("h")).as("kept_sig"))
+    apportioned.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n"), col("w"), col("target"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        coalesce(col("kept_sig"), lit(0L)).as("kept_sig"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x113_pps_sample" -> x113,
+    "x121_temp_mixture" -> x121,
     "x79_shard_assign" -> x79,
     "x70_hash_sample" -> x70,
     "x71_train_split" -> x71,
@@ -544,6 +596,37 @@ object SamplingQueries {
          |WHERE (cum * $ppsN) // wsum - ((cum - w) * $ppsN) // wsum > 0
          |ORDER BY doc_id""".stripMargin,
     "x79_shard_assign" -> shardAssignOracle,
+    "x121_temp_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(floor(sqrt(COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1),
+         |app AS (
+         |  SELECT source, n, w,
+         |    ($tempT * w) // SUM(w) OVER () AS base,
+         |    ($tempT * w) % SUM(w) OVER () AS rem
+         |  FROM counts),
+         |app2 AS (
+         |  SELECT source, n, w, base,
+         |    $tempT - SUM(base) OVER () AS extra,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+         |  FROM app),
+         |tgt AS (SELECT source, n, w,
+         |          base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS target
+         |        FROM app2),
+         |ranked AS (
+         |  SELECT d.source, ${graft.Tables.h60Sql("CAST(doc_id AS VARCHAR)")} AS h,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY ${graft.Tables.h60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents d),
+         |kept AS (
+         |  SELECT r.source, COUNT(*) AS kept, bit_xor(r.h) AS kept_sig
+         |  FROM ranked r JOIN tgt ON tgt.source = r.source
+         |  WHERE r.rn <= tgt.target GROUP BY 1)
+         |SELECT t.source, t.n, t.w, CAST(t.target AS BIGINT) AS target,
+         |  COALESCE(k.kept, 0) AS kept, COALESCE(k.kept_sig, 0) AS kept_sig
+         |FROM tgt t LEFT JOIN kept k ON k.source = t.source
+         |ORDER BY t.source""".stripMargin,
     "x77_length_batches" -> lengthBatchesOracle,
     "x70_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -287,6 +287,28 @@ class LakehouseSpec extends SparkSpec {
         f"${mmrSim / qn}%.4f vs ${topSim / qn}%.4f")
   }
 
+  test("x121: targets sum to exactly T, kept==target, and 4x the docs gets only ~2x the share") {
+    import spark.implicits._
+    val T = 200L
+    val real = graft.operators.SamplingQueries.x121(spark, sfDir).collect()
+    assert(real.map(_.getLong(3)).sum == T, "largest remainder: Σ target ≡ T")
+    real.foreach(r => assert(r.getLong(4) == math.min(r.getLong(3), r.getLong(1)),
+      s"hash-gate keeps exactly min(target, n): $r"))
+    // planted α=½ sub-linearity: sources of 4/16/64 docs weight as 2/4/8
+    val plantDir = tmpDir("tempmix")
+    val rows = Seq(("s4", 4), ("s16", 16), ("s64", 64)).flatMap { case (src, k) =>
+      (0 until k).map(i => (src.hashCode.toLong * 1000 + i, s"tok$i", "en", src, 5L))
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$plantDir/documents.parquet")
+    val plant = graft.operators.SamplingQueries.x121(spark, plantDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(plant.values.sum == T)
+    // exact Hamilton shares of 2:4:8 over 200 → 28.57/57.14/114.28
+    assert(plant("s4") == 29 && plant("s16") == 57 && plant("s64") == 114,
+      s"α=½ apportionment: $plant")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
