@@ -210,13 +210,97 @@ object StatsQueries {
       .orderBy(col("layout"))
   }
 
+  /** x122 sampling rate: keep h60-buckets < 100 of 10,000 (1%). */
+  private val aqpBuckets = 100L
+
+  /** x122 — sampled approximate aggregation with error bars (E121): the
+    * AQP capability — estimate AVG(l_extendedprice) from a deterministic
+    * 1% hash-sample with a CLT standard error, next to the exact answer
+    * it predicts. At 100 TB the 1% scan is the difference between an
+    * interactive answer and a coffee break; the error bar is what makes
+    * the estimate usable (Hellerstein et al., online aggregation). The
+    * sample is h60-bucketed (not row-position — deterministic under any
+    * partitioning/AQE replay, and a NEW column samples consistently),
+    * the estimate is the fix-point exact mean over the sample, and the
+    * variance sums ride as DECIMAL(38,4) (each price² is an exact
+    * scale-4 rational, so the cast loses nothing and decimal addition is
+    * order-independent — the documented alternative where the fix-point
+    * long would overflow). sqrt is correctly-rounded IEEE; z and the
+    * 3σ verdict derive deterministically.
+    *
+    * The gate is integer MULTIPLICATIVE MIXING (key·Knuth-constants,
+    * prime-folded, mod 10⁴), not h60: content-hashing every fact row
+    * with md5 to pick 1% of them is exactly the cost AQP exists to
+    * avoid (measured 8.0→1.3 s at sf1), integer mixing is replayable on
+    * both engines, and the sampling gate needs UNIFORMITY, not
+    * content-hash parity — h60 stays the tool where the HASH VALUE
+    * itself must match (fingerprints, band keys, checksums).
+    *
+    * 100 TB shape: ONE pass over the sample partition-pruned by the
+    * pushed bucket predicate + one full pass for the verification column
+    * (dropped in production — you run AQP precisely to SKIP the full
+    * pass); both are map-side-combined single-row aggs. */
+  val x122: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").as("p"))
+    val keyed = li.withColumn("bk",
+      pmod(pmod(pmod(col("l_orderkey"), lit(1000003L)) * 2654435761L
+        + col("l_linenumber") * 2246822519L, lit(1000003L)), lit(10000L)))
+    val samp = keyed.filter(col("bk") < aqpBuckets)
+      .agg(count(lit(1)).as("n_sample"),
+        davg(col("p")).as("est_mean"),
+        sum((col("p") * col("p")).cast(DecimalType(38, 4))).as("sumsq"))
+    val exact = li.agg(davg(col("p")).as("exact_mean"))
+    samp.crossJoin(broadcast(exact)) // 1-row global aggregates
+      .withColumn("svar",
+        (col("sumsq").cast("double") - col("n_sample") * col("est_mean") * col("est_mean"))
+          / (col("n_sample") - 1))
+      .withColumn("stderr", sqrt(col("svar") / col("n_sample")))
+      .withColumn("z", (col("est_mean") - col("exact_mean")) / col("stderr"))
+      .select(col("n_sample"),
+        fround(col("est_mean"), 6).as("est_mean"),
+        fround(col("exact_mean"), 6).as("exact_mean"),
+        fround(col("stderr"), 6).as("stderr"),
+        fround(col("z"), 6).as("z"),
+        (abs(col("z")) <= 3.0).as("within_3sigma"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x100_zorder_audit" -> x100,
+    "x122_sampled_agg" -> x122,
     "x101_analyze_stats" -> x101,
     "x102_histograms" -> x102,
     "x103_fk_audit" -> x103)
 
   val oracles: Map[String, String] = Map(
+    "x122_sampled_agg" -> {
+      s"""WITH k AS (
+         |  SELECT l_extendedprice AS p,
+         |    (((l_orderkey % 1000003) * 2654435761 + l_linenumber * 2246822519) % 1000003) % 10000 AS bk
+         |  FROM lineitem),
+         |samp AS (
+         |  SELECT COUNT(*) AS n_sample,
+         |    CAST(SUM(CAST(p AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS est_mean,
+         |    SUM(CAST(p * p AS DECIMAL(38,4))) AS sumsq
+         |  FROM k WHERE bk < $aqpBuckets),
+         |ex AS (
+         |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+         |    / COUNT(*) AS exact_mean
+         |  FROM lineitem),
+         |calc AS (
+         |  SELECT n_sample, est_mean, exact_mean,
+         |    sqrt(((CAST(sumsq AS DOUBLE) - n_sample * est_mean * est_mean)
+         |          / (n_sample - 1)) / n_sample) AS stderr
+         |  FROM samp, ex)
+         |SELECT n_sample,
+         |  floor(est_mean * 1000000.0 + 0.5) / 1000000.0 AS est_mean,
+         |  floor(exact_mean * 1000000.0 + 0.5) / 1000000.0 AS exact_mean,
+         |  floor(stderr * 1000000.0 + 0.5) / 1000000.0 AS stderr,
+         |  floor((est_mean - exact_mean) / stderr * 1000000.0 + 0.5) / 1000000.0 AS z,
+         |  abs((est_mean - exact_mean) / stderr) <= 3.0 AS within_3sigma
+         |FROM calc""".stripMargin
+    },
     "x100_zorder_audit" ->
       s"""WITH b AS (
          |  SELECT MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,

@@ -309,6 +309,20 @@ class LakehouseSpec extends SparkSpec {
       s"α=½ apportionment: $plant")
   }
 
+  test("x122: 1% hash-sample estimate carries a consistent CLT error bar and covers the truth") {
+    // statistical claim at the oracle-gate scale (601-row sample)
+    val r = graft.operators.StatsQueries.x122(spark, "/root/testdata/sf0.01").collect().head
+    val (n, est, exact, se, z, ok) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+    val total = Tables.t(spark, "/root/testdata/sf0.01", "lineitem").count()
+    val frac = n.toDouble / total
+    assert(frac > 0.005 && frac < 0.02, s"~1% hash sample: $frac")
+    assert(se > 0, "positive standard error")
+    // z is (est-exact)/stderr by construction — re-derive within rounding
+    assert(math.abs(z - (est - exact) / se) < 1e-3, s"z consistency: $r")
+    assert(ok, s"the 1%-sample estimate must cover the truth at 3σ: $r")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
