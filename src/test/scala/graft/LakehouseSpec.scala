@@ -323,6 +323,19 @@ class LakehouseSpec extends SparkSpec {
     assert(ok, s"the 1%-sample estimate must cover the truth at 3σ: $r")
   }
 
+  test("LakehouseDemo lifecycle: clean FK graph, expected drift, view ok, zorder wins, AQP sane — reproducible") {
+    val r1 = LakehouseDemo.run(spark, sfDir)
+    assert(r1.orphans == 0L, "fixture FK graph is referentially intact")
+    assert(r1.statCols == 4L)
+    assert(r1.drifted.contains("l_quantity") && !r1.drifted.contains("l_discount"))
+    assert(r1.viewConsistent)
+    assert(r1.bestLayout == "zorder",
+      s"the dual-predicate probe economics must pick the Morton layout: ${r1.bestLayout}")
+    assert(r1.aqpWithin3Sigma, s"AQP z=${r1.aqpZ}")
+    val r2 = LakehouseDemo.run(spark, sfDir)
+    assert(r1 == r2, "the nightly ops run must be diffable day over day")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
