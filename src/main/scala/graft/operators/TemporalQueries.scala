@@ -321,8 +321,74 @@ object TemporalQueries {
       .orderBy(col("prior_state"), col("event_type"))
   }
 
+  /** x123 window length (hours) and result size. */
+  private val tsimW = 12
+  private val tsimK = 10
+
+  /** x123 — time-series subsequence similarity search (E122): find the
+    * top-k hourly windows most similar to a query pattern under
+    * Z-NORMALIZED Euclidean distance — the similarity measure the
+    * time-series literature settled on (shape match, invariant to level
+    * and amplitude; UCR-suite/Matrix-Profile lineage, and the EDBT 2019
+    * streaming-similarity setting in PAPERS.md). Pipeline: hourly davg
+    * series per event type (the x95 pre-agg) → all w=12-hour contiguous
+    * windows via ONE frame window per type (contiguity asserted on the
+    * hour stamps, flat σ=0 windows dropped — z-norm is undefined there)
+    * → each window z-normalizes against its own (μ,σ) → distance to the
+    * broadcast query window (the earliest full 'purchase' window) →
+    * bounded top-k. All array folds are LEFT-TO-RIGHT (Spark `aggregate`
+    * ≡ the twin's list_aggregate — the proven dotSql order convention),
+    * μ/σ/distance are the identical IEEE chains on both engines, and
+    * ranking uses the UNROUNDED distance with (type, start) ties.
+    *
+    * 100 TB shape: everything downstream of the scan is GRID-bounded
+    * (types × hours, the x95 posture) — windows materialize w doubles
+    * per grid row, the query is a 1-row broadcast, the sweep is map-only
+    * + a bounded TopK sort. The streaming form is E84's shape: each
+    * micro-batch's new windows score against the standing query set. */
+  val x123: Q = (s, d) => {
+    val w = tsimW
+    val hourly = t(s, d, "events")
+      .select(col("event_type").as("typ"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+      .groupBy(col("typ"), col("h"))
+      .agg(fround(davg(col("value")), 6).as("v"))
+    val frame = Window.partitionBy(col("typ")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val wins = hourly
+      .withColumn("vs", collect_list(col("v")).over(frame))
+      .withColumn("hs", collect_list(col("h")).over(frame))
+      .filter(size(col("vs")) === w &&
+        element_at(col("hs"), w) === element_at(col("hs"), 1) + expr(s"INTERVAL ${w - 1} HOURS"))
+      .select(col("typ"), col("h"), col("vs"))
+      .withColumn("mu", aggregate(col("vs"), lit(0.0), (a, x) => a + x) / w)
+      .withColumn("sd", sqrt(
+        aggregate(col("vs"), lit(0.0),
+          (a, x) => a + (x - col("mu")) * (x - col("mu"))) / w))
+      .filter(col("sd") > 0)
+    // the query window is ONE bounded row (the seeds/probes collect
+    // precedent) — embedding it as literals keeps the sweep a pure map,
+    // no scalar join in the plan at all
+    val qRow = wins.filter(col("typ") === "purchase").orderBy(col("h")).limit(1)
+      .select(col("typ"), col("h"), col("vs"), col("mu"), col("sd")).head()
+    val (qtyp, qh) = (qRow.getString(0), qRow.getTimestamp(1))
+    val qvs = qRow.getSeq[Double](2)
+    val (qmu, qsd) = (qRow.getDouble(3), qRow.getDouble(4))
+    wins.filter(!(col("typ") === qtyp && col("h") === lit(qh)))
+      .withColumn("dist_raw", sqrt(
+        aggregate(
+          zip_with(col("vs"), array(qvs.map(lit): _*), (x, y) =>
+            ((x - col("mu")) / col("sd") - (y - qmu) / qsd) *
+              ((x - col("mu")) / col("sd") - (y - qmu) / qsd)),
+          lit(0.0), (a, x) => a + x)))
+      .orderBy(col("dist_raw"), col("typ"), col("h")).limit(tsimK)
+      .select(col("typ"), tsStr(col("h")).as("win_start"),
+        fround(col("dist_raw"), 6).as("zdist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x118_pit_join" -> x118,
+    "x123_ts_similarity" -> x123,
     "x99_scd2_history" -> x99,
     "x104_rolling_mad" -> x104,
     "q31_tumbling_window" -> q31,
@@ -342,6 +408,41 @@ object TemporalQueries {
        |     ELSE (list_sort($l)[len($l) // 2] + list_sort($l)[len($l) // 2 + 1]) / 2.0 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x123_ts_similarity" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type AS typ, date_trunc('hour', ts) AS h,
+         |    floor(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         |          * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events GROUP BY 1, 2),
+         |wins0 AS (
+         |  SELECT typ, h,
+         |    list(v) OVER (PARTITION BY typ ORDER BY h
+         |      ROWS BETWEEN CURRENT ROW AND ${tsimW - 1} FOLLOWING) AS vs,
+         |    list(h) OVER (PARTITION BY typ ORDER BY h
+         |      ROWS BETWEEN CURRENT ROW AND ${tsimW - 1} FOLLOWING) AS hs
+         |  FROM hourly),
+         |wins1 AS (
+         |  SELECT typ, h, vs FROM wins0
+         |  WHERE len(vs) = $tsimW AND hs[$tsimW] = hs[1] + INTERVAL ${tsimW - 1} HOUR),
+         |wm AS (SELECT typ, h, vs, list_aggregate(vs, 'sum') / $tsimW AS mu FROM wins1),
+         |wok AS (
+         |  SELECT * FROM (
+         |    SELECT typ, h, vs, mu,
+         |      sqrt(list_aggregate(list_transform(vs, x -> (x - mu) * (x - mu)), 'sum')
+         |           / $tsimW) AS sd
+         |    FROM wm) WHERE sd > 0),
+         |q AS (SELECT typ AS qtyp, h AS qh, vs AS qvs, mu AS qmu, sd AS qsd
+         |      FROM wok WHERE typ = 'purchase' ORDER BY h LIMIT 1),
+         |d AS (
+         |  SELECT w.typ, w.h,
+         |    sqrt(list_aggregate(list_transform(list_zip(w.vs, q.qvs),
+         |      s -> ((s[1] - w.mu) / w.sd - (s[2] - q.qmu) / q.qsd)
+         |         * ((s[1] - w.mu) / w.sd - (s[2] - q.qmu) / q.qsd)), 'sum')) AS dist_raw
+         |  FROM wok w, q
+         |  WHERE NOT (w.typ = q.qtyp AND w.h = q.qh))
+         |SELECT typ, CAST(h AS VARCHAR) AS win_start,
+         |  floor(dist_raw * 1000000.0 + 0.5) / 1000000.0 AS zdist
+         |FROM d ORDER BY dist_raw, typ, h LIMIT $tsimK""".stripMargin,
     "x118_pit_join" ->
       """WITH dim AS (
         |  SELECT user_id, event_type, ts, event_id FROM events WHERE event_id % 2 = 0),

@@ -336,6 +336,28 @@ class LakehouseSpec extends SparkSpec {
     assert(r1 == r2, "the nightly ops run must be diffable day over day")
   }
 
+  test("x123: z-normalized search finds the scaled/shifted shape copy at distance 0, drops flat windows") {
+    import spark.implicits._
+    val plantDir = tmpDir("tsim")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:30:00")
+    val shape = (0 until 12).map(i => ((i * 7) % 13).toDouble)
+    val rows =
+      shape.zipWithIndex.map { case (v, h) => (h.toLong, ts(h), 1L, "purchase", v) } ++
+      shape.zipWithIndex.map { case (v, h) => (100 + h.toLong, ts(h), 2L, "scaled", 5.0 + 3.0 * v) } ++
+      (0 until 12).map(h => (200 + h.toLong, ts(h), 3L, "noise", ((h * 5) % 7).toDouble)) ++
+      (0 until 12).map(h => (300 + h.toLong, ts(h), 4L, "flat", 2.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val got = graft.operators.TemporalQueries.x123(spark, plantDir).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(got.length == 2, s"one scaled + one noise window: ${got.toSeq}")
+    assert(got.head == ("scaled", 0.0),
+      s"affine shape copy is z-identical — distance exactly 0: ${got.toSeq}")
+    assert(got(1)._1 == "noise" && got(1)._2 > 0)
+    assert(!got.exists(_._1 == "flat"), "σ=0 windows are excluded")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
