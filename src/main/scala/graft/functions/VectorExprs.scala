@@ -17,6 +17,51 @@ import org.apache.spark.sql.types._
   * `list_aggregate(list_transform(...), 'sum')` oracle twin — swapping these
   * in changes nothing about result hashes.
   */
+/** Codegen'd dot product of two array<double> columns — the double-typed
+  * sibling of [[FloatDot]] (identical left-to-right accumulation, so it
+  * matches the twins' `list_aggregate(list_transform(list_zip ...), 'sum')`
+  * order convention). Exists because the interpreted HOF form
+  * (`aggregate(zip_with(...))`) costs ~an expression-tree walk per element
+  * per row — measured 3.8→1.9 s on x125's pair sweep at sf1. */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
@@ -299,6 +344,9 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 object VectorExprs {
   /** Double-precision dot product of two float-array columns (codegen'd). */
   def floatDot(a: Column, b: Column): Column = GraftExprBridge.toColumn(FloatDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
+  /** Dot of two double-array columns (codegen'd) — see [[DoubleDot]]. */
+  def doubleDot(a: Column, b: Column): Column =
+    GraftExprBridge.toColumn(DoubleDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
   /** Dot of a float-array column with a double-array column (codegen'd). */
   def floatDoubleDot(a: Column, b: Column): Column =
     GraftExprBridge.toColumn(FloatDoubleDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))

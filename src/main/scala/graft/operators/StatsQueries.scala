@@ -266,14 +266,86 @@ object StatsQueries {
         (abs(col("z")) <= 3.0).as("within_3sigma"))
   }
 
+  /** x124 sampling rate: 5% per stratum (groups are ~3k rows at gate
+    * scale — 1% would leave ~30-row strata with useless error bars;
+    * stratified AQP sizes the rate to the SMALLEST stratum, the
+    * classic allocation concern). */
+  private val aqpGroupBuckets = 500L
+
+  /** x124 — stratified sampled aggregation (E124): x122's AQP per GROUP —
+    * estimated AVG(o_totalprice) per order priority, each stratum with
+    * its own CLT error bar, next to the exact answers. The grouped form
+    * is what dashboards actually need ("revenue by segment, now,
+    * ±error"), and stratification is where AQP earns or loses trust: a
+    * small stratum's bar widens honestly instead of the global bar
+    * hiding it. Same deterministic integer-mix gate, fix-point means,
+    * DECIMAL variance sums — per group; the verification columns
+    * (exact means) are the full pass production skips.
+    *
+    * 100 TB shape: both aggs are map-side-combined on the group key;
+    * the sample agg's scan carries the pushed-down gate, the join is
+    * |groups| rows. */
+  val x124: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val o = t(s, d, "orders").select(col("o_orderpriority").as("g"),
+      col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+    val keyed = o.withColumn("bk",
+      pmod(pmod(pmod(col("k"), lit(1000003L)) * 2654435761L, lit(1000003L)), lit(10000L)))
+    val samp = keyed.filter(col("bk") < aqpGroupBuckets)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sample"), davg(col("p")).as("est_mean"),
+        sum((col("p") * col("p")).cast(DecimalType(38, 4))).as("sumsq"))
+    val exact = o.groupBy(col("g")).agg(davg(col("p")).as("exact_mean"))
+    samp.join(exact, Seq("g"))
+      .withColumn("svar",
+        (col("sumsq").cast("double") - col("n_sample") * col("est_mean") * col("est_mean"))
+          / (col("n_sample") - 1))
+      .withColumn("stderr", sqrt(col("svar") / col("n_sample")))
+      .withColumn("z", (col("est_mean") - col("exact_mean")) / col("stderr"))
+      .select(col("g").as("o_orderpriority"), col("n_sample"),
+        fround(col("est_mean"), 6).as("est_mean"),
+        fround(col("exact_mean"), 6).as("exact_mean"),
+        fround(col("stderr"), 6).as("stderr"),
+        fround(col("z"), 6).as("z"),
+        (abs(col("z")) <= 3.0).as("within_3sigma"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x100_zorder_audit" -> x100,
     "x122_sampled_agg" -> x122,
+    "x124_grouped_aqp" -> x124,
     "x101_analyze_stats" -> x101,
     "x102_histograms" -> x102,
     "x103_fk_audit" -> x103)
 
   val oracles: Map[String, String] = Map(
+    "x124_grouped_aqp" ->
+      s"""WITH k AS (
+         |  SELECT o_orderpriority AS g, o_totalprice AS p,
+         |    (((o_orderkey % 1000003) * 2654435761) % 1000003) % 10000 AS bk
+         |  FROM orders),
+         |samp AS (
+         |  SELECT g, COUNT(*) AS n_sample,
+         |    CAST(SUM(CAST(p AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS est_mean,
+         |    SUM(CAST(p * p AS DECIMAL(38,4))) AS sumsq
+         |  FROM k WHERE bk < $aqpGroupBuckets GROUP BY g),
+         |ex AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS exact_mean
+         |  FROM orders GROUP BY 1),
+         |calc AS (
+         |  SELECT s.g, n_sample, est_mean, exact_mean,
+         |    sqrt(((CAST(sumsq AS DOUBLE) - n_sample * est_mean * est_mean)
+         |          / (n_sample - 1)) / n_sample) AS stderr
+         |  FROM samp s JOIN ex ON ex.g = s.g)
+         |SELECT g AS o_orderpriority, n_sample,
+         |  floor(est_mean * 1000000.0 + 0.5) / 1000000.0 AS est_mean,
+         |  floor(exact_mean * 1000000.0 + 0.5) / 1000000.0 AS exact_mean,
+         |  floor(stderr * 1000000.0 + 0.5) / 1000000.0 AS stderr,
+         |  floor((est_mean - exact_mean) / stderr * 1000000.0 + 0.5) / 1000000.0 AS z,
+         |  abs((est_mean - exact_mean) / stderr) <= 3.0 AS within_3sigma
+         |FROM calc ORDER BY o_orderpriority""".stripMargin,
     "x122_sampled_agg" -> {
       s"""WITH k AS (
          |  SELECT l_extendedprice AS p,

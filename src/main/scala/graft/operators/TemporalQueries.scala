@@ -346,7 +346,10 @@ object TemporalQueries {
     * per grid row, the query is a 1-row broadcast, the sweep is map-only
     * + a bounded TopK sort. The streaming form is E84's shape: each
     * micro-batch's new windows score against the standing query set. */
-  val x123: Q = (s, d) => {
+  /** The z-normalizable window frame shared by x123 (query search) and
+    * x125 (motif discovery): all contiguous w-hour windows per type with
+    * their (μ, σ), flat windows dropped. */
+  private def tsimWins(s: SparkSession, d: String): DataFrame = {
     val w = tsimW
     val hourly = t(s, d, "events")
       .select(col("event_type").as("typ"), date_trunc("hour", col("ts")).as("h"),
@@ -355,7 +358,7 @@ object TemporalQueries {
       .agg(fround(davg(col("value")), 6).as("v"))
     val frame = Window.partitionBy(col("typ")).orderBy(col("h"))
       .rowsBetween(Window.currentRow, w - 1)
-    val wins = hourly
+    hourly
       .withColumn("vs", collect_list(col("v")).over(frame))
       .withColumn("hs", collect_list(col("h")).over(frame))
       .filter(size(col("vs")) === w &&
@@ -366,6 +369,10 @@ object TemporalQueries {
         aggregate(col("vs"), lit(0.0),
           (a, x) => a + (x - col("mu")) * (x - col("mu"))) / w))
       .filter(col("sd") > 0)
+  }
+
+  val x123: Q = (s, d) => {
+    val wins = tsimWins(s, d)
     // the query window is ONE bounded row (the seeds/probes collect
     // precedent) — embedding it as literals keeps the sweep a pure map,
     // no scalar join in the plan at all
@@ -386,9 +393,48 @@ object TemporalQueries {
         fround(col("dist_raw"), 6).as("zdist"))
   }
 
+  /** x125 — time-series motif discovery (E123): each type's most similar
+    * NON-OVERLAPPING window pair under the x123 z-distance — the
+    * Matrix-Profile question ("does this series repeat itself, and
+    * where?") answered exactly: recurring daily/weekly routines surface
+    * as near-zero motifs, regime-change series don't. Overlap exclusion
+    * (b starts after a ends) is the standard trivial-match guard —
+    * without it every window pairs with its one-hour shift. The pair
+    * generator is an equi-self-join ON TYPE (co-partitioned); its
+    * fan-out is GRID² per type — windows are hours, not rows, so a year
+    * of history is ~9 k windows → 40 M z-distance evaluations per type,
+    * a map-only sweep a cluster absorbs; past that the LSH-bucketed
+    * z-profile (bucket by quantized z-shape prefix, the x41 band
+    * pattern) prunes candidates — noted, not needed at grid scales. */
+  val x125: Q = (s, d) => {
+    // MASS-form distance: each window z-normalizes ONCE (zs = (v−μ)/σ),
+    // and the pair distance collapses to d² = 2w − 2·⟨za, zb⟩ (‖z‖² = w
+    // by construction) — one 12-mul dot per pair instead of the full
+    // normalize-subtract chain; greatest(0, ·) clamps the 1-ulp negative
+    // a self-identical pair can produce before the sqrt. 6.2→2.9 s sf1.
+    val winz = tsimWins(s, d)
+      .withColumn("zs", transform(col("vs"), x => (x - col("mu")) / col("sd")))
+      .select(col("typ"), col("h"), col("zs"))
+    def side(p: String) = winz.select(col("typ"), col("h").as(s"${p}h"),
+      col("zs").as(s"${p}zs"))
+    val pairs = side("a").join(side("b"), Seq("typ"))
+      .filter(col("ah") + expr(s"INTERVAL ${tsimW - 1} HOURS") < col("bh"))
+      .withColumn("dot",
+        graft.functions.VectorExprs.doubleDot(col("azs"), col("bzs")))
+      .withColumn("dist_raw",
+        sqrt(greatest(lit(0.0), lit(2.0 * tsimW) - col("dot") * 2.0)))
+    pairs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("typ")).orderBy(col("dist_raw"), col("ah"), col("bh"))))
+      .filter(col("rn") === 1)
+      .select(col("typ"), tsStr(col("ah")).as("motif_a"), tsStr(col("bh")).as("motif_b"),
+        fround(col("dist_raw"), 6).as("zdist"))
+      .orderBy(col("typ"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x118_pit_join" -> x118,
     "x123_ts_similarity" -> x123,
+    "x125_ts_motif" -> x125,
     "x99_scd2_history" -> x99,
     "x104_rolling_mad" -> x104,
     "q31_tumbling_window" -> q31,
@@ -407,30 +453,52 @@ object TemporalQueries {
     s"""CASE WHEN len($l) % 2 = 1 THEN list_sort($l)[(len($l) + 1) // 2]
        |     ELSE (list_sort($l)[len($l) // 2] + list_sort($l)[len($l) // 2 + 1]) / 2.0 END""".stripMargin
 
+  /** Shared x123/x125 twin prefix: the z-normalizable window CTEs. */
+  private def tsimWinsCte: String =
+    s"""hourly AS (
+       |  SELECT event_type AS typ, date_trunc('hour', ts) AS h,
+       |    floor(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+       |          * 1000000.0 + 0.5) / 1000000.0 AS v
+       |  FROM events GROUP BY 1, 2),
+       |wins0 AS (
+       |  SELECT typ, h,
+       |    list(v) OVER (PARTITION BY typ ORDER BY h
+       |      ROWS BETWEEN CURRENT ROW AND ${tsimW - 1} FOLLOWING) AS vs,
+       |    list(h) OVER (PARTITION BY typ ORDER BY h
+       |      ROWS BETWEEN CURRENT ROW AND ${tsimW - 1} FOLLOWING) AS hs
+       |  FROM hourly),
+       |wins1 AS (
+       |  SELECT typ, h, vs FROM wins0
+       |  WHERE len(vs) = $tsimW AND hs[$tsimW] = hs[1] + INTERVAL ${tsimW - 1} HOUR),
+       |wm AS (SELECT typ, h, vs, list_aggregate(vs, 'sum') / $tsimW AS mu FROM wins1),
+       |wok AS (
+       |  SELECT * FROM (
+       |    SELECT typ, h, vs, mu,
+       |      sqrt(list_aggregate(list_transform(vs, x -> (x - mu) * (x - mu)), 'sum')
+       |           / $tsimW) AS sd
+       |    FROM wm) WHERE sd > 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x125_ts_motif" ->
+      s"""WITH $tsimWinsCte,
+         |winz AS (
+         |  SELECT typ, h, list_transform(vs, x -> (x - mu) / sd) AS zs FROM wok),
+         |pairs AS (
+         |  SELECT a.typ, a.h AS ah, b.h AS bh,
+         |    sqrt(greatest(0.0, ${2.0 * tsimW} - 2.0 *
+         |      list_aggregate(list_transform(list_zip(a.zs, b.zs),
+         |        s -> s[1] * s[2]), 'sum'))) AS dist_raw
+         |  FROM winz a JOIN winz b
+         |    ON a.typ = b.typ AND a.h + INTERVAL ${tsimW - 1} HOUR < b.h),
+         |ranked AS (
+         |  SELECT typ, ah, bh, dist_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY typ ORDER BY dist_raw, ah, bh) AS rn
+         |  FROM pairs)
+         |SELECT typ, CAST(ah AS VARCHAR) AS motif_a, CAST(bh AS VARCHAR) AS motif_b,
+         |  floor(dist_raw * 1000000.0 + 0.5) / 1000000.0 AS zdist
+         |FROM ranked WHERE rn = 1 ORDER BY typ""".stripMargin,
     "x123_ts_similarity" ->
-      s"""WITH hourly AS (
-         |  SELECT event_type AS typ, date_trunc('hour', ts) AS h,
-         |    floor(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
-         |          * 1000000.0 + 0.5) / 1000000.0 AS v
-         |  FROM events GROUP BY 1, 2),
-         |wins0 AS (
-         |  SELECT typ, h,
-         |    list(v) OVER (PARTITION BY typ ORDER BY h
-         |      ROWS BETWEEN CURRENT ROW AND ${tsimW - 1} FOLLOWING) AS vs,
-         |    list(h) OVER (PARTITION BY typ ORDER BY h
-         |      ROWS BETWEEN CURRENT ROW AND ${tsimW - 1} FOLLOWING) AS hs
-         |  FROM hourly),
-         |wins1 AS (
-         |  SELECT typ, h, vs FROM wins0
-         |  WHERE len(vs) = $tsimW AND hs[$tsimW] = hs[1] + INTERVAL ${tsimW - 1} HOUR),
-         |wm AS (SELECT typ, h, vs, list_aggregate(vs, 'sum') / $tsimW AS mu FROM wins1),
-         |wok AS (
-         |  SELECT * FROM (
-         |    SELECT typ, h, vs, mu,
-         |      sqrt(list_aggregate(list_transform(vs, x -> (x - mu) * (x - mu)), 'sum')
-         |           / $tsimW) AS sd
-         |    FROM wm) WHERE sd > 0),
+      s"""WITH $tsimWinsCte,
          |q AS (SELECT typ AS qtyp, h AS qh, vs AS qvs, mu AS qmu, sd AS qsd
          |      FROM wok WHERE typ = 'purchase' ORDER BY h LIMIT 1),
          |d AS (

@@ -358,6 +358,47 @@ class LakehouseSpec extends SparkSpec {
     assert(!got.exists(_._1 == "flat"), "σ=0 windows are excluded")
   }
 
+  test("x124: every stratum gets its own ~5% sample and a 3σ-consistent error bar") {
+    val rows = graft.operators.StatsQueries.x124(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 5, "all five priorities present")
+    val totals = Tables.t(spark, "/root/testdata/sf0.01", "orders")
+      .groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val frac = r.getLong(1).toDouble / totals(r.getString(0))
+      assert(frac > 0.02 && frac < 0.10, s"~5% per stratum: $r ($frac)")
+      assert(r.getDouble(4) > 0, s"positive per-stratum stderr: $r")
+      assert(math.abs(r.getDouble(5) - (r.getDouble(2) - r.getDouble(3)) / r.getDouble(4)) < 1e-3)
+      assert(r.getBoolean(6), s"stratum estimate covers truth at 3σ: $r")
+    }
+  }
+
+  test("x125: a planted repeated shape is the motif at distance 0; the trivial shift is excluded") {
+    import spark.implicits._
+    val plantDir = tmpDir("motif")
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2025-01-0${day + 1} $h%02d:30:00")
+    val shape = (0 until 12).map(i => ((i * 7) % 13).toDouble)
+    val noise = (0 until 12).map(i => ((i * 5 + 3) % 11).toDouble)
+    // 'routine': shape at day-0 hours 0-11, noise 12-23, 2·shape+1 at day-1
+    // hours 0-11 (z-identical to day 0) — the repeated routine
+    val routine =
+      shape.zipWithIndex.map { case (v, h) => (ts(0, h), v) } ++
+      noise.zipWithIndex.map { case (v, h) => (ts(0, h + 12), v) } ++
+      shape.zipWithIndex.map { case (v, h) => (ts(1, h), 2 * v + 1) }
+    val rows = routine.zipWithIndex.map { case ((t0, v), i) =>
+      (i.toLong, t0, 1L, "routine", v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val got = graft.operators.TemporalQueries.x125(spark, plantDir).collect()
+    val m = got.find(_.getString(0) == "routine").get
+    assert(m.getString(1) == "2025-01-01 00:00:00" && m.getString(2) == "2025-01-02 00:00:00",
+      s"the repeated routine is the motif: $m")
+    assert(m.getDouble(3) == 0.0, s"affine repeat is z-identical: $m")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap

@@ -64,6 +64,19 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("DoubleDot equals the HOF zip_with/aggregate dot for any double vectors") {
+    (1 to trials).foreach { _ =>
+      val a = List.fill(12)(rnd.between(-1000, 1000) / 100.0)
+      val b = List.fill(12)(rnd.between(-1000, 1000) / 100.0)
+      val df = Seq((a, b)).toDF("a", "b")
+      val custom = df.select(graft.functions.VectorExprs.doubleDot($"a", $"b")).head().getDouble(0)
+      val hof = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)).head().getDouble(0)
+      assert(custom == hof, s"dot($a, $b)")
+    }
+  }
+
   test("SimHash64 of a permuted token-hash array is unchanged (bag semantics)") {
     (1 to trials).foreach { _ =>
       val hs = List.fill(rnd.between(1, 40))(rnd.nextLong())
