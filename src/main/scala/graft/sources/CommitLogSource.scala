@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,7 +63,7 @@ class CommitLogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-commits:$path"
   override def schema(): StructType = CommitLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitLogScanBuilder(path)
 }
@@ -79,31 +80,70 @@ class CommitLogScan(path: String, required: StructType) extends Scan with Batch 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CommitLogPartition(path))
+    Array(CommitLogPartition(path, 0, -1))
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitLogReaderFactory(required.fieldNames)
+  // streaming half: the same table tailed as a COMMIT FEED — the offset
+  // is the lineage position (one line per commit, append-only, so the
+  // sequence number IS the exactly-once cursor); each trigger emits the
+  // commits appended since the checkpointed position. This is the
+  // table's CDC-of-metadata stream: downstream jobs react to
+  // compactions/merges (cache invalidation, index append — E76's
+  // trigger) without polling the data.
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CommitLogMicroBatchStream(path, required.fieldNames)
 }
 
-case class CommitLogPartition(path: String) extends InputPartition
+/** Half-open commit-line range [from, until); until = -1 means "to end". */
+case class CommitLogPartition(path: String, from: Int, until: Int) extends InputPartition
+
+case class CommitLogOffset(pos: Int) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class CommitLogMicroBatchStream(path: String, fields: Array[String])
+    extends MicroBatchStream {
+  import graft.streaming.Maintenance
+  override def latestOffset(): Offset =
+    CommitLogOffset(Maintenance.commits(path).length)
+  override def initialOffset(): Offset = CommitLogOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    CommitLogOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[CommitLogOffset].pos,
+      end.asInstanceOf[CommitLogOffset].pos)
+    if (e <= s) Array.empty else Array(CommitLogPartition(path, s, e))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CommitLogReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class CommitLogReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CommitLogReader(partition.asInstanceOf[CommitLogPartition].path, fields)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CommitLogPartition]
+    new CommitLogReader(p.path, p.from, p.until, fields)
+  }
 }
 
-/** Parses the commit log and projects each commit onto the pruned schema.
-  * Visibility replays the lineage fold (vis −compacts +id per commit) —
-  * the same rule `Maintenance.visibleBatches` applies. */
-class CommitLogReader(path: String, fields: Array[String])
+/** Parses the commit log and projects commits [from, until) onto the
+  * pruned schema. Visibility replays the lineage fold over the WHOLE log
+  * read at scan time (vis −compacts +id per commit) — the same rule
+  * `Maintenance.visibleBatches` applies; in the streaming form this means
+  * each emitted commit carries visibility AS OF its micro-batch, the
+  * semantics a metadata CDC consumer wants. */
+class CommitLogReader(path: String, from: Int, until: Int, fields: Array[String])
     extends PartitionReader[InternalRow] {
   import graft.streaming.Maintenance
   private val commits = Maintenance.commits(path)
+  private val hi = if (until < 0) commits.length else math.min(until, commits.length)
   private val visible: Set[Long] =
     commits.foldLeft(Set.empty[Long]) { case (vis, c) => vis -- c.compacts + c.id }
-  private var i = -1
+  private var i = from - 1
 
-  override def next(): Boolean = { i += 1; i < commits.length }
+  override def next(): Boolean = { i += 1; i < hi }
 
   override def get(): InternalRow = {
     val c = commits(i)

@@ -59,6 +59,26 @@ class SourcesSpec extends SparkSpec {
     assert(n == 1L, "only batch 2 is a visible ingest commit")
   }
 
+  test("graft-commits: micro-batch stream tails the log exactly-once across appends") {
+    val dir = tmpDir("dsv2s")
+    writeLog(dir, fixture.take(2))
+    val q = spark.readStream.format("graft-commits").load(dir)
+      .writeStream.format("memory").queryName("commit_feed")
+      .option("checkpointLocation", tmpDir("dsv2sc")).start()
+    q.processAllAvailable()
+    assert(spark.table("commit_feed").count() == 2L)
+    // append the compaction + two more commits; only the NEW lines emit
+    writeLog(dir, fixture)
+    q.processAllAvailable()
+    val rows = spark.table("commit_feed").orderBy(col("seq_pos")).collect()
+    q.stop()
+    assert(rows.length == 5, s"no duplicates, no gaps: ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 5), "lineage positions in order")
+    // visibility is as-of the emitting micro-batch: batch 0 was visible
+    // when first emitted (before the compaction line existed)
+    assert(rows.head.getBoolean(6), "batch 0 emitted before the compaction, visible then")
+  }
+
   test("graft-commits: empty table dir yields an empty relation, missing path fails loudly") {
     val dir = tmpDir("dsv2e")
     assert(spark.read.format("graft-commits").load(dir).count() == 0L)
