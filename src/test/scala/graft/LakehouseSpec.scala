@@ -399,6 +399,27 @@ class LakehouseSpec extends SparkSpec {
     assert(m.getDouble(3) == 0.0, s"affine repeat is z-identical: $m")
   }
 
+  test("x126: identical payloads collide at hamming 0, a one-token edit stays ≤2, opposites never pair") {
+    import spark.implicits._
+    val plantDir = tmpDir("phash")
+    def toks(lens: Seq[Int]) = lens.map("a" * _).mkString(" ")
+    val desc = (2 to 18).reverse           // strictly decreasing cell sums → bits all 1
+    val edited = desc.updated(8, 1)        // one cell perturbed → ≤2 difference bits flip
+    val asc = 2 to 18                      // bits all 0 — shares no band with desc
+    Seq((1L, toks(desc)), (2L, toks(desc)), (3L, toks(edited)), (4L, toks(asc)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), lit("src0").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$plantDir/documents.parquet")
+    val got = graft.operators.MultimodalQueries.x126(spark, plantDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L, s"exact payload copy → hamming 0: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 2, s"one-token edit caught: $got")
+    assert(got.contains((2L, 3L)), "transitively near the copy too")
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"opposite-shape payload must not pair: $got")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
