@@ -420,6 +420,36 @@ class LakehouseSpec extends SparkSpec {
       s"opposite-shape payload must not pair: $got")
   }
 
+  test("x127: cache-served refinement equals the direct filtered top-k; the guard decides honestly") {
+    import graft.operators.AdvancedQueries
+    val (df, decision) = AdvancedQueries.refinedTopK(spark, sfDir)
+    val served = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // the declarative answer, recomputed independently of the decision path
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
+    val qnrm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val qLit = array(qv.map(x => lit(x.toDouble)): _*)
+    val direct = emb.filter(col("vec_id") =!= 0 && col("label") % 2 === 0)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorExprs.floatDoubleDot(col("embedding"), qLit) /
+          (sqrt(graft.operators.VectorQueries.dot(col("embedding"), col("embedding"))) * qnrm), 4).as("sim"))
+      .orderBy(desc("sim"), col("vec_id")).limit(8).collect()
+      .zipWithIndex.map { case (r, i) => (i + 1L, r.getLong(0), r.getInt(1), r.getDouble(2)) }
+    assert(served.toSeq == direct.toSeq,
+      s"decision=$decision must not change the answer")
+    assert(decision == "cache" || decision == "full")
+    // the guard's honesty: with an always-false refinement, reuse is
+    // impossible — exercised via the internal pieces on a copy where all
+    // labels are odd (no survivor can reach k)
+    import spark.implicits._
+    val plantDir = tmpDir("refine")
+    emb.withColumn("label", (col("label") * 2 + 1).cast("int"))
+      .write.mode("overwrite").parquet(s"$plantDir/embeddings.parquet")
+    val (df2, d2) = AdvancedQueries.refinedTopK(spark, plantDir)
+    assert(d2 == "full" && df2.count() == 0,
+      "no even labels → guard must refuse the cache and the direct answer is empty")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
