@@ -433,7 +433,41 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x128 — duplicate-cluster training weights (E128): SOFT dedup — the
+    * alternative to x44's keep-one-drop-rest that some pipelines prefer
+    * (hard dedup discards provenance diversity; weighting keeps every
+    * copy but makes each CLUSTER contribute expected mass exactly 1):
+    * every doc gets weight 1/|its cluster| (singletons weight 1), so
+    * Σ weights per cluster ≡ 1 and the corpus's effective size equals
+    * its cluster count — the "count once however many times it was
+    * crawled" rule. Output is the per-cluster-size profile (clusters,
+    * docs, chars, per-doc weight, effective docs = n_clusters EXACTLY —
+    * integer, no float accumulation) a mixture designer reads next to
+    * x76's source cards.
+    *
+    * 100 TB shape: reuses x44's clustering wholesale (bucketed edges +
+    * size-adaptive components); the weighting itself is two hash aggs
+    * (cluster sizes, then the size histogram — bounded by distinct
+    * sizes). Singletons never enter the CC loop (the x44 economy) and
+    * label as themselves via left+coalesce. */
+  val x128: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val mem = clusterMembers(s, d).select(col("doc_id"), col("cluster_id"))
+    val lab = docs.join(mem, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val clusters = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("ch"))
+    clusters.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("ch")).as("chars"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"), col("chars"),
+        graft.Tables.fround(lit(1.0) / col("cluster_size"), 6).as("w_doc"),
+        col("n_clusters").as("effective_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x128_dup_weights" -> x128,
     "x40_dedup_exact" -> x40,
     "x41_minhash_lsh" -> x41,
     "x42_simhash" -> x42,
@@ -523,7 +557,43 @@ object DedupQueries {
        |FROM cut ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared x44/x128 twin prefix: the near-dup edge set and the recursive
+    * min-label closure over ALL documents (singletons self-label). */
+  private val ccLabCte =
+    """tk AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM documents),
+      |e1 AS (
+      |  SELECT g.root AS a, d.doc_id AS b
+      |  FROM documents d
+      |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS root FROM documents GROUP BY 1) g
+      |    ON md5(d.text) = g.h
+      |  WHERE d.doc_id <> g.root),
+      |e2 AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+      |edges AS (
+      |  SELECT a, b FROM e1 UNION SELECT a, b FROM e2
+      |  UNION SELECT b, a FROM e1 UNION SELECT b, a FROM e2),
+      |reach(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+      |lab AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x128_dup_weights" ->
+      s"""WITH RECURSIVE
+        |$ccLabCte,
+        |cl AS (
+        |  SELECT l.cluster_id, COUNT(*) AS sz, CAST(SUM(d.n_chars) AS BIGINT) AS ch
+        |  FROM lab l JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ch) AS BIGINT) AS chars,
+        |  floor(1.0 / sz * 1000000.0 + 0.5) / 1000000.0 AS w_doc,
+        |  COUNT(*) AS effective_docs
+        |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "x82_containment" -> containmentOracle,
     "x89_dup_spans" -> dupSpansOracle,
     "x90_span_scrub" -> spanScrubOracle,
@@ -601,27 +671,8 @@ object DedupQueries {
     // definition as the Spark side; terminates because UNION deduplicates
     // the (node, label) reach set, bounded by Σ cluster_size².
     "x44_dedup_clusters" ->
-      """WITH RECURSIVE
-        |tk AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM documents),
-        |e1 AS (
-        |  SELECT g.root AS a, d.doc_id AS b
-        |  FROM documents d
-        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS root FROM documents GROUP BY 1) g
-        |    ON md5(d.text) = g.h
-        |  WHERE d.doc_id <> g.root),
-        |e2 AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
-        |edges AS (
-        |  SELECT a, b FROM e1 UNION SELECT a, b FROM e2
-        |  UNION SELECT b, a FROM e1 UNION SELECT b, a FROM e2),
-        |reach(v, l) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
-        |lab AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+      s"""WITH RECURSIVE
+        |$ccLabCte,
         |mem AS (
         |  SELECT l.cluster_id, d.doc_id, d.n_chars,
         |    row_number() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, d.doc_id) AS rn

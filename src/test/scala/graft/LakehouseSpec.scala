@@ -450,6 +450,23 @@ class LakehouseSpec extends SparkSpec {
       "no even labels → guard must refuse the cache and the direct answer is empty")
   }
 
+  test("x128: soft-dedup weights — docs reconcile, each cluster's mass is exactly 1, sizes match x44") {
+    val rows = graft.operators.DedupQueries.x128(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5)))
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "n_docs reconciles to the corpus")
+    rows.foreach { case (sz, ncl, nd, w, eff) =>
+      assert(nd == sz * ncl && eff == ncl, s"integer identities per size row: $sz")
+      assert(math.abs(w - 1.0 / sz) < 1e-6, s"w_doc = 1/size: $sz -> $w")
+    }
+    // size≥2 rows must agree with x44's cluster inventory
+    val x44Sizes = graft.operators.DedupQueries.x44(spark, sfDir).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    rows.filter(_._1 >= 2).foreach { case (sz, ncl, _, _, _) =>
+      assert(x44Sizes.getOrElse(sz, 0L) == ncl, s"size-$sz cluster count matches x44")
+    }
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
