@@ -431,10 +431,52 @@ object TemporalQueries {
       .orderBy(col("typ"))
   }
 
+  /** x129 per-step conversion deadline. */
+  private val funnelDeadlineH = 24
+
+  /** x129 — funnel with conversion deadlines (E129): x97's ordered funnel
+    * under the constraint product analytics actually applies — each step
+    * counts only if it happens WITHIN 24 h of the previous step's chosen
+    * event (an unbounded funnel credits a purchase months after the
+    * click; a deadline makes the steps a CAMPAIGN conversion). Each
+    * stage now carries (position, timestamp) of its chosen event —
+    * min(rn) picks it, min_by(ts, rn) rides the SAME aggregate (rn is
+    * unique per user, so min_by is deterministic on both engines) — and
+    * the next stage gates on BOTH order (rn > prev) and deadline
+    * (ts ≤ prev_t + 24 h).
+    *
+    * 100 TB shape: identical to x97 — every stage keys on user_id (one
+    * shuffle reused co-partitioned down the chain), per-step frames
+    * shrink monotonically, output = |steps| rows. */
+  val x129: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val r = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val stages = funnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = r.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => mine
+          case Some(p) => mine.join(p, "user_id")
+            .filter(col("rn") > col("r") &&
+              col("ts") <= col("t") + expr(s"INTERVAL $funnelDeadlineH HOURS"))
+        }
+        Some(gated.groupBy(col("user_id"))
+          .agg(min(col("rn")).as("r"), min_by(col("ts"), col("rn")).as("t")))
+    }.flatten
+    stages.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("step"), lit(funnelSteps(i)).as("event_type"),
+          col("users"))
+    }.reduce(_.union(_)).orderBy(col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x118_pit_join" -> x118,
     "x123_ts_similarity" -> x123,
     "x125_ts_motif" -> x125,
+    "x129_deadline_funnel" -> x129,
     "x99_scd2_history" -> x99,
     "x104_rolling_mad" -> x104,
     "q31_tumbling_window" -> q31,
@@ -573,6 +615,29 @@ object TemporalQueries {
          |  floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad,
          |  COALESCE(abs(v - med) > $k * mad, false) AS is_anom
          |FROM mm ORDER BY event_type, h""".stripMargin
+    },
+    "x129_deadline_funnel" -> {
+      val steps = funnelSteps
+      val ctes = steps.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"""s1 AS (SELECT user_id, MIN(rn) AS r, MIN_BY(ts, rn) AS t
+             |  FROM r WHERE event_type = '$step' GROUP BY user_id)""".stripMargin
+        else
+          s"""s${i + 1} AS (
+             |  SELECT r.user_id, MIN(r.rn) AS r, MIN_BY(r.ts, r.rn) AS t
+             |  FROM r JOIN s$i ON s$i.user_id = r.user_id AND r.rn > s$i.r
+             |    AND r.ts <= s$i.t + INTERVAL 24 HOUR
+             |  WHERE r.event_type = '$step' GROUP BY r.user_id)""".stripMargin
+      }.mkString(",\n")
+      val counts = steps.zipWithIndex.map { case (step, i) =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$step' AS event_type, COUNT(*) AS users FROM s${i + 1}"
+      }.mkString(" UNION ALL ")
+      s"""WITH r AS (
+         |  SELECT user_id, event_type, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |$ctes
+         |SELECT * FROM ($counts) ORDER BY step""".stripMargin
     },
     "x97_funnel" -> {
       val steps = funnelSteps

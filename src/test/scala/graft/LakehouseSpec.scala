@@ -467,6 +467,30 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("x129: conversion deadlines gate steps the unbounded funnel would credit") {
+    import spark.implicits._
+    val plantDir = tmpDir("deadline")
+    def ts(h: Int) = new java.sql.Timestamp(java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime + h * 3600000L)
+    val rows = Seq(
+      // user 1: converts fully within deadlines
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"),
+      // user 2: click 30h after view — past the 24h deadline
+      (4L, ts(0), 2L, "view"), (5L, ts(30), 2L, "click"),
+      // user 3: purchase 26h after the click
+      (6L, ts(0), 3L, "view"), (7L, ts(1), 3L, "click"), (8L, ts(27), 3L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val deadline = graft.operators.TemporalQueries.x129(spark, plantDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val plain = graft.operators.TemporalQueries.x97(spark, plantDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(deadline == Map(1L -> 3L, 2L -> 2L, 3L -> 1L),
+      s"late click and late purchase drop: $deadline")
+    assert(plain == Map(1L -> 3L, 2L -> 3L, 3L -> 2L),
+      s"the unbounded funnel credits both: $plain")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
