@@ -448,12 +448,14 @@ object TemporalQueries {
     * 100 TB shape: identical to x97 — every stage keys on user_id (one
     * shuffle reused co-partitioned down the chain), per-step frames
     * shrink monotonically, output = |steps| rows. */
-  val x129: Q = (s, d) => {
+  /** The deadline-gated stage frames behind x129/x130: per step, each
+    * surviving user's chosen (position, timestamp). */
+  private def deadlineStages(s: SparkSession, d: String): Seq[DataFrame] = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val r = t(s, d, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(w))
-    val stages = funnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    funnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val mine = r.filter(col("event_type") === step)
         val gated = prev match {
@@ -465,6 +467,10 @@ object TemporalQueries {
         Some(gated.groupBy(col("user_id"))
           .agg(min(col("rn")).as("r"), min_by(col("ts"), col("rn")).as("t")))
     }.flatten
+  }
+
+  val x129: Q = (s, d) => {
+    val stages = deadlineStages(s, d)
     stages.zipWithIndex.map { case (df, i) =>
       df.agg(count(lit(1)).as("users"))
         .select(lit((i + 1).toLong).as("step"), lit(funnelSteps(i)).as("event_type"),
@@ -472,7 +478,39 @@ object TemporalQueries {
     }.reduce(_.union(_)).orderBy(col("step"))
   }
 
+  /** x130 — time-to-convert distribution (E130): for users who complete
+    * the deadline funnel, EXACT quantiles of the view→purchase delay —
+    * the "how fast do converters convert" curve a campaign owner reads
+    * next to x129's counts. Delays are exact micros (first-step chosen
+    * ts to last-step chosen ts, both deadline-gated), quantiles by the
+    * x108 rank-selection rule (⌊(n−1)q⌋, a PICKED element — bit-identical
+    * cross-engine; the only float ops are the (n−1)·q multiply and the
+    * final µs→hours division). One sort over the CONVERTER set (already
+    * funnel-filtered — converters ≪ events; a skewed corpus spills the
+    * sort, never the heap — the x108 posture), rendered in hours.
+    */
+  val x130: Q = (s, d) => {
+    val stages = deadlineStages(s, d)
+    val first = stages.head.select(col("user_id"), col("t").as("t1"))
+    val last0 = stages.last.select(col("user_id"), col("t").as("tk"))
+    val delays = first.join(last0, "user_id")
+      .select(col("user_id"),
+        (unix_micros(col("tk").cast("timestamp")) -
+          unix_micros(col("t1").cast("timestamp"))).as("dus"))
+    val byV = Window.orderBy(col("dus"), col("user_id"))
+    val qsArr = array(Seq(0.25, 0.5, 0.75, 0.9).map(lit): _*)
+    delays
+      .withColumn("rn", row_number().over(byV))
+      .crossJoin(broadcast(delays.agg(count(lit(1)).as("n")))) // 1-row global agg
+      .withColumn("qs", filter(qsArr, q => col("rn") - 1 === floor((col("n") - 1) * q)))
+      .filter(size(col("qs")) > 0)
+      .withColumn("q", explode(col("qs")))
+      .select(col("q"), fround(col("dus") / 3.6e9, 4).as("delay_hours"), col("n"))
+      .orderBy(col("q"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x130_convert_time" -> x130,
     "x118_pit_join" -> x118,
     "x123_ts_similarity" -> x123,
     "x125_ts_motif" -> x125,
@@ -615,6 +653,37 @@ object TemporalQueries {
          |  floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad,
          |  COALESCE(abs(v - med) > $k * mad, false) AS is_anom
          |FROM mm ORDER BY event_type, h""".stripMargin
+    },
+    "x130_convert_time" -> {
+      val s1 = """s1 AS (SELECT user_id, MIN(rn) AS r, MIN_BY(ts, rn) AS t
+                 |  FROM r WHERE event_type = 'view' GROUP BY user_id)""".stripMargin
+      val chain = funnelSteps.zipWithIndex.drop(1).map { case (step, i) =>
+        s"""s${i + 1} AS (
+           |  SELECT r.user_id, MIN(r.rn) AS r, MIN_BY(r.ts, r.rn) AS t
+           |  FROM r JOIN s$i ON s$i.user_id = r.user_id AND r.rn > s$i.r
+           |    AND r.ts <= s$i.t + INTERVAL 24 HOUR
+           |  WHERE r.event_type = '$step' GROUP BY r.user_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (
+         |  SELECT user_id, event_type, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |$s1,
+         |$chain,
+         |delays AS (
+         |  SELECT s1.user_id,
+         |    epoch_us(s${funnelSteps.length}.t) - epoch_us(s1.t) AS dus
+         |  FROM s1 JOIN s${funnelSteps.length} USING (user_id)),
+         |ranked AS (
+         |  SELECT dus, ROW_NUMBER() OVER (ORDER BY dus, user_id) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM delays)
+         |SELECT CAST(q AS DOUBLE) AS q,
+         |  floor(dus / 3600000000.0 * 10000.0 + 0.5) / 10000.0 AS delay_hours,
+         |  CAST(n AS BIGINT) AS n
+         |FROM ranked, (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+         |WHERE rn - 1 = floor((n - 1) * q)
+         |ORDER BY q""".stripMargin
     },
     "x129_deadline_funnel" -> {
       val steps = funnelSteps

@@ -491,6 +491,26 @@ class LakehouseSpec extends SparkSpec {
       s"the unbounded funnel credits both: $plain")
   }
 
+  test("x130: planted conversion delays yield exact picked quantiles over converters only") {
+    import spark.implicits._
+    val plantDir = tmpDir("ttc")
+    def ts(h: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime + h * 3600000L)
+    // 5 converters with delays 2,4,6,8,10 h; user 9 never purchases
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u * 10L, ts(0), u.toLong, "view"), (u * 10L + 1, ts(1), u.toLong, "click"),
+        (u * 10L + 2, ts(2 * u), u.toLong, "purchase"))
+    } ++ Seq((90L, ts(0), 9L, "view"), (91L, ts(1), 9L, "click"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val got = graft.operators.TemporalQueries.x130(spark, plantDir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    // n=5 converters; rank rule picks index ⌊4q⌋ of sorted [2,4,6,8,10]
+    assert(got.toSeq == Seq((0.25, 4.0, 5L), (0.5, 6.0, 5L), (0.75, 8.0, 5L), (0.9, 8.0, 5L)),
+      s"got ${got.toSeq}")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
