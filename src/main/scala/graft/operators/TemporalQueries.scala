@@ -509,7 +509,44 @@ object TemporalQueries {
       .orderBy(col("q"))
   }
 
+  /** x131 — marketing attribution, first- and last-touch (E131): each
+    * purchase credits a preceding view/click touch within a 24 h
+    * lookback — LAST-touch (the default ad-platform model) and
+    * FIRST-touch (the brand-discovery model) side by side, purchases
+    * with no in-window touch crediting 'direct'. One user_id-
+    * co-partitioned join bounds candidate touches per conversion to the
+    * user's own events inside the lookback (at 100 TB the lookback IS
+    * the fan-out bound — a 24 h window over a user's stream is
+    * sessions-sized; an unbounded model would need the x110 bucket
+    * decomposition); per-conversion credit picks by rank windows
+    * partitioned on the purchase (deterministic (ts, event_id) ties),
+    * the final agg is touch-type-bounded. */
+  val x131: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"), col("event_type").as("ttype"),
+        col("event_id").as("tid"))
+    val joined = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("tts") <= col("pts") &&
+          col("tts") > col("pts") - expr("INTERVAL 24 HOURS"), "left")
+      .select(col("pid"), col("ttype"), col("tts"), col("tid"))
+    def credit(model: String, order: Seq[org.apache.spark.sql.Column]) =
+      joined.withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(order: _*)))
+        .filter(col("rn") === 1)
+        .groupBy(coalesce(col("ttype"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(model).as("model"), col("touch"), col("n"))
+    credit("last", Seq(desc_nulls_last("tts"), desc_nulls_last("tid")))
+      .unionAll(credit("first", Seq(asc_nulls_last("tts"), asc_nulls_last("tid"))))
+      .orderBy(col("model"), col("touch"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x131_attribution" -> x131,
     "x130_convert_time" -> x130,
     "x118_pit_join" -> x118,
     "x123_ts_similarity" -> x123,
@@ -653,6 +690,27 @@ object TemporalQueries {
          |  floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad,
          |  COALESCE(abs(v - med) > $k * mad, false) AS is_anom
          |FROM mm ORDER BY event_type, h""".stripMargin
+    },
+    "x131_attribution" -> {
+      def arm(model: String, ord: String) =
+        s"""SELECT '$model' AS model, COALESCE(ttype, 'direct') AS touch, COUNT(*) AS n
+           |FROM (
+           |  SELECT pid, ttype,
+           |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY $ord) AS rn
+           |  FROM j) WHERE rn = 1 GROUP BY 2""".stripMargin
+      s"""WITH p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+         |           WHERE event_type = 'purchase'),
+         |t0 AS (SELECT user_id, ts AS tts, event_type AS ttype, event_id AS tid
+         |       FROM events WHERE event_type IN ('view', 'click')),
+         |j AS (
+         |  SELECT p.pid, t0.ttype, t0.tts, t0.tid
+         |  FROM p LEFT JOIN t0 ON t0.user_id = p.user_id
+         |    AND t0.tts <= p.pts AND t0.tts > p.pts - INTERVAL 24 HOUR)
+         |SELECT * FROM (
+         |  ${arm("last", "tts DESC NULLS LAST, tid DESC NULLS LAST")}
+         |  UNION ALL
+         |  ${arm("first", "tts ASC NULLS LAST, tid ASC NULLS LAST")})
+         |ORDER BY model, touch""".stripMargin
     },
     "x130_convert_time" -> {
       val s1 = """s1 AS (SELECT user_id, MIN(rn) AS r, MIN_BY(ts, rn) AS t

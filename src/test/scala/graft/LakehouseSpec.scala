@@ -511,6 +511,29 @@ class LakehouseSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("x131: planted journeys credit first vs last touch differently; out-of-window is direct") {
+    import spark.implicits._
+    val plantDir = tmpDir("attrib")
+    def ts(h: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime + h * 3600000L)
+    val rows = Seq(
+      // user 1: view@0, click@2, purchase@3 → last=click, first=view
+      (1L, ts(0), 1L, "view"), (2L, ts(2), 1L, "click"), (3L, ts(3), 1L, "purchase"),
+      // user 2: click@0, purchase@30 — touch outside 24h lookback → direct
+      (4L, ts(0), 2L, "click"), (5L, ts(30), 2L, "purchase"),
+      // user 3: click-only journey → both models credit click
+      (6L, ts(1), 3L, "click"), (7L, ts(2), 3L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val got = graft.operators.TemporalQueries.x131(spark, plantDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("last", "click") -> 2L, ("last", "direct") -> 1L,
+      ("first", "view") -> 1L, ("first", "click") -> 1L, ("first", "direct") -> 1L),
+      s"got $got")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
