@@ -545,7 +545,40 @@ object TemporalQueries {
       .orderBy(col("model"), col("touch"))
   }
 
+  /** x132 — RFM segmentation (E132): the standard customer-value
+    * segmentation — each user scored on Recency (last event vs corpus
+    * horizon), Frequency (event count) and Monetary (exact fix-point
+    * value sum), each dimension cut into ntile(5) buckets under a
+    * DETERMINISTIC total order (metric + user_id tiebreak — ntile is
+    * rank-based, so engine parity needs a total order, the x72 lesson),
+    * and the segment grid reported with user counts. Bucket 1 = best
+    * (most recent / most frequent / highest value).
+    *
+    * 100 TB shape: one map-side-combined per-user agg (the only
+    * data-scale pass), three rank windows over the USER table (ntile is
+    * a global sort per dimension — at extreme user counts each window
+    * takes the x72 range-bucket decomposition; the segment agg is
+    * 125-row bounded). */
+  val x132: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val per = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).as("mcents"))
+    def bucket(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      ntile(5).over(Window.orderBy(order: _*)).as(name)
+    val scored = per.select(col("user_id"),
+      bucket("r_b", Seq(desc("last_ts"), col("user_id"))),
+      bucket("f_b", Seq(desc("freq"), col("user_id"))),
+      bucket("m_b", Seq(desc("mcents"), col("user_id"))))
+    scored.groupBy(col("r_b"), col("f_b"), col("m_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("r_b").cast("long").as("r_b"), col("f_b").cast("long").as("f_b"),
+        col("m_b").cast("long").as("m_b"), col("n_users"))
+      .orderBy(col("r_b"), col("f_b"), col("m_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x132_rfm_segments" -> x132,
     "x131_attribution" -> x131,
     "x130_convert_time" -> x130,
     "x118_pit_join" -> x118,
@@ -691,6 +724,20 @@ object TemporalQueries {
          |  COALESCE(abs(v - med) > $k * mad, false) AS is_anom
          |FROM mm ORDER BY event_type, h""".stripMargin
     },
+    "x132_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mcents
+        |  FROM events GROUP BY 1),
+        |sc AS (
+        |  SELECT user_id,
+        |    ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r_b,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_b,
+        |    ntile(5) OVER (ORDER BY mcents DESC, user_id) AS m_b
+        |  FROM per)
+        |SELECT CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b,
+        |  CAST(m_b AS BIGINT) AS m_b, COUNT(*) AS n_users
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r_b, f_b, m_b""".stripMargin,
     "x131_attribution" -> {
       def arm(model: String, ord: String) =
         s"""SELECT '$model' AS model, COALESCE(ttype, 'direct') AS touch, COUNT(*) AS n

@@ -534,6 +534,36 @@ class LakehouseSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("x132: RFM buckets reconcile, ntile marginals balance, planted profiles land where expected") {
+    val rows = graft.operators.TemporalQueries.x132(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nUsers = Tables.t(spark, sfDir, "events").select(col("user_id")).distinct().count()
+    assert(rows.map(_._4).sum == nUsers, "segment counts reconcile to users")
+    rows.foreach { case (r, f, m, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // ntile balance: each dimension's marginal bucket sizes differ by ≤1
+    Seq[((Long, Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { dim =>
+      val marg = rows.groupBy(dim).view.mapValues(_.map(_._4).sum).values.toSeq
+      assert(marg.max - marg.min <= 1, s"ntile balance: $marg")
+    }
+    // planted: 5 users, one event each, strictly ordered recency/value
+    import spark.implicits._
+    val plantDir = tmpDir("rfm")
+    def ts(h: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime + h * 3600000L)
+    (1 to 5).map(u => (u.toLong, ts(u), u.toLong, "view", u * 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$plantDir/events.parquet")
+    val plant = graft.operators.TemporalQueries.x132(spark, plantDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // user 5: most recent AND highest value → (r=1, m=1); equal freq →
+    // freq ties break by user_id so f_b follows user order
+    assert(plant == Set((1L, 5L, 1L, 1L), (2L, 4L, 2L, 1L), (3L, 3L, 3L, 1L),
+      (4L, 2L, 4L, 1L), (5L, 1L, 5L, 1L)), s"got $plant")
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
