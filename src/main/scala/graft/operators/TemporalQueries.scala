@@ -577,7 +577,30 @@ object TemporalQueries {
       .orderBy(col("r_b"), col("f_b"), col("m_b"))
   }
 
+  /** x133 — next-event transition matrix (E133): the first-order Markov
+    * estimate over each user's event sequence — P(next = b | current = a)
+    * from consecutive pairs, the sequence-model complement of x118 (x118
+    * asks "what STATE was the user in when this happened"; x133 asks
+    * "what happens NEXT") and the input a journey simulator or
+    * next-action model starts from. One lead window per user (the
+    * funnel/SCD2 exchange reused), the matrix bounded by types², row
+    * probabilities rational (count / row-total, one IEEE division). */
+  val x133: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    tr.withColumn("row_n", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        fround(col("n") / col("row_n"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x133_markov_transitions" -> x133,
     "x132_rfm_segments" -> x132,
     "x131_attribution" -> x131,
     "x130_convert_time" -> x130,
@@ -629,6 +652,16 @@ object TemporalQueries {
        |    FROM wm) WHERE sd > 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x133_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor(n / SUM(n) OVER (PARTITION BY from_type) * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "x125_ts_motif" ->
       s"""WITH $tsimWinsCte,
          |winz AS (

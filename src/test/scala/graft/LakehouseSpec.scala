@@ -564,6 +564,28 @@ class LakehouseSpec extends SparkSpec {
       (4L, 2L, 4L, 1L), (5L, 1L, 5L, 1L)), s"got $plant")
   }
 
+  test("x133: transition rows are probability-normalized and agree with a plain-Scala recount") {
+    val rows = graft.operators.TemporalQueries.x133(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // row-stochastic: per from_type, Σp ≈ 1 (each p individually frounded)
+    rows.groupBy(_._1).foreach { case (f, g) =>
+      val sp = g.map(_._4).sum
+      assert(math.abs(sp - 1.0) < 1e-4, s"$f rows sum to $sp")
+    }
+    // independent recount from collected sequences
+    val seqs = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap { evs =>
+        val types = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4).toSeq
+        types.zip(types.drop(1))
+      }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (f, t0, n, _) =>
+      assert(seqs((f, t0)) == n, s"transition ($f->$t0) recount")
+    }
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
