@@ -599,7 +599,27 @@ object TemporalQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** x134 — journey path mining (E134): the most common 3-event
+    * sequences across user streams — the path-analysis report (x133's
+    * matrix says what follows ONE step; paths expose multi-step habits
+    * the matrix factorization hides, e.g. view→click→purchase vs
+    * view→click→error). Two lead windows share x133's single user_id
+    * exchange; path counts are a types³-bounded hash agg; top-10 by
+    * (count desc, path) is a bounded TakeOrdered. */
+  val x134: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("n1", lead(col("event_type"), 1).over(w))
+      .withColumn("n2", lead(col("event_type"), 2).over(w))
+      .filter(col("n2").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("n1"), col("n2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path")).limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x134_journey_paths" -> x134,
     "x133_markov_transitions" -> x133,
     "x132_rfm_segments" -> x132,
     "x131_attribution" -> x131,
@@ -652,6 +672,16 @@ object TemporalQueries {
        |    FROM wm) WHERE sd > 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x134_journey_paths" ->
+      """WITH tr AS (
+        |  SELECT event_type || ' > '
+        |    || lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    || ' > '
+        |    || lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS path,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+        |  FROM events)
+        |SELECT path, COUNT(*) AS n FROM tr WHERE n2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "x133_markov_transitions" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,

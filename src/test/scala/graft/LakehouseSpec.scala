@@ -586,6 +586,23 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("x134: top paths agree with a plain-Scala trigram recount of user sequences") {
+    val rows = graft.operators.TemporalQueries.x134(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val recount = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap { evs =>
+        val t0 = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4).toSeq
+        t0.indices.dropRight(2).map(i => s"${t0(i)} > ${t0(i + 1)} > ${t0(i + 2)}")
+      }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (p, n) => assert(recount(p) == n, s"$p recount") }
+    // counts are non-increasing down the top-10
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("x116: the quantity-shifted column flags, quantity-independent columns do not") {
     val rows = IvmQueries.x116(spark, sfDir).collect()
     val byCol = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
