@@ -128,7 +128,10 @@ object AdvancedQueries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
 
-  private def centCol(c: Array[Double]): Column = array(c.map(lit): _*)
+  // ONE array Literal, not CreateArray(64 lits): the per-element form costs
+  // ~65 analyzer/optimizer nodes per centroid (measured ~0.14 s of driver
+  // time per x22 compile at nlist=16×dim=64) for identical semantics
+  private def centCol(c: Array[Double]): Column = typedLit(c)
 
   /** float-vector · double-centroid dot (codegen'd, left-to-right — the
     * trained-centroid twin's list_zip CAST form exactly). */
@@ -147,20 +150,30 @@ object AdvancedQueries {
   val x22: Q = (s, d) => {
     val e = t(s, d, "embeddings")
     val cents = Quantizers.trainedCents(s, d)
-    val corpus = e.select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"))
-    // probe set: nprobe centroids nearest to the query vector
-    val probeCids = q.select(
-      array(cents.map { case (cid, c) =>
-        struct(cdot(col("qe"), c).as("sc"), lit(cid).as("cid"))
-      }: _*).as("all"))
-      .select(explode(col("all")).as("s"))
-      .orderBy(desc("s.sc"), col("s.cid")).limit(nprobe) // cid tie-break: deterministic probe set
-      .select(col("s.cid").as("cid"))
-    corpus.join(broadcast(probeCids), "cid") // bucket-pruned candidates
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(dot(col("embedding"), col("qe")), 4).as("sim"))
+    // Probe selection happens DRIVER-side, like a real IVF index: the nlist
+    // centroids are planner state (the trained model is already a driver
+    // array), so ranking them against the one query vector is an O(nlist·dim)
+    // loop, not a Spark job — mirroring cdot's exact left-to-right
+    // float·double accumulation so the probe set bit-matches the twin's
+    // `ORDER BY dot DESC, cid LIMIT nprobe`. At 100 TB this is what turns
+    // the probe into static partition pruning (the x28 layout) instead of a
+    // runtime broadcast join. One bounded collect: the single query row.
+    val qf: Array[Float] = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def qdot(c: Array[Double]): Double = {
+      var sum = 0.0; var i = 0
+      val n = math.min(qf.length, c.length)
+      while (i < n) { sum += qf(i).toDouble * c(i); i += 1 }
+      sum
+    }
+    val probe: Array[Long] = cents.map { case (cid, c) => (qdot(c), cid) }
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .take(nprobe).map(_._2)
+    // single scan-shaped job: assign, bucket-prune via a static IN filter,
+    // score against the literal query vector, bounded TakeOrdered(10)
+    e.select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
+      .filter(col("cid").isin(probe.map(Long.box): _*))
+      .select(col("vec_id"), round(dot(col("embedding"), typedLit(qf)), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(10)
   }

@@ -198,9 +198,11 @@ object MultimodalQueries {
     * small payload edit perturbs one cell, flips ≤2 adjacent difference
     * bits — exactly the property that makes dHash perceptual); bit i =
     * cell(i) > cell(i+1), a real decoder would produce the 8×9 luma grid
-    * and everything downstream is unchanged. Candidates come from 4-bit
-    * band buckets (never all-pairs), verified by exact hamming ≤ 2 via
-    * codegen'd bit_count(xor).
+    * and everything downstream is unchanged. Candidates come from
+    * radius-2 mask-variant enumeration: each hash emits its 137
+    * ≤2-bit-flip neighbors (the geometry note above — band buckets were
+    * abandoned as quadratic) and pairs meet on an exact-hash equi-join,
+    * verified by exact hamming ≤ 2 via codegen'd bit_count(xor).
     *
     * 100 TB shape: hash computation is map-only over the decode seam
     * (x50's per-partition batch shape); the variant expansion is a fixed
@@ -222,7 +224,7 @@ object MultimodalQueries {
     }.reduce(_ + _)
     val hashed = cells.select(col("doc_id"), hash.as("ph"))
     val variants = hashed.select(col("doc_id").as("a_id"), col("ph").as("pa"),
-      explode(array(phMasks.map(lit): _*)).as("m"))
+      explode(typedLit(phMasks)).as("m"))
       .select(col("a_id"), col("pa"), col("pa").bitwiseXOR(col("m")).as("vh"))
     variants
       .join(hashed.select(col("doc_id").as("b_id"), col("ph").as("pb")),

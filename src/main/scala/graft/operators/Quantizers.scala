@@ -77,7 +77,7 @@ object Quantizers {
   }
 
   private def cdot(a: Column, c: Array[Double]): Column =
-    VectorExprs.floatDoubleDot(a, array(c.map(lit): _*))
+    VectorExprs.floatDoubleDot(a, typedLit(c)) // one array Literal, not 64 nodes
 
   /** Argmax-dot assignment as a (sc, cid) struct — the family's `assign`
     * with the score kept (struct-max = max score, tie → max cid). */
@@ -371,7 +371,7 @@ object Quantizers {
     val m = trainedPca(s, d)
     val e = t(s, d, "embeddings")
     def dotLit(v: Array[Double]): Column =
-      graft.functions.VectorExprs.floatDoubleDot(col("embedding"), array(v.map(lit): _*))
+      graft.functions.VectorExprs.floatDoubleDot(col("embedding"), typedLit(v))
     val muDotV = m.eigVecs.take(pcaP).map(v =>
       v.indices.foldLeft(0.0)((a, i) => a + m.mean(i) * v(i)))
     val muNorm = m.mean.foldLeft(0.0)((a, x) => a + x * x)
@@ -411,7 +411,7 @@ object Quantizers {
     val m = trainedPca(s, d)
     t(s, d, "embeddings").select(col("vec_id"),
       array(opqPerm.map(k =>
-        VectorExprs.floatDoubleDot(col("embedding"), array(m.eigVecs(k).map(lit): _*))
+        VectorExprs.floatDoubleDot(col("embedding"), typedLit(m.eigVecs(k)))
           .cast("float")): _*).as("embedding"))
   }
 

@@ -384,7 +384,7 @@ object TemporalQueries {
     wins.filter(!(col("typ") === qtyp && col("h") === lit(qh)))
       .withColumn("dist_raw", sqrt(
         aggregate(
-          zip_with(col("vs"), array(qvs.map(lit): _*), (x, y) =>
+          zip_with(col("vs"), typedLit(qvs), (x, y) =>
             ((x - col("mu")) / col("sd") - (y - qmu) / qsd) *
               ((x - col("mu")) / col("sd") - (y - qmu) / qsd)),
           lit(0.0), (a, x) => a + x)))
@@ -823,8 +823,8 @@ object TemporalQueries {
          |ORDER BY model, touch""".stripMargin
     },
     "x130_convert_time" -> {
-      val s1 = """s1 AS (SELECT user_id, MIN(rn) AS r, MIN_BY(ts, rn) AS t
-                 |  FROM r WHERE event_type = 'view' GROUP BY user_id)""".stripMargin
+      val s1 = s"""s1 AS (SELECT user_id, MIN(rn) AS r, MIN_BY(ts, rn) AS t
+                  |  FROM r WHERE event_type = '${funnelSteps.head}' GROUP BY user_id)""".stripMargin
       val chain = funnelSteps.zipWithIndex.drop(1).map { case (step, i) =>
         s"""s${i + 1} AS (
            |  SELECT r.user_id, MIN(r.rn) AS r, MIN_BY(r.ts, r.rn) AS t

@@ -453,8 +453,12 @@ object TextQueries {
     val docs = graft.Tables.spread(t(s, d, "documents"))
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // size(ws)===3 drops shinglesN's <3-token whole-doc fallback from the
+    // candidate phrases (a degenerate "shingle" has no w3 posting, so the
+    // intersection would return empty while the twin still counts matches)
     val top = docs
       .select(explode(DedupQueries.shinglesN(split(col("text"), " "), 3)).as("g"))
+      .where(size(split(col("g"), " ")) === 3)
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("g")).limit(1)
       .select(split(col("g"), " ").as("ws"), col("g").as("phrase"))
@@ -620,7 +624,9 @@ object TextQueries {
       s"""WITH sh AS (SELECT doc_id, unnest(s) AS g
          |  FROM (${DedupQueries.shingleSql(3, "doc_id", distinct = false)})),
          |top AS (SELECT g FROM (
-         |  SELECT g, COUNT(*) AS n FROM sh GROUP BY 1 ORDER BY n DESC, g LIMIT 1))
+         |  SELECT g, COUNT(*) AS n FROM sh
+         |  WHERE len(string_split(g, ' ')) = 3
+         |  GROUP BY 1 ORDER BY n DESC, g LIMIT 1))
          |SELECT sh.doc_id, top.g AS phrase, COUNT(*) AS n_occ
          |FROM sh JOIN top ON sh.g = top.g
          |GROUP BY 1, 2 ORDER BY sh.doc_id""".stripMargin,

@@ -101,7 +101,7 @@ object VectorQueries {
     val planes = lshPlanes
     def signature(emb: Column): Column = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
-        val pc = array(p.map(lit): _*) // float literals -> array<float> for FloatDot
+        val pc = typedLit(p) // one array<float> Literal for FloatDot
         when(dot(emb, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)
@@ -219,7 +219,7 @@ object VectorQueries {
     * codewords are fix-point doubles), and the GENERATED twin uses the
     * identical formulation and accumulation order. */
   private[operators] def pqSubDist(sv: Column, entry: (Array[Double], Double)): Column = {
-    val cLit = array(entry._1.map(lit): _*) // double literals -> array<double>
+    val cLit = typedLit(entry._1) // one array<double> Literal
     (dot(sv, sv) - lit(2.0) * graft.functions.VectorExprs.floatDoubleDot(sv, cLit)) + lit(entry._2)
   }
 
@@ -310,7 +310,7 @@ object VectorQueries {
   /** ADC distance column over c0..c7 code columns: 8 lookups + 7 adds. */
   private[operators] def pqAdist(lut: Array[Array[Double]]): Column =
     (0 until pqM).map { i =>
-      element_at(array(lut(i).map(lit): _*), col(s"c$i") + 1)
+      element_at(typedLit(lut(i)), col(s"c$i") + 1)
     }.reduce(_ + _)
 
   /** x56 — ADC top-k search over PQ codes (E59): asymmetric distance

@@ -133,14 +133,17 @@ class CommitLogReaderFactory(fields: Array[String])
   * read at scan time (vis −compacts +id per commit) — the same rule
   * `Maintenance.visibleBatches` applies; in the streaming form this means
   * each emitted commit carries visibility AS OF its micro-batch, the
-  * semantics a metadata CDC consumer wants. */
+  * semantics a metadata CDC consumer wants. The fold is bounded at `hi`
+  * (the batch end offset), NOT the log length at read time: a batch
+  * [s,e) replayed from a checkpoint after later commits landed must emit
+  * the same rows as the original run (exactly-once replay determinism). */
 class CommitLogReader(path: String, from: Int, until: Int, fields: Array[String])
     extends PartitionReader[InternalRow] {
   import graft.streaming.Maintenance
   private val commits = Maintenance.commits(path)
   private val hi = if (until < 0) commits.length else math.min(until, commits.length)
   private val visible: Set[Long] =
-    commits.foldLeft(Set.empty[Long]) { case (vis, c) => vis -- c.compacts + c.id }
+    commits.take(hi).foldLeft(Set.empty[Long]) { case (vis, c) => vis -- c.compacts + c.id }
   private var i = from - 1
 
   override def next(): Boolean = { i += 1; i < hi }
