@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++
+      BenchmarkQueries.queries ++
       JoinQueries.queries ++
       WindowQueries.queries ++
       ScalarQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++
+      BenchmarkQueries.oracles ++
       JoinQueries.oracles ++
       WindowQueries.oracles ++
       ScalarQueries.oracles ++

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.BenchmarkQueries
+
+/** Multi-join benchmark family (q42–q46): result sanity, plan shapes, and
+  * the CBO statistics round-trip — the assert VERDICT r10 #1 asked for:
+  * join ORDER actually changes when ANALYZE stats are present. */
+class BenchmarkSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q42–q46 all return rows at sf0.001") {
+    BenchmarkQueries.queries.foreach { case (name, q) =>
+      assert(q(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q42 (Q3 shape): segment dim broadcasts, top-k is TakeOrderedAndProject") {
+    val p = plan(BenchmarkQueries.q42(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q46 (Q18 shape): having-agg map-side combines, top-k never global-sorts") {
+    val p = plan(BenchmarkQueries.q46(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "per-order quantity sum must partial-aggregate: " + p)
+  }
+
+  test("CBO join reorder: q44's selective part join moves ahead of orders when stats are present") {
+    BenchmarkQueries.registerCatalog(spark, sfDir)
+    val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    def leafTables(cbo: Boolean): Seq[String] = {
+      cboKeys.foreach(spark.conf.set(_, cbo.toString))
+      try spark.sql(BenchmarkQueries.q44Sql).queryExecution.optimizedPlan
+        .collectLeaves()
+        .map(_.toString.split('\n').head)
+        .flatMap(l => BenchmarkQueries.benchTables.find(t => l.contains(s"g_$t")))
+      finally cboKeys.foreach(spark.conf.unset)
+    }
+    val off = leafTables(cbo = false)
+    val on = leafTables(cbo = true)
+    // as WRITTEN (no stats): part is the LAST join — after orders
+    assert(off.indexOf("part") > off.indexOf("orders"),
+      s"no-stats plan should keep the written order: $off")
+    // with ANALYZE stats + CBO: the 1/6-selective part join is reordered
+    // ahead of the unfiltered orders join against the fact table
+    assert(on.indexOf("part") < on.indexOf("orders"),
+      s"CBO should move the selective part join early: $on")
+    assert(off != on, "stats must change the join order")
+  }
+
+  test("catalog stats exist after registerCatalog (the x101 ANALYZE round-trip)") {
+    BenchmarkQueries.registerCatalog(spark, sfDir)
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED g_lineitem")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val st = stats.getOrElse("Statistics", "")
+    assert(st.contains("rows"), s"ANALYZE must land row counts in the catalog: $st")
+  }
+}
