@@ -403,31 +403,92 @@ object TemporalQueries {
     * generator is an equi-self-join ON TYPE (co-partitioned); its
     * fan-out is GRID² per type — windows are hours, not rows, so a year
     * of history is ~9 k windows → 40 M z-distance evaluations per type,
-    * a map-only sweep a cluster absorbs; past that the LSH-bucketed
-    * z-profile (bucket by quantized z-shape prefix, the x41 band
-    * pattern) prunes candidates — noted, not needed at grid scales. */
-  val x125: Q = (s, d) => {
-    // MASS-form distance: each window z-normalizes ONCE (zs = (v−μ)/σ),
-    // and the pair distance collapses to d² = 2w − 2·⟨za, zb⟩ (‖z‖² = w
-    // by construction) — one 12-mul dot per pair instead of the full
-    // normalize-subtract chain; greatest(0, ·) clamps the 1-ulp negative
-    // a self-identical pair can produce before the sqrt. 6.2→2.9 s sf1.
-    val winz = tsimWins(s, d)
-      .withColumn("zs", transform(col("vs"), x => (x - col("mu")) / col("sd")))
-      .select(col("typ"), col("h"), col("zs"))
-    def side(p: String) = winz.select(col("typ"), col("h").as(s"${p}h"),
-      col("zs").as(s"${p}zs"))
-    val pairs = side("a").join(side("b"), Seq("typ"))
-      .filter(col("ah") + expr(s"INTERVAL ${tsimW - 1} HOURS") < col("bh"))
+    * a map-only sweep a cluster absorbs; past that the banded z-prefix
+    * path below prunes candidates, gated on grid size. */
+
+  /** Banded-escape gate: the exact GRID²-per-type self-join runs while the
+    * per-type window count stays below this; above it (multi-year,
+    * many-type histories) the quantized z-prefix LSH path generates
+    * candidates instead. The gate reads a conservative grid BOUND from the
+    * events min/max timestamps (a parquet-footer-stats aggregate — no
+    * grid-sized job), so choosing the path costs a near-metadata scan. */
+  private def motifBandedThreshold(s: SparkSession): Long =
+    s.conf.get("spark.graft.motif.bandedThreshold", "20000").toLong
+  /** Bands over the w=12 z-values: 4 bands × 3 values, quantized to 0.5
+    * cells. A motif pair matching exactly in ANY band is a candidate —
+    * near-identical window pairs (the motif regime: z-dist ≈ 0) agree in
+    * every quantized cell, so they collide in all 4 bands. */
+  private val motifBands = 4
+  private val motifCell = 0.5
+
+  /** Shared back half of both motif paths: exact MASS-form distance over
+    * candidate pairs + per-type argmin. MASS form: each window
+    * z-normalizes ONCE (zs = (v−μ)/σ) and d² = 2w − 2·⟨za, zb⟩ (‖z‖² = w
+    * by construction) — one 12-mul dot per pair; greatest(0, ·) clamps
+    * the 1-ulp negative a self-identical pair can produce. 6.2→2.9 s sf1. */
+  private def motifRank(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("dot",
         graft.functions.VectorExprs.doubleDot(col("azs"), col("bzs")))
       .withColumn("dist_raw",
         sqrt(greatest(lit(0.0), lit(2.0 * tsimW) - col("dot") * 2.0)))
-    pairs.withColumn("rn", row_number().over(
+      .withColumn("rn", row_number().over(
         Window.partitionBy(col("typ")).orderBy(col("dist_raw"), col("ah"), col("bh"))))
       .filter(col("rn") === 1)
       .select(col("typ"), tsStr(col("ah")).as("motif_a"), tsStr(col("bh")).as("motif_b"),
         fround(col("dist_raw"), 6).as("zdist"))
+
+  private[graft] def motifWinz(s: SparkSession, d: String): DataFrame =
+    tsimWins(s, d)
+      .withColumn("zs", transform(col("vs"), x => (x - col("mu")) / col("sd")))
+      .select(col("typ"), col("h"), col("zs"))
+
+  private def motifSide(winz: DataFrame, p: String): DataFrame =
+    winz.select(col("typ"), col("h").as(s"${p}h"), col("zs").as(s"${p}zs"))
+
+  private def motifNonOverlap: Column =
+    col("ah") + expr(s"INTERVAL ${tsimW - 1} HOURS") < col("bh")
+
+  /** Exact path: GRID²-per-type equi-self-join on type (co-partitioned). */
+  private[graft] def motifExact(winz: DataFrame): DataFrame =
+    motifRank(motifSide(winz, "a").join(motifSide(winz, "b"), Seq("typ"))
+      .filter(motifNonOverlap))
+
+  /** Banded path (the x41 band pattern on quantized z-prefixes): each
+    * window emits `motifBands` (band, quantized-slice) keys; candidates
+    * are same-type windows agreeing EXACTLY in at least one band, deduped
+    * on (typ, ah, bh), then exact-verified by the shared MASS distance.
+    * Per-band fan-out is bucket²; strong motifs (z-dist ≈ 0) collide in
+    * every band, so they are always candidates — the approximation is
+    * that a type whose best pair differs in all 4 quantized prefixes
+    * reports the best COLLIDING pair instead (or no row if none collide),
+    * the standard LSH recall trade documented in SCALING.md. */
+  private[graft] def motifBanded(winz: DataFrame): DataFrame = {
+    val bandR = tsimW / motifBands
+    val wq = winz.withColumn("qz",
+      transform(col("zs"), x => floor(x / motifCell).cast("long")))
+    val banded = wq.select(col("typ"), col("h"), col("zs"),
+        explode(array((0 until motifBands).map(b =>
+          struct(lit(b).as("band"), slice(col("qz"), b * bandR + 1, bandR).as("key"))): _*)).as("bk"))
+      .select(col("typ"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("h"), col("zs"))
+    def side(p: String) = banded.select(col("typ"), col("band"), col("key"),
+      col("h").as(s"${p}h"), col("zs").as(s"${p}zs"))
+    val cand = side("a").join(side("b"), Seq("typ", "band", "key"))
+      .filter(motifNonOverlap)
+      .select(col("typ"), col("ah"), col("bh"), col("azs"), col("bzs"))
+      .dropDuplicates("typ", "ah", "bh")
+    motifRank(cand)
+  }
+
+  val x125: Q = (s, d) => {
+    val winz = motifWinz(s, d)
+    // grid BOUND per type = total hours spanned (footer-stats aggregate)
+    val mm = t(s, d, "events").agg(min(col("ts")), max(col("ts"))).head()
+    val gridBound =
+      (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 3600000L + 1
+    if (gridBound <= motifBandedThreshold(s)) motifExact(winz)
+    else motifBanded(winz)
       .orderBy(col("typ"))
   }
 

@@ -94,4 +94,50 @@ class ScaleSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().toSeq
     assert(rb == ra)
   }
+
+  test("x125 banded escape: byte-identical to the exact pair join on a planted motif corpus") {
+    import spark.implicits._
+    // 72 hourly points, one type: hours 0-11 and 24-35 carry the IDENTICAL
+    // pattern (the planted motif, z-dist exactly 0 -> collides in every
+    // quantized band); every other hour gets a distinct deterministic value
+    val pattern = Seq(5.0, 9.0, 2.0, 14.0, 7.0, 11.0, 3.0, 8.0, 12.0, 6.0, 10.0, 4.0)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val rows = (0 until 72).map { h =>
+      val v =
+        if (h < 12) pattern(h)
+        else if (h >= 24 && h < 36) pattern(h - 24)
+        else ((h * 2654435761L) % 1000L) / 10.0
+      ("purchase", new java.sql.Timestamp(base + h * 3600000L), v)
+    }
+    val dir = tmpDir("graft-motif")
+    rows.toDF("event_type", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val winz = operators.TemporalQueries.motifWinz(spark, dir)
+    val exact = operators.TemporalQueries.motifExact(winz).collect().toSeq
+    val banded = operators.TemporalQueries.motifBanded(winz).collect().toSeq
+    assert(exact.nonEmpty)
+    assert(banded == exact, s"banded $banded != exact $exact")
+    // the winning motif is a zero-distance pair (the planted repeat
+    // guarantees one exists; z-norm shift-invariance means the linear
+    // noise can legitimately produce another — either wins only at 0)
+    assert(exact.head.getDouble(3) == 0.0, exact.head.toString)
+  }
+
+  test("x125 gate: a zero banded-threshold flips the served query to the banded plan") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val exact = operators.TemporalQueries.x125(s, sfDir).collect().toSeq
+    s.conf.set("spark.graft.motif.bandedThreshold", "0")
+    val bandedDf = operators.TemporalQueries.x125(s, sfDir)
+    // banded plan is recognizable by its band-key join (3 join keys)
+    assert(bandedDf.queryExecution.optimizedPlan.toString.contains("band"),
+      "threshold=0 must route to the banded candidate generator")
+    val banded = bandedDf.collect().toSeq
+    s.conf.unset("spark.graft.motif.bandedThreshold")
+    // on the real corpus the motifs are near-duplicate window pairs and
+    // collide; equality here is evidence, not a guarantee (documented
+    // LSH recall trade in SCALING.md)
+    assert(banded == exact, s"banded $banded != exact $exact")
+  }
 }
