@@ -76,6 +76,13 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // tableSource=graft routes resolution through the engine's own DSv2
+    // connector (sources.GraftDataSource — column/filter pushdown through
+    // OUR catalog seam); default stays Spark's built-in parquet source.
+    // The connector already normalizes timestamps (ns→µs, TIMESTAMP), so
+    // the post-load fixups below are no-ops on that path.
+    if (spark.conf.get("spark.graft.tableSource", "parquet") == "graft")
+      return spark.read.format("graft").load(s"$dir/$name.parquet")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df = raw.schema.fields
       .find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)

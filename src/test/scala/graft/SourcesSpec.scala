@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import graft.streaming.FileTopic
 import org.apache.spark.sql.functions._
 
 /** DataSource V2 connector tests (sources/CommitLogSource): short-name
@@ -85,5 +86,103 @@ class SourcesSpec extends SparkSpec {
     intercept[Exception] {
       spark.read.format("graft-commits").load().count()
     }
+  }
+
+  // ------------------------------------------------- graft (data side)
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graft: plain parquet parity — schema and rows byte-equal, incl. list<float> and timestamps") {
+    for (t <- Seq("lineitem", "events", "embeddings", "documents")) {
+      val a = spark.read.format("graft").load(s"$sf/$t.parquet")
+      val b = spark.read.parquet(s"$sf/$t.parquet")
+      assert(a.schema.simpleString.replace("timestamp_ntz", "timestamp")
+        == b.schema.simpleString.replace("timestamp_ntz", "timestamp"), t)
+      val key = a.columns.map(col).toSeq
+      val ca = a.orderBy(key: _*).collect().map(_.toString).toSeq
+      val cb = b.withColumns(b.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          f.name -> col(f.name).cast("timestamp")
+      }.toMap).orderBy(key: _*).collect().map(_.toString).toSeq
+      assert(ca.nonEmpty && ca == cb, s"$t rows diverge")
+    }
+  }
+
+  test("graft: column pruning and filter pushdown reach the scan") {
+    val df = spark.read.format("graft").load(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 49.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,49.0)"), plan)
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 49.0).count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("graft: snapshot table resolves VISIBLE batches only (no dupes after compaction)") {
+    val work = tmpDir("graft-ds-snap")
+    def ingestOnce(n: Long, seed: Long): Unit = {
+      val topic = FileTopic(s"$work/topic")
+      streaming.TradeGen.produce(spark, topic, n, seed)
+      val q = streaming.IngestJob.start(spark, topic, s"$work/table",
+        streaming.AnalyticsPipeline.tradeSchema,
+        Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    ingestOnce(100, 42); ingestOnce(50, 43)
+    val table = s"$work/table"
+    val viaHelper = streaming.IngestJob.readTable(spark, table)
+    val viaConn = spark.read.format("graft").load(table)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.map(col).toSeq
+      df.select(cols: _*).orderBy(cols: _*).collect().map(_.toString).toSeq
+    }
+    assert(rows(viaConn) == rows(viaHelper), "connector != readTable before compaction")
+
+    // compact: replaced batch dirs STAY on disk until expiry — the
+    // connector must resolve through the log, not the directory listing
+    streaming.Maintenance.compact(spark, table)
+    val after = spark.read.format("graft").load(table)
+    assert(after.count() == 150L, "compacted-away batches must not re-surface as dupes")
+    assert(rows(after) == rows(streaming.IngestJob.readTable(spark, table)))
+  }
+
+  test("graft: live MOR equality-deletes refuse loudly; rewrite clears the refusal") {
+    val work = tmpDir("graft-ds-mor")
+    val topic = FileTopic(s"$work/topic")
+    streaming.TradeGen.produce(spark, topic, 60, 42)
+    val q = streaming.IngestJob.start(spark, topic, s"$work/table",
+      streaming.AnalyticsPipeline.tradeSchema,
+      Seq("trade_id", "symbol"), "ts_event", s"$work/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val table = s"$work/table"
+    val updates = streaming.IngestJob.readTable(spark, table)
+      .orderBy(col("trade_id")).limit(2)
+      .withColumn("price", col("price") + 1.0)
+    streaming.Maintenance.mergeIntoMor(spark, table, updates, "trade_id", "ts_event")
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(table).count()
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // rewriting the deletes (compaction applies them eagerly) re-enables the scan
+    streaming.Maintenance.rewriteDeletes(spark, table)
+    val viaConn = spark.read.format("graft").load(table)
+    val viaHelper = streaming.IngestJob.readTable(spark, table)
+    assert(viaConn.count() == viaHelper.count())
+  }
+
+  test("graft: q-suite table loads route through the connector under tableSource=graft") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.graft.tableSource", "graft")
+    s.conf.set("spark.graft.tableCache", "off") // fresh resolution, no cross-mode cache
+    val viaConn = operators.CoreQueries.q03(s, sf).collect().map(_.toString).toSeq
+    val plan = Tables.t(s, sf, "lineitem").queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), "tableSource=graft must route through the connector: " + plan)
+    val plain = operators.CoreQueries.q03(spark, sf).collect().map(_.toString).toSeq
+    assert(viaConn == plain)
   }
 }
