@@ -38,7 +38,8 @@ object SparkEntry {
       LmQueries.queries ++
       NoveltyQueries.queries ++
       StatsQueries.queries ++
-      IvmQueries.queries
+      IvmQueries.queries ++
+      StreamReplayQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
   def oracleSql: Map[String, String] =
@@ -61,5 +62,6 @@ object SparkEntry {
       LmQueries.oracles ++
       NoveltyQueries.oracles ++
       StatsQueries.oracles ++
-      IvmQueries.oracles
+      IvmQueries.oracles ++
+      StreamReplayQueries.oracles
 }

@@ -479,7 +479,7 @@ object DedupQueries {
 
   /** DuckDB shingle-set CTE shared by the x41/x43 oracles (the Spark
     * shingles3 + array_distinct chain, DuckDB dialect). */
-  private val shingleCte =
+  private[graft] val shingleCte =
     """sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
       |    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
