@@ -338,11 +338,61 @@ object JoinQueries {
       .orderBy(col("entity_id"))
   }
 
+  /** x137 — scored entity resolution with cannot-link (E141): the standard
+    * counter to x119's single-link over-merge (serial distance-1 names
+    * chain into one entity). Every candidate pair gets a SCORE —
+    * `2·(1 − lev) + [nation agrees] + [segment agrees]` — and only pairs
+    * at score ≥ 2 become merge edges before connected components:
+    * identical names always link (score ≥ 2 by the name term alone), but
+    * a distance-1 name pair links ONLY when both profile fields agree, so
+    * a chain step that crosses a nation or segment boundary is a
+    * CANNOT-LINK and the chain breaks there (JoinSpec plants exactly that
+    * chain and asserts it does NOT collapse, while x119 on the same data
+    * does). This is Fellegi–Sunter-style pairwise scoring reduced to
+    * deterministic integer arithmetic both engines replay exactly.
+    *
+    * 100 TB shape: inherits x96's candidate generation (deletion-
+    * neighborhood blocking over DISTINCT names — never N²); the scoring
+    * join adds two broadcast-sized field lookups per side; edges at
+    * threshold feed the same size-adaptive CC as x119. Twin: generated
+    * recursive-CTE CC over the identically-scored edge set (feasible at
+    * gate scale like x119's; sf1 documented Spark-timed). */
+  val x137: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val fields = cust.select(col("id"), col("nat"), col("seg"))
+    val scored = x96(s, d) // (a_id, b_id, dist) — identical + distance-1 pairs
+      .join(fields.select(col("id").as("a_id"), col("nat").as("a_nat"),
+        col("seg").as("a_seg")), "a_id")
+      .join(fields.select(col("id").as("b_id"), col("nat").as("b_nat"),
+        col("seg").as("b_seg")), "b_id")
+      .withColumn("score",
+        lit(2L) * (lit(1L) - col("dist")) +
+          when(col("a_nat") === col("b_nat"), 1L).otherwise(0L) +
+          when(col("a_seg") === col("b_seg"), 1L).otherwise(0L))
+    val edges = scored.filter(col("score") >= 2)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val lab = DedupQueries.connectedComponents(cust.select(col("id")), edges)
+    val mem = cust
+      .join(lab.select(col("id"), col("label")), Seq("id"), "left")
+      .withColumn("label", coalesce(col("label"), col("id")))
+    mem.groupBy(col("label"))
+      .agg(count(lit(1)).as("size"), countDistinct(col("name")).as("n_names"),
+        countDistinct(col("nat")).as("n_nations"))
+      .filter(col("size") >= 2)
+      .join(cust.select(col("id").as("label"), col("name").as("canonical_name")), "label")
+      .select(col("label").as("entity_id"), col("size"), col("n_names"),
+        col("n_nations"), col("canonical_name"))
+      .orderBy(col("entity_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x106_merge_upsert" -> x106,
     "x110_interval_join" -> x110,
     "x117_salted_join" -> x117,
     "x119_entity_resolution" -> x119,
+    "x137_scored_entity_resolution" -> x137,
     "q10_inner_join" -> q10,
     "q11_broadcast_chain" -> q11,
     "q12_left_outer" -> q12,
@@ -424,6 +474,45 @@ object JoinQueries {
          |  FROM lab l JOIN c ON c.id = l.id
          |  GROUP BY 1 HAVING COUNT(*) >= 2)
          |SELECT s.label AS entity_id, s.size, s.n_names,
+         |  c.name AS canonical_name
+         |FROM summ s JOIN c ON c.id = s.label
+         |ORDER BY entity_id""".stripMargin,
+    // GENERATED x137 twin: the same candidate CTEs with FIELDS, the
+    // identical integer pair score + cannot-link threshold, then the
+    // recursive-CTE CC over the surviving edges only.
+    "x137_scored_entity_resolution" ->
+      s"""WITH RECURSIVE
+         |cf AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+         |         c_mktsegment AS seg FROM customer),
+         |c AS (SELECT id, name FROM cf),
+         |sigs AS (
+         |  SELECT id, name, unnest(list_distinct(list_append(
+         |    list_transform(range(1, len(name) + 1),
+         |      p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS sig
+         |  FROM c),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id),
+         |pr AS (
+         |  SELECT cd.a_id, cd.b_id
+         |  FROM cand cd JOIN cf fa ON fa.id = cd.a_id JOIN cf fb ON fb.id = cd.b_id
+         |  WHERE levenshtein(cd.an, cd.bn) <= 1
+         |    AND 2 * (1 - levenshtein(cd.an, cd.bn))
+         |        + (CASE WHEN fa.nat = fb.nat THEN 1 ELSE 0 END)
+         |        + (CASE WHEN fa.seg = fb.seg THEN 1 ELSE 0 END) >= 2),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pr
+         |          UNION SELECT b_id, a_id FROM pr),
+         |reach(v, l) AS (
+         |  SELECT id, id FROM c
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+         |lab AS (SELECT v AS id, MIN(l) AS label FROM reach GROUP BY v),
+         |summ AS (
+         |  SELECT l.label, COUNT(*) AS size, COUNT(DISTINCT cf.name) AS n_names,
+         |    COUNT(DISTINCT cf.nat) AS n_nations
+         |  FROM lab l JOIN cf ON cf.id = l.id
+         |  GROUP BY 1 HAVING COUNT(*) >= 2)
+         |SELECT s.label AS entity_id, s.size, s.n_names, s.n_nations,
          |  c.name AS canonical_name
          |FROM summ s JOIN c ON c.id = s.label
          |ORDER BY entity_id""".stripMargin,

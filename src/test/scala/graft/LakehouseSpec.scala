@@ -242,6 +242,29 @@ class LakehouseSpec extends SparkSpec {
       "Customer#000000N names are pairwise distance-1 chains → one entity")
   }
 
+  test("x137: cannot-link breaks the distance-1 chain where profile fields disagree") {
+    import spark.implicits._
+    val plantDir = tmpDir("entity-scored")
+    // Ann—Anne—Aune is a serial distance-1 chain; Ann/Anne share nation AND
+    // segment (merge, score 2), Anne/Aune differ in nation (score ≤ 1 —
+    // cannot-link). x119 merges all three; x137 must NOT.
+    Seq(
+      (1L, "Ann", 7, "BUILDING"), (2L, "Anne", 7, "BUILDING"),
+      (3L, "Aune", 9, "BUILDING"),
+      (10L, "Bob", 1, "MACHINERY"), (11L, "Bob", 2, "AUTOMOBILE"), // exact dups always link
+      (20L, "Xavier", 3, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$plantDir/customer.parquet")
+    val naive = graft.operators.JoinQueries.x119(spark, plantDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive.contains((1L, 3L)), s"x119 single-link merges the whole chain: $naive")
+    val scored = graft.operators.JoinQueries.x137(spark, plantDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    // {Ann, Anne} (chain broken before Aune) and {Bob, Bob}; Aune + Xavier singletons
+    assert(scored == Seq((1L, 2L, 2L, 1L, "Ann"), (10L, 2L, 1L, 2L, "Bob")),
+      s"cannot-link must break the chain at the nation boundary: $scored")
+  }
+
   test("x120: MMR picks 5 shortlist members per query, leads with max-rel, and diversifies") {
     import graft.operators.AdvancedQueries
     val rows = AdvancedQueries.x120(spark, sfDir).collect()
