@@ -449,14 +449,14 @@ object TextQueries {
     * when phrases are long or ad-hoc). The twin states the declarative
     * semantics (count of matching trigram shingles) — the oracle checks
     * the two formulations coincide. */
-  val x112: Q = (s, d) => {
-    val docs = graft.Tables.spread(t(s, d, "documents"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    // size(ws)===3 drops shinglesN's <3-token whole-doc fallback from the
-    // candidate phrases (a degenerate "shingle" has no w3 posting, so the
-    // intersection would return empty while the twin still counts matches)
-    val top = docs
+  /** The corpus's most frequent trigram as a one-row frame (w1, w2, w3,
+    * phrase) — shared by x112 (inline search) and the x138 index build.
+    * size(ws)===3 drops shinglesN's <3-token whole-doc fallback from the
+    * candidate phrases (a degenerate "shingle" has no w3 posting, so the
+    * intersection would return empty while the twin still counts
+    * matches). */
+  private def topPhrase(docs: DataFrame): DataFrame =
+    docs
       .select(explode(DedupQueries.shinglesN(split(col("text"), " "), 3)).as("g"))
       .where(size(split(col("g"), " ")) === 3)
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
@@ -464,6 +464,12 @@ object TextQueries {
       .select(split(col("g"), " ").as("ws"), col("g").as("phrase"))
       .select(element_at(col("ws"), 1).as("w1"), element_at(col("ws"), 2).as("w2"),
         element_at(col("ws"), 3).as("w3"), col("phrase"))
+
+  val x112: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val top = topPhrase(docs)
     // the phrase string rides the FIRST postings join (tok = w1 is an
     // equi condition → BroadcastHashJoin), so no scalar crossJoin is ever
     // planned — the phrase column just flows through the intersection
@@ -477,6 +483,80 @@ object TextQueries {
       .join(postings("w3", 2), Seq("doc_id", "p"))
       .groupBy(col("doc_id"), col("phrase")).agg(count(lit(1)).as("n_occ"))
       .select(col("doc_id"), col("phrase"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------- x138: persisted inverted index (E142)
+
+  /** Posting partitions: terms hash into this many buckets; a phrase
+    * query prunes the scan to its terms' buckets (≤3 of 64 partitions). */
+  private val postingBuckets = 64
+
+  private case class TextIndex(dir: String, owned: Boolean,
+      w1: String, w2: String, w3: String, phrase: String)
+
+  private val textIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), TextIndex]
+
+  /** Build (once per session+dataset) the persisted positional inverted
+    * index: (term, doc_id, pos) partitioned by term bucket, plus the
+    * build-time corpus statistic serving needs (the top trigram — the
+    * same derivation x112 runs inline, so the two operators answer the
+    * identical query). The x28 lifecycle pattern applied to text. */
+  private def textIndex(s: SparkSession, d: String): TextIndex = {
+    val it = textIndexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        if (e.getValue.owned) {
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+          }
+          del(new java.io.File(e.getValue.dir))
+        }
+        it.remove()
+      }
+    }
+    textIndexCache.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      val docs = graft.Tables.spread(t(s, d, "documents"))
+      docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .withColumn("tb", pmod(graft.Tables.h60(col("term")), lit(postingBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("tb").parquet(dir)
+      val r = topPhrase(docs).head()
+      TextIndex(dir, owned = true,
+        r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    })
+  }
+
+  /** x138 — indexed phrase search (E142): x112's positional intersection
+    * served from the PERSISTED inverted index instead of corpus scans —
+    * the response to x112's measured sf10 linearity (BASELINE §sf10:
+    * 104× on 100× data — postings volume IS the cost, so at scale the
+    * postings become an index you build once). Serving touches only the
+    * phrase terms' partitions (static `tb IN (...)` pruning — the x28
+    * pattern; spec asserts PartitionFilters) and never reads `text`:
+    * per-query bytes are the 3 terms' posting lists, not the corpus.
+    * Output contract is EXACTLY x112's, and the oracle is the shared
+    * twin string — the gate proves index-serving ≡ fresh compute. */
+  val x138: Q = (s, d) => {
+    val ix = textIndex(s, d)
+    val words = Seq(ix.w1, ix.w2, ix.w3)
+    val buckets = words
+      .map(w => java.lang.Long.valueOf(
+        java.lang.Math.floorMod(graft.functions.MinHash.base60(w.getBytes("UTF-8")),
+          postingBuckets.toLong))).distinct
+    val post = s.read.parquet(ix.dir)
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(words: _*))
+    def postings(w: String, shift: Int) =
+      post.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - shift).as("p"))
+    postings(ix.w1, 0)
+      .join(postings(ix.w2, 1), Seq("doc_id", "p"))
+      .join(postings(ix.w3, 2), Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), lit(ix.phrase).as("phrase"), col("n_occ"))
       .orderBy(col("doc_id"))
   }
 
@@ -529,6 +609,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "x112_phrase_search" -> x112,
+    "x138_indexed_phrase" -> x138,
     "x114_collocations" -> x114,
     "q30_text_stats" -> q30,
     "x30_quality_score" -> x30,
@@ -616,20 +697,24 @@ object TextQueries {
        |  floor(w_raw * 10000 + 0.5) / 10000 AS tfidf
        |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // Declarative twin: a phrase occurrence IS a matching trigram shingle
+  // — the positional-index intersection must coincide with the n-gram
+  // count, which is exactly what the oracle checks. SHARED by x112
+  // (inline) and x138 (index-served): one contract, two execution paths.
+  private val phraseOracle =
+    s"""WITH sh AS (SELECT doc_id, unnest(s) AS g
+       |  FROM (${DedupQueries.shingleSql(3, "doc_id", distinct = false)})),
+       |top AS (SELECT g FROM (
+       |  SELECT g, COUNT(*) AS n FROM sh
+       |  WHERE len(string_split(g, ' ')) = 3
+       |  GROUP BY 1 ORDER BY n DESC, g LIMIT 1))
+       |SELECT sh.doc_id, top.g AS phrase, COUNT(*) AS n_occ
+       |FROM sh JOIN top ON sh.g = top.g
+       |GROUP BY 1, 2 ORDER BY sh.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Declarative twin: a phrase occurrence IS a matching trigram shingle
-    // — the positional-index intersection must coincide with the n-gram
-    // count, which is exactly what the oracle checks.
-    "x112_phrase_search" ->
-      s"""WITH sh AS (SELECT doc_id, unnest(s) AS g
-         |  FROM (${DedupQueries.shingleSql(3, "doc_id", distinct = false)})),
-         |top AS (SELECT g FROM (
-         |  SELECT g, COUNT(*) AS n FROM sh
-         |  WHERE len(string_split(g, ' ')) = 3
-         |  GROUP BY 1 ORDER BY n DESC, g LIMIT 1))
-         |SELECT sh.doc_id, top.g AS phrase, COUNT(*) AS n_occ
-         |FROM sh JOIN top ON sh.g = top.g
-         |GROUP BY 1, 2 ORDER BY sh.doc_id""".stripMargin,
+    "x112_phrase_search" -> phraseOracle,
+    "x138_indexed_phrase" -> phraseOracle,
     "x114_collocations" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

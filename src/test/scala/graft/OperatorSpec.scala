@@ -33,6 +33,17 @@ class OperatorSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x138: index serving is partition-pruned to the phrase buckets and matches x112 exactly") {
+    val ixDf = TextQueries.x138(spark, sfDir)
+    val p = plan(ixDf)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*tb[^\\]]*\\].*"),
+      "serving scan must prune to the phrase terms' tb partitions: " + p)
+    assert(!p.contains("text#"), "serving must never read the text column: " + p)
+    val served = ixDf.collect().map(_.toString).toSeq
+    val fresh = TextQueries.x112(spark, sfDir).collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == fresh, "index serving must equal fresh compute")
+  }
+
   test("x34 BM25: corpus stats broadcast, top-k is TakeOrderedAndProject") {
     val p = plan(TextQueries.x34(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
