@@ -276,6 +276,52 @@ object AdvancedQueries {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** PageRank iteration count + fixed-point scale for x139. */
+  private val prIters = 5
+
+  /** x139 — PageRank over the kNN graph (E143): the iterative-computation
+    * workload class (label propagation, influence ranking, hub detection)
+    * run on x26's similarity graph — nodes = vectors, directed edges =
+    * top-3 within-cluster cosine neighbors. The loop is the textbook
+    * Spark iterative shape: per round, one co-partitioned edges⋈scores
+    * join + one map-side-combined in-degree aggregation; nothing
+    * collects, the plan unrolls `prIters` rounds of narrow joins.
+    *
+    * Determinism (the oracle contract): scores are scaled LONGS (1e6 =
+    * mass 1), per-edge contribution is `pr div out_degree` (integer
+    * floor), the damped update is `150000 + (85·Σcontrib) div 100` — all
+    * integer ops, so the result is independent of partitioning and merge
+    * order and the twin replays the identical arithmetic with 5 unrolled
+    * CTEs over the SAME regenerated graph (the full k-means training +
+    * assignment + kNN chain, nothing interpolated). Dangling mass (nodes
+    * whose cluster had <2 members) is dropped, the standard simplified-PR
+    * convention, identically on both sides.
+    *
+    * 100 TB shape: edges are E·16 bytes (E = 3N), scores N·16 — both
+    * hash-partition on node id and the join is co-partitioned after the
+    * first round; the final top-20 is a bounded TakeOrdered. */
+  val x139: Q = (s, d) => {
+    val edges = x26(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val esrc = edges.join(outd, "src")
+    var pr = nodes.select(col("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to prIters) {
+      val contrib = esrc
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), expr("pr div od").as("c"))
+      val inSum = contrib.groupBy(col("id")).agg(sum(col("c")).as("m"))
+      pr = nodes.join(inSum, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("85 * coalesce(m, 0L) div 100")).as("pr"))
+    }
+    val top = pr.orderBy(desc("pr"), col("id")).limit(20)
+    top.withColumn("rank", row_number().over( // 20-row local frame
+        Window.orderBy(desc("pr"), col("id"))))
+      .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"), col("pr"))
+      .orderBy(col("rank"))
+  }
+
   /** x27 — ANN retrieval join (E50): top-3 IVF-probed cosine neighbors for
     * a SET of query vectors against the whole corpus — the batch retrieval
     * verb (RAG index backfill, hard-negative mining) that generalizes x22
@@ -916,6 +962,7 @@ object AdvancedQueries {
     "x69_embed_outliers" -> x69,
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
+    "x139_pagerank" -> x139,
     "x27_retrieval_join" -> x27,
     "x28_indexed_retrieval" -> x28,
     "x85_refine_search" -> x85,
@@ -1124,7 +1171,9 @@ object AdvancedQueries {
 
   /** GENERATED x26 oracle: ROW_NUMBER over (rounded sim DESC, nbr_id) — the
     * TopK Aggregator's exact comparator. */
-  private def knnGraphOracle: String =
+  /** The kNN-graph CTE chain (training + assignment + within-cluster
+    * top-3), shared by the x26 twin and x139's PageRank twin. */
+  private def knnCtes: String =
     s"""$assignedCte,
        |sims AS (
        |  SELECT a.vec_id, b.vec_id AS nbr_id, ROUND($cosPairSql, 4) AS sim
@@ -1132,9 +1181,36 @@ object AdvancedQueries {
        |ranked AS (
        |  SELECT vec_id, nbr_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+
+  private def knnGraphOracle: String =
+    s"""$knnCtes
        |SELECT vec_id, CAST(rn AS BIGINT) AS rn, nbr_id, sim FROM ranked
        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+
+  /** GENERATED x139 twin: the full kNN chain + `prIters` UNROLLED
+    * iteration CTEs replaying the identical integer arithmetic. */
+  private def pageRankOracle: String = {
+    val its = (1 to prIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id, CAST(150000 + (85 * COALESCE(SUM(x.c), 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, p.pr // o.od AS c
+         |    FROM edges e JOIN outd o ON o.src = e.src
+         |    JOIN pr${i - 1} p ON p.id = e.src) x ON x.dst = n.id
+         |  GROUP BY n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCtes,
+       |edges AS (SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rn <= 3),
+       |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$its,
+       |top AS (SELECT id, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, id) AS rank
+       |        FROM pr$prIters)
+       |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, pr
+       |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
 
   /** GENERATED x27 oracle: per-query probe ranking (sc DESC, cid — the
     * Spark window's exact comparator) + probed-candidate join +
@@ -1366,6 +1442,7 @@ object AdvancedQueries {
     "x69_embed_outliers" -> outlierOracle,
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
+    "x139_pagerank" -> pageRankOracle,
     "x120_mmr_rerank" -> mmrOracle,
     "x127_topk_refine" -> {
       val cosE = "list_aggregate(list_transform(list_zip(e.embedding, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(list_zip(e.embedding, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(list_zip(q.qe, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')))"

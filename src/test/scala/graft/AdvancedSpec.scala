@@ -354,4 +354,26 @@ class AdvancedSpec extends SparkSpec {
         assert((sorted.length - 2) * st + cs < n, s"doc $id: redundant trailing chunk")
     }
   }
+
+  test("x139: integer PageRank matches a plain-Scala replay of the same 5 rounds") {
+    val edges = operators.AdvancedQueries.x26(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val nodes = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id")).as[Long].collect().toSeq
+    val outd = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.toSeq.groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map { case (s, _) => pr(s) / outd(s) }.sum }
+      pr = nodes.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val expected = nodes.map(n => (n, pr(n)))
+      .sortBy { case (id, p) => (-p, id) }.take(20).zipWithIndex
+      .map { case ((id, p), i) => (i + 1L, id, p) }
+    val got = operators.AdvancedQueries.x139(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got ${got.take(3)} … expected ${expected.take(3)} …")
+    // the damped floor is the minimum attainable score
+    assert(got.forall(_._3 >= 150000L))
+  }
 }
