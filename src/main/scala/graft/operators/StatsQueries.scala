@@ -126,6 +126,49 @@ object StatsQueries {
     }.reduce(_.unionAll(_)).orderBy(col("child"), col("fk"))
   }
 
+  /** x140 — data-quality expectations engine (E144): the declarative
+    * rule-suite verb (dbt tests / Great Expectations / Deequ) as ONE
+    * engine operator — a rule set evaluates to (rule, n_checked,
+    * n_failed) and a CI gate thresholds on it. Three rule shapes, each
+    * with its scale-correct plan:
+    *  - ROW rules (not-null, range, domain, positivity) — all of them
+    *    ride ONE pass over the table as conditional counts in a single
+    *    map-side-combined aggregate (adding a rule adds a counter, not a
+    *    scan);
+    *  - UNIQUENESS — one groupBy on the key with a >1 filter (the
+    *    aggregate IS the check; 8-byte keys cross the exchange);
+    *  - REFERENTIAL — x103's left-join orphan count (dim side broadcasts
+    *    at any realistic dim/fact ratio).
+    * The rule list is data here; production wires it from config. */
+  val x140: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    def rowRule(name: String, failed: Column) =
+      struct(lit(name).as("rule"), count(lit(1)).as("n_checked"),
+        sum(when(failed, 1L).otherwise(0L)).as("n_failed"))
+    val rowRules = li.agg(array(
+        rowRule("l_orderkey_not_null", col("l_orderkey").isNull),
+        rowRule("l_quantity_in_1_50",
+          col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+        rowRule("l_returnflag_domain", !col("l_returnflag").isin("R", "A", "N")),
+        rowRule("l_extendedprice_positive", col("l_extendedprice") <= 0.0),
+        rowRule("l_discount_in_0_0p1",
+          col("l_discount") < 0.0 || col("l_discount") > 0.1)).as("rs"))
+      .select(explode(col("rs")).as("r")).select(col("r.*"))
+    val unique = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_checked"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_failed"))
+      .select(lit("orderkey_linenumber_unique").as("rule"),
+        col("n_checked"), col("n_failed"))
+    val fk = li.select(col("l_orderkey").as("fk"))
+      .join(t(s, d, "orders").select(col("o_orderkey").as("pk")),
+        col("fk") === col("pk"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_failed"))
+      .select(lit("l_orderkey_fk_orders").as("rule"), col("n_checked"), col("n_failed"))
+    rowRules.unionAll(unique).unionAll(fk).orderBy(col("rule"))
+  }
+
   /** x100 layout-audit constants: 64 target files, 8-bit per-dimension
     * normalization (so the interleaved z-value fits 16 bits). */
   private val zFiles = 64
@@ -317,9 +360,40 @@ object StatsQueries {
     "x124_grouped_aqp" -> x124,
     "x101_analyze_stats" -> x101,
     "x102_histograms" -> x102,
-    "x103_fk_audit" -> x103)
+    "x103_fk_audit" -> x103,
+    "x140_expectations" -> x140)
 
   val oracles: Map[String, String] = Map(
+    "x140_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey_not_null' AS rule, COUNT(*) AS n_checked,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity_in_1_50', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag_domain', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice_positive', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount_in_0_0p1', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orderkey_linenumber_unique', CAST(SUM(n) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'l_orderkey_fk_orders', COUNT(*),
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |ORDER BY rule""".stripMargin,
     "x124_grouped_aqp" ->
       s"""WITH k AS (
          |  SELECT o_orderpriority AS g, o_totalprice AS p,

@@ -131,7 +131,39 @@ object WindowQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).cast("long").as("checksum"))
   }
 
+  /** x141 — skyline / Pareto frontier (E145): the parts no other part
+    * beats on BOTH dimensions (lower retail price, larger size) — the
+    * SKYLINE operator of the preference-query literature (Börzsönyi et
+    * al., ICDE 2001), the multi-objective "best trade-offs" verb a
+    * single ORDER BY cannot express. Declarative twin: the textbook
+    * NOT-EXISTS dominance anti-join (O(N²) — DuckDB pays it); the Spark
+    * side is the sort-sweep decomposition: (1) per-price champions — a
+    * map-side-combined groupBy keeps only max(size) per price (equal
+    * price + smaller size is strictly dominated), (2) one prefix-max
+    * sweep over the DISTINCT-price frame — a point survives iff its
+    * size exceeds every strictly-cheaper point's, (3) an equi-join back
+    * to members (coordinate ties all kept: equal points don't dominate
+    * each other). The sweep's frame is |distinct prices| rows — already
+    * aggregated, not data-sized; past ~10M distinct values the
+    * range-bucketed prefix-max decomposition (the proven x77Decomposed
+    * pattern: per-bucket max + broadcast cross-bucket prefix +
+    * within-bucket sweep) replaces the single window. */
+  val x141: Q = (s, d) => {
+    val p = t(s, d, "part").select(col("p_partkey"),
+      col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+    val champs = p.groupBy(col("price")).agg(max(col("size")).as("msize"))
+    val sweep = Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, -1)
+    val sky = champs
+      .withColumn("pmax", max(col("msize")).over(sweep))
+      .filter(col("pmax").isNull || col("msize") > col("pmax"))
+      .select(col("price"), col("msize").as("size"))
+    p.join(sky, Seq("price", "size"))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x141_skyline" -> x141,
     "q16_tpch_q1" -> q16,
     "q17_rollup" -> q17,
     "q40_cube" -> q40,
@@ -144,6 +176,14 @@ object WindowQueries {
     "q23_dedup_first" -> q23)
 
   val oracles: Map[String, String] = Map(
+    "x141_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice AS price, CAST(a.p_size AS BIGINT) AS size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
     "q16_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE),2) AS sum_qty,

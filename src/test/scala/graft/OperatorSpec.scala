@@ -33,6 +33,22 @@ class OperatorSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x141: skyline is a mutually-non-dominating frontier covering every excluded part") {
+    def dom(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    val all = Tables.t(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2))))
+    val sky = WindowQueries.x141(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2))))
+    assert(sky.nonEmpty)
+    for ((ka, a) <- sky; (kb, b) <- sky if ka != kb)
+      assert(!dom(a, b), s"$ka dominates $kb inside the frontier")
+    val skyIds = sky.map(_._1).toSet
+    for ((k, p) <- all if !skyIds.contains(k))
+      assert(sky.exists { case (_, sp) => dom(sp, p) }, s"excluded $k undominated")
+  }
+
   test("x138: index serving is partition-pruned to the phrase buckets and matches x112 exactly") {
     val ixDf = TextQueries.x138(spark, sfDir)
     val p = plan(ixDf)
