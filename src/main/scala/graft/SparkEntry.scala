@@ -39,6 +39,7 @@ object SparkEntry {
       NoveltyQueries.queries ++
       StatsQueries.queries ++
       IvmQueries.queries ++
+      MiningQueries.queries ++
       StreamReplayQueries.queries
 
   /** DuckDB-dialect twin for each oracle-checkable query key. */
@@ -63,5 +64,6 @@ object SparkEntry {
       NoveltyQueries.oracles ++
       StatsQueries.oracles ++
       IvmQueries.oracles ++
+      MiningQueries.oracles ++
       StreamReplayQueries.oracles
 }

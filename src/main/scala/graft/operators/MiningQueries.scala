@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, fround}
+
+/** Pattern-mining operators (SURVEY §2.2 E148–E149): market-basket
+  * association rules and CUSUM change-point detection — the "what co-occurs"
+  * and "when did the distribution shift" verbs a curation pipeline runs over
+  * order history and ingest telemetry.
+  *
+  * Reference note: the reference's analytics surface is single-table
+  * aggregation (`duckdb/query_and_publish.py:107-122`); these are north-star
+  * extensions per SURVEY §2.2.
+  */
+object MiningQueries {
+  import CoreQueries.Q
+
+  /** x144 report size. The ITEM prune (a-priori: an item infrequent alone
+    * cannot be in a frequent pair) keeps items with ABOVE-AVERAGE support
+    * — self-normalizing in both of the ways catalogs actually scale (fixed
+    * catalog × more baskets: average rises with data; keyspace growing
+    * with data, as TPC-H scales parts: average stays put where any basket-
+    * fraction threshold diverges and empties the answer). The REPORT is
+    * top-[[mbTopN]] pairs by support, not a pair threshold, for the same
+    * reason: a ranked bounded report is right at every scale. */
+  private val mbTopN = 50
+
+  /** x144 — market-basket association rules (E148): frequent part pairs
+    * across order baskets with support / confidence (both directions) /
+    * lift — the co-occurrence-mining verb (recommenders, "bought
+    * together", co-topic detection over document tags).
+    *
+    * A-priori pruning does the scale work: an item infrequent alone cannot
+    * be in a frequent pair, so baskets are semi-joined to frequent items
+    * BEFORE the pair self-join, and the self-join is co-partitioned on
+    * basket id with fan-out bounded by (frequent items per basket)² —
+    * basket size is physics-bounded (a cart, a session), never corpus-
+    * bounded. Item supports are a dimension-sized broadcast at the final
+    * annotate. All counts integer; conf/lift are final-render doubles with
+    * identical IEEE trees in the twin, fround 6.
+    *
+    * 100 TB shape: one distinct + one item-count agg + one bid-partitioned
+    * pair join + one pair agg — every exchange carries (bid,item) pairs or
+    * partial counts. The threshold scalar rides a 1-row broadcast cross
+    * join (the benign scalar shape ExplainAudit allowlists). */
+  val x144: Q = (s, d) => {
+    val b = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("bid"), col("l_partkey").as("item")).distinct()
+    val tot = b.agg(countDistinct(col("bid")).as("n_baskets"))
+    val isup = b.groupBy(col("item")).agg(count(lit(1)).as("sup_i"))
+    val avgSup = isup.agg(greatest(lit(2L),
+      ceil(sum(col("sup_i")).cast("double") / count(lit(1)).cast("double")).cast("long")).as("th"))
+    val freq = isup.crossJoin(avgSup).filter(col("sup_i") >= col("th")).select(col("item"))
+    val fb = b.join(freq, Seq("item")).select(col("bid"), col("item"))
+    val pairs = fb.select(col("bid"), col("item").as("item_a"))
+      .join(fb.select(col("bid"), col("item").as("item_b")), Seq("bid"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("sup_ab"))
+    def dbl(c: String) = col(c).cast("double")
+    val top = pairs // bounded TakeOrdered: mbTopN rows cross the final exchange
+      .orderBy(desc("sup_ab"), col("item_a"), col("item_b")).limit(mbTopN)
+    top.withColumn("rank", row_number().over( // mbTopN-row local frame
+        Window.orderBy(desc("sup_ab"), col("item_a"), col("item_b"))))
+      .crossJoin(tot)
+      .join(broadcast(isup.select(col("item").as("item_a"), col("sup_i").as("sup_a"))), Seq("item_a"))
+      .join(broadcast(isup.select(col("item").as("item_b"), col("sup_i").as("sup_b"))), Seq("item_b"))
+      .select(col("rank").cast("long").as("rank"),
+        col("item_a"), col("item_b"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        fround(dbl("sup_ab") / dbl("sup_a"), 6).as("conf_a_b"),
+        fround(dbl("sup_ab") / dbl("sup_b"), 6).as("conf_b_a"),
+        fround(dbl("n_baskets") * dbl("sup_ab") / (dbl("sup_a") * dbl("sup_b")), 6).as("lift"))
+      .orderBy(col("rank"))
+  }
+
+  /** x145 — CUSUM change-point detection (E149): two-sided cumulative-sum
+    * control chart over per-day event volumes, per event type — the
+    * "when did ingest shift" monitor next to x116's distribution drift
+    * (x116 answers IF two snapshots differ; x145 answers WHEN the level
+    * changed inside one series). Page's classic recursion
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ)), S⁻ₜ symmetric, reported as the peak
+    * deviation and its FIRST day, per side.
+    *
+    * Determinism: the mean-centering is scaled by n_days (n·xₜ − Σx) so
+    * the whole recursion is integer — no float ever enters, the twin
+    * replays the identical arithmetic in a recursive CTE.
+    *
+    * 100 TB shape: raw events collapse FIRST to the (type, day) grid (one
+    * map-side-combined agg — the only data-scale pass); the inherently
+    * sequential fold then runs per type over that GRID-BOUNDED series
+    * (days × types, independent of row count) inside a single codegen'd
+    * higher-order `aggregate` over the sorted array — the x125 pre-agg
+    * discipline: sequential work is fine once it is provably grid-sized.
+    * Multi-year deployments chunk the fold per calendar year (the
+    * recursion restarts at level 0 per chunk boundary). */
+  val x145: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nd"),
+        sort_array(collect_list(struct(col("day"), col("cnt")))).as("seq"))
+    val walk = series.withColumn("w", expr(
+      """aggregate(seq,
+        |  named_struct('sp', 0L, 'sn', 0L,
+        |    'bestp', -1L, 'dayp', CAST(NULL AS DATE),
+        |    'bestn', -1L, 'dayn', CAST(NULL AS DATE)),
+        |  (a, e) -> named_struct(
+        |    'sp', greatest(0L, a.sp + nd * e.cnt - tot),
+        |    'sn', greatest(0L, a.sn - (nd * e.cnt - tot)),
+        |    'bestp', greatest(a.bestp, greatest(0L, a.sp + nd * e.cnt - tot)),
+        |    'dayp', if(greatest(0L, a.sp + nd * e.cnt - tot) > a.bestp, e.day, a.dayp),
+        |    'bestn', greatest(a.bestn, greatest(0L, a.sn - (nd * e.cnt - tot))),
+        |    'dayn', if(greatest(0L, a.sn - (nd * e.cnt - tot)) > a.bestn, e.day, a.dayn)))""".stripMargin))
+    walk.select(col("event_type"), col("nd").as("n_days"),
+        col("w.bestp").as("cusum_pos"), col("w.dayp").as("day_pos"),
+        col("w.bestn").as("cusum_neg"), col("w.dayn").as("day_neg"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x144_basket_rules" -> x144,
+    "x145_cusum" -> x145)
+
+  val oracles: Map[String, String] = Map(
+    "x144_basket_rules" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+         |tot AS (SELECT COUNT(DISTINCT bid) AS nb FROM b),
+         |isup AS (SELECT item, COUNT(*) AS sup FROM b GROUP BY 1),
+         |th AS (SELECT GREATEST(2, CAST(ceil(CAST(SUM(sup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)) AS th FROM isup),
+         |freq AS (SELECT i.item FROM isup i, th WHERE i.sup >= th.th),
+         |fb AS (SELECT b.bid, b.item FROM b JOIN freq USING (item)),
+         |pairs AS (
+         |  SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS sup_ab
+         |  FROM fb a JOIN fb c ON a.bid = c.bid AND a.item < c.item GROUP BY 1, 2),
+         |q AS (
+         |  SELECT p.*, ROW_NUMBER() OVER (ORDER BY p.sup_ab DESC, p.item_a, p.item_b) AS rank
+         |  FROM pairs p)
+         |SELECT CAST(q.rank AS BIGINT) AS rank, q.item_a, q.item_b,
+         |  CAST(q.sup_ab AS BIGINT) AS sup_ab,
+         |  CAST(ia.sup AS BIGINT) AS sup_a, CAST(ib.sup AS BIGINT) AS sup_b,
+         |  floor(CAST(q.sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS conf_a_b,
+         |  floor(CAST(q.sup_ab AS DOUBLE) / CAST(ib.sup AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS conf_b_a,
+         |  floor(CAST(tot.nb AS DOUBLE) * CAST(q.sup_ab AS DOUBLE) /
+         |    (CAST(ia.sup AS DOUBLE) * CAST(ib.sup AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS lift
+         |FROM q JOIN isup ia ON ia.item = q.item_a JOIN isup ib ON ib.item = q.item_b, tot
+         |WHERE q.rank <= $mbTopN
+         |ORDER BY rank""".stripMargin,
+    "x145_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS nd
+        |       FROM daily GROUP BY 1),
+        |seq AS (
+        |  SELECT d.event_type, d.day, d.cnt, s.tot, s.nd,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+        |  FROM daily d JOIN st s USING (event_type)),
+        |walk AS (
+        |  SELECT event_type, rn, day,
+        |    GREATEST(0, nd * cnt - tot) AS sp,
+        |    GREATEST(0, -(nd * cnt - tot)) AS sn
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn, s.day,
+        |    GREATEST(0, w.sp + s.nd * s.cnt - s.tot),
+        |    GREATEST(0, w.sn - (s.nd * s.cnt - s.tot))
+        |  FROM walk w JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1),
+        |peaks AS (
+        |  SELECT event_type, MAX(sp) AS bestp, MAX(sn) AS bestn FROM walk GROUP BY 1)
+        |SELECT p.event_type, CAST(s.nd AS BIGINT) AS n_days,
+        |  CAST(p.bestp AS BIGINT) AS cusum_pos,
+        |  (SELECT MIN(day) FROM walk w WHERE w.event_type = p.event_type AND w.sp = p.bestp) AS day_pos,
+        |  CAST(p.bestn AS BIGINT) AS cusum_neg,
+        |  (SELECT MIN(day) FROM walk w WHERE w.event_type = p.event_type AND w.sn = p.bestn) AS day_neg
+        |FROM peaks p JOIN st s USING (event_type)
+        |ORDER BY event_type""".stripMargin)
+}

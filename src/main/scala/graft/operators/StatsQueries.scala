@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, davg, fround}
 
@@ -167,6 +168,96 @@ object StatsQueries {
         sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_failed"))
       .select(lit("l_orderkey_fk_orders").as("rule"), col("n_checked"), col("n_failed"))
     rowRules.unionAll(unique).unionAll(fk).orderBy(col("rule"))
+  }
+
+  /** All (i ≤ j) column pairs of [[statCols]] — the upper triangle of the
+    * x142 co-moment matrix, diagonal included (variance rows). */
+  private[graft] val covPairs: Seq[(String, String)] =
+    for { i <- statCols.indices; j <- i until statCols.size }
+      yield (statCols(i), statCols(j))
+
+  /** x142 — exact covariance / correlation matrix (E146): the pairwise
+    * second-moment profile over lineitem's audited numeric columns — the
+    * multi-column complement of x101's per-column stats. Feeds correlated-
+    * column detection (CBO multi-column selectivity, redundant-feature
+    * pruning before embedding training) and the drift family: a corr
+    * matrix delta is the standard multivariate drift signal next to
+    * x116's per-column TVD.
+    *
+    * Determinism: inputs are scale-2 decimals stored as doubles, so
+    * `round(v·100)` longs are exact and per-row products are exact scale-4
+    * integers; Σxy accumulates as DECIMAL(38,0) (exact, any reduction
+    * order — the long would overflow at Σ|xy|·10⁴ > 2⁶³, which the price
+    * columns reach by sf0.1). The only floats are the final covariance /
+    * correlation renders, identical IEEE expression trees in the twin,
+    * fround(6).
+    *
+    * 100 TB shape: ONE wide map-side-combined aggregate over the scan —
+    * |cols|²/2 decimal sums ride a single exchange carrying partial
+    * aggregates, not rows (the naive per-pair-query plan is |cols|²/2
+    * scans). The 10-cell result melts driver-side-width AFTER aggregation,
+    * like x101. */
+  val x142: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    def q(c: String) = round(col(c) * 100).cast("long")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      statCols.map(c => sum(q(c)).as(s"s_$c")) ++
+      covPairs.map { case (a, b) =>
+        sum((q(a) * q(b)).cast("decimal(38,0)")).as(s"p_${a}_$b") }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def sd(c: String) = col(s"s_$c").cast("double") / lit(100.0)
+    // Σxy exceeds 2^53 (and 2^63) at scale: render the exact integer as
+    // hi·1e9 + lo (both halves exactly double-representable), so the one
+    // rounding step is the same IEEE multiply-add on both engines — a
+    // direct DECIMAL→DOUBLE (Spark) vs HUGEINT→DOUBLE (DuckDB) cast
+    // disagrees in the last ulp. Sums are non-negative here (all audited
+    // columns are positive), so div/% truncation conventions never differ.
+    def pd(x: String, y: String) =
+      (expr(s"p_${x}_$y div 1000000000").cast("double") * lit(1e9) +
+        expr(s"p_${x}_$y % 1000000000").cast("double")) / lit(10000.0)
+    def cov(x: String, y: String) = (pd(x, y) - sd(x) * sd(y) / nd) / nd
+    val rows = covPairs.map { case (a, b) =>
+      one.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n_rows"),
+        fround(cov(a, b), 6).as("cov"),
+        fround(cov(a, b) / sqrt(cov(a, a) * cov(b, b)), 6).as("corr"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** x143 — ROC-AUC / Mann–Whitney rank-sum (E147): per-day AUC of
+    * `value` as a purchase classifier over events — the model-eval verb a
+    * training pipeline runs on every scored candidate feature (quality
+    * scores, dedup weights, retrieval scores vs click labels). Exact tie
+    * handling: AUC = [#(pos>neg) + ½#(pos=neg)] / (n₁·n₀), carried as the
+    * ×2-scaled integer numerator Σ np(v)·(2·cum_neg_below(v) + nn(v)) so
+    * the only float is the final division (identical IEEE tree, fround 6).
+    *
+    * 100 TB shape: raw rows collapse FIRST to per-(day, value) counts (a
+    * map-side-combined hash agg — the exchange carries distinct scores,
+    * not events), and the rank prefix-sum runs day-partitioned over those
+    * distinct rows: no global sort, no per-row window. Degenerate days
+    * (single-class) emit NULL AUC rather than a fake 0. */
+  val x143: Q = (s, d) => {
+    val g = t(s, d, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("value"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("nn"))
+    // rows are unique per (day, value), so a ROWS frame to -1 is exactly
+    // "strictly lower scores" — no RANGE frame needed
+    val w = Window.partitionBy(col("day")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("day"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cn") + col("nn"))).as("num2"))
+    r.select(col("day"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(fround(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+      .orderBy(col("day"))
   }
 
   /** x100 layout-audit constants: 64 target files, 8-bit per-dimension
@@ -361,9 +452,58 @@ object StatsQueries {
     "x101_analyze_stats" -> x101,
     "x102_histograms" -> x102,
     "x103_fk_audit" -> x103,
-    "x140_expectations" -> x140)
+    "x140_expectations" -> x140,
+    "x142_corr_matrix" -> x142,
+    "x143_roc_auc" -> x143)
+
+  /** GENERATED x142 twin: the identical scaled-long sums (HUGEINT exact in
+    * DuckDB where Spark holds DECIMAL(38,0)) and the identical IEEE
+    * covariance/correlation expression trees, per [[covPairs]] cell. */
+  private def corrMatrixOracle: String = {
+    val sumCols = statCols.map(c =>
+      s"SUM(CAST(round($c * 100) AS BIGINT)) AS s_$c")
+    val prodCols = covPairs.map { case (a, b) =>
+      s"SUM(CAST(round($a * 100) AS BIGINT) * CAST(round($b * 100) AS BIGINT)) AS p_${a}_$b" }
+    def sd(c: String) = s"(CAST(s_$c AS DOUBLE) / 100.0)"
+    def pd(x: String, y: String) =
+      s"((CAST(p_${x}_$y // 1000000000 AS DOUBLE) * 1e9 + CAST(p_${x}_$y % 1000000000 AS DOUBLE)) / 10000.0)"
+    def cov(x: String, y: String) = s"((${pd(x, y)} - ${sd(x)} * ${sd(y)} / nd) / nd)"
+    val blocks = covPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n AS n_rows,
+         |  floor(${cov(a, b)} * 1000000.0 + 0.5) / 1000000.0 AS cov,
+         |  floor(${cov(a, b)} / sqrt(${cov(a, a)} * ${cov(b, b)}) * 1000000.0 + 0.5) / 1000000.0 AS corr
+         |FROM s""".stripMargin
+    }
+    s"""WITH s0 AS (
+       |  SELECT COUNT(*) AS n, ${(sumCols ++ prodCols).mkString(",\n    ")}
+       |  FROM lineitem),
+       |s AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM s0)
+       |SELECT * FROM (${blocks.mkString("\nUNION ALL\n")})
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "x142_corr_matrix" -> corrMatrixOracle,
+    "x143_roc_auc" ->
+      """WITH g AS (
+        |  SELECT CAST(ts AS DATE) AS day, value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS nn
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(nn) OVER (PARTITION BY day ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+        |  FROM g),
+        |r AS (
+        |  SELECT day, SUM(np) AS n_pos, SUM(nn) AS n_neg,
+        |    SUM(np * (2 * cn + nn)) AS num2
+        |  FROM c GROUP BY 1)
+        |SELECT day, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE floor(CAST(num2 AS DOUBLE) /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS auc
+        |FROM r ORDER BY day""".stripMargin,
     "x140_expectations" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey_not_null' AS rule, COUNT(*) AS n_checked,

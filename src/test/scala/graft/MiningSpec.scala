@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MiningQueries, StatsQueries}
+
+/** Plain-Scala replays for the pattern-mining family (x143 ROC-AUC,
+  * x144 association rules, x145 CUSUM) — each operator's distributed
+  * result re-derived with naive single-threaded code over the same rows. */
+class MiningSpec extends SparkSpec {
+
+  private def events =
+    Tables.t(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getDouble(2)))
+
+  test("x143 per-day AUC matches the naive all-pairs Mann-Whitney count") {
+    val rows = StatsQueries.x143(spark, sfDir).collect()
+    assert(rows.nonEmpty, "one row per day")
+    val byDay = events.groupBy(_._1)
+    rows.take(5).foreach { r =>
+      val day = r.getDate(0).toString
+      val (pos, neg) = byDay(day).partition(_._2 == "purchase")
+      assert(r.getLong(1) == pos.size && r.getLong(2) == neg.size, s"class counts: $r")
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // the O(n^2) definition: #(pos>neg) + 0.5 * #(pos==neg)
+        val wins = (for (p <- pos; n <- neg) yield {
+          if (p._3 > n._3) 2L else if (p._3 == n._3) 1L else 0L
+        }).sum
+        val auc = wins.toDouble / (2.0 * pos.size * neg.size)
+        assert(math.abs(r.getDouble(3) - auc) < 1e-6, s"$day: ${r.getDouble(3)} vs $auc")
+      } else assert(r.isNullAt(3), s"degenerate day must emit NULL AUC: $r")
+    }
+  }
+
+  test("x144 association rules match a naive basket recount; ranks are total-ordered") {
+    val rules = MiningQueries.x144(spark, sfDir).collect()
+    assert(rules.nonEmpty && rules.length <= 50)
+    val baskets = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val isup = baskets.groupBy(_._2).map { case (i, xs) => i -> xs.length.toLong }
+    val th = math.max(2L, math.ceil(isup.values.sum.toDouble / isup.size).toLong)
+    val freqB = baskets.filter(b => isup(b._2) >= th)
+    val pairSup = freqB.groupBy(_._1).values.flatMap { items =>
+      val is = items.map(_._2).distinct.sorted
+      for (i <- is.indices; j <- i + 1 until is.size) yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val nb = baskets.map(_._1).distinct.length.toLong
+    rules.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1, s"rank must be dense from 1: $r")
+      val (a, b, sup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pairSup((a, b)) == sup, s"pair support recount: $r")
+      assert(r.getLong(4) == isup(a) && r.getLong(5) == isup(b), s"item supports: $r")
+      val lift = nb.toDouble * sup / (isup(a).toDouble * isup(b).toDouble)
+      assert(math.abs(r.getDouble(8) - lift) < 1e-6, s"lift: $r vs $lift")
+    }
+    // the reported head is the true max support over ALL qualifying pairs
+    assert(rules.head.getLong(3) == pairSup.values.max, "rank 1 carries the max support")
+  }
+
+  test("x145 CUSUM matches a naive sequential fold per event type") {
+    val out = MiningQueries.x145(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = events.groupBy(_._2)
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (et, xs) =>
+      val daily = xs.groupBy(_._1).map { case (d, ys) => d -> ys.length.toLong }
+        .toSeq.sortBy(_._1)
+      val tot = daily.map(_._2).sum
+      val nd = daily.length.toLong
+      var (sp, sn, bp, bn) = (0L, 0L, -1L, -1L)
+      var (dp, dn): (String, String) = (null, null)
+      daily.foreach { case (day, cnt) =>
+        sp = math.max(0L, sp + nd * cnt - tot)
+        sn = math.max(0L, sn - (nd * cnt - tot))
+        if (sp > bp) { bp = sp; dp = day }
+        if (sn > bn) { bn = sn; dn = day }
+      }
+      val r = out(et)
+      assert(r.getLong(1) == nd, s"$et n_days")
+      assert(r.getLong(2) == bp && r.getDate(3).toString == dp, s"$et pos peak: $r vs ($bp,$dp)")
+      assert(r.getLong(4) == bn && r.getDate(5).toString == dn, s"$et neg peak: $r vs ($bn,$dn)")
+    }
+  }
+}

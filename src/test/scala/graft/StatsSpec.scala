@@ -38,6 +38,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("x142 corr matrix: diagonal is 1, |corr| bounded, variance matches direct compute") {
+    val rows = StatsQueries.x142(spark, sfDir).collect()
+    assert(rows.length == 10, "4 cols -> 10 upper-triangle cells")
+    rows.foreach { r =>
+      val (cx, cy, corr) = (r.getString(0), r.getString(1), r.getDouble(4))
+      assert(corr >= -1.0000001 && corr <= 1.0000001, s"|corr| <= 1: $r")
+      if (cx == cy) {
+        assert(corr == 1.0, s"diagonal corr must be exactly 1.0 after fround: $r")
+        assert(r.getDouble(3) >= 0.0, s"variance cell must be non-negative: $r")
+      }
+    }
+    // variance cell vs direct scaled-integer compute in plain Scala
+    val q = Tables.t(spark, sfDir, "lineitem").select(col("l_quantity")).collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+    val n = q.length.toDouble
+    val direct = (q.map(v => v * v).sum / 10000.0 - (q.sum / 100.0) * (q.sum / 100.0) / n) / n
+    val cell = rows.find(r => r.getString(0) == "l_quantity" && r.getString(1) == "l_quantity").get
+    assert(math.abs(cell.getDouble(3) - direct) < 1e-6, s"var(l_quantity): ${cell.getDouble(3)} vs $direct")
+  }
+
   test("x100 layout audit: zorder prunes both probe dims, single-key sort only its own") {
     val rows = StatsQueries.x100(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
