@@ -322,6 +322,48 @@ object AdvancedQueries {
       .orderBy(col("rank"))
   }
 
+  /** x148 — triangle count + local clustering coefficient (E152): the
+    * graph-cohesion profile of x26's kNN similarity graph — per node, how
+    * many of its neighbors are themselves neighbors. The standard
+    * community-structure read on a similarity graph (next to x139's
+    * influence ranking): high-coefficient nodes sit in tight semantic
+    * clusters (dedup-cluster candidates), zero-coefficient high-degree
+    * nodes are hubs bridging unrelated content.
+    *
+    * Shape: the directed kNN edges collapse to DISTINCT undirected (u<v)
+    * pairs; triangles enumerate once each as a<b<c via two equi-joins
+    * ((a,b)⋈(b,c) then the closing (a,c) semi-check) — fan-out is
+    * degree-bounded (≤ 2k by construction: k out-edges, and a node can be
+    * top-k of only so many others in a capped cluster), never corpus-
+    * bounded. Per-node counts are map-side-combined aggs over the
+    * exploded corners; all counts integer, the coefficient
+    * 2T/(deg·(deg−1)) is a final-render double, fround(6); degree<2 emits
+    * NULL. Every join key is a node id — co-partitionable at any scale. */
+  val x148: Q = (s, d) => {
+    val e = x26(s, d).select(
+      least(col("vec_id"), col("nbr_id")).as("u"),
+      greatest(col("vec_id"), col("nbr_id")).as("v")).distinct()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val tcnt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val degD = col("degree").cast("double")
+    t(s, d, "embeddings").select(col("vec_id").as("node"))
+      .join(deg, Seq("node"), "left").join(tcnt, Seq("node"), "left")
+      .select(col("node").as("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("degree"), lit(0L)) < 2L, lit(null).cast("double"))
+          .otherwise(graft.Tables.fround(
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+              (degD * (degD - lit(1.0))), 6))
+          .as("clustering"))
+      .orderBy(col("vec_id"))
+  }
+
   /** x27 — ANN retrieval join (E50): top-3 IVF-probed cosine neighbors for
     * a SET of query vectors against the whole corpus — the batch retrieval
     * verb (RAG index backfill, hard-negative mining) that generalizes x22
@@ -963,6 +1005,7 @@ object AdvancedQueries {
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
     "x139_pagerank" -> x139,
+    "x148_triangles" -> x148,
     "x27_retrieval_join" -> x27,
     "x28_indexed_retrieval" -> x28,
     "x85_refine_search" -> x85,
@@ -1212,6 +1255,38 @@ object AdvancedQueries {
        |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
+  /** GENERATED x148 twin: the kNN chain + identical undirected-pair /
+    * two-join triangle enumeration and corner counting. */
+  private def trianglesOracle: String =
+    s"""$knnCtes,
+       |und AS (
+       |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u, GREATEST(vec_id, nbr_id) AS v
+       |  FROM ranked WHERE rn <= 3),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tc AS (
+       |  SELECT node, COUNT(*) AS n_tri FROM (
+       |    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+       |    UNION ALL SELECT c AS node FROM tri)
+       |  GROUP BY 1)
+       |SELECT em.vec_id,
+       |  CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CASE WHEN COALESCE(deg.degree, 0) < 2 THEN NULL
+       |    ELSE floor(2.0 * CAST(COALESCE(tc.n_tri, 0) AS DOUBLE) /
+       |      (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0))
+       |      * 1000000.0 + 0.5) / 1000000.0 END AS clustering
+       |FROM embeddings em
+       |LEFT JOIN deg ON deg.node = em.vec_id
+       |LEFT JOIN tc ON tc.node = em.vec_id
+       |ORDER BY em.vec_id""".stripMargin
+
   /** GENERATED x27 oracle: per-query probe ranking (sc DESC, cid — the
     * Spark window's exact comparator) + probed-candidate join +
     * ROW_NUMBER over the TopK comparator. */
@@ -1443,6 +1518,7 @@ object AdvancedQueries {
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
     "x139_pagerank" -> pageRankOracle,
+    "x148_triangles" -> trianglesOracle,
     "x120_mmr_rerank" -> mmrOracle,
     "x127_topk_refine" -> {
       val cosE = "list_aggregate(list_transform(list_zip(e.embedding, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(list_zip(e.embedding, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(list_zip(q.qe, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')))"

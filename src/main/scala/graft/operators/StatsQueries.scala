@@ -260,6 +260,53 @@ object StatsQueries {
       .orderBy(col("day"))
   }
 
+  /** x146 — per-group OLS trend fit (E150): slope / intercept / R² of
+    * `value` against the day index, per event type — the "is this metric
+    * trending and how confidently" verb run next to x104's anomaly flags
+    * and x145's change-points. Closed-form least squares from five sums,
+    * nothing iterative.
+    *
+    * Determinism: x = whole days since the global min day (exact ints),
+    * y = scale-2 value as cents (exact longs, the dsum argument), so n,
+    * Σx, Σy, Σxy, Σx² are exact longs that stay under 2⁵³ (x ≤ days,
+    * y ≤ 10⁵ cents) — only Σy² needs the x142 DECIMAL(38,0) + hi·1e9+lo
+    * render. Slope/intercept/R² are then fixed single-expression IEEE
+    * trees over those exact doubles, identical in the twin, fround(6).
+    *
+    * 100 TB shape: one scalar min-day broadcast + ONE map-side-combined
+    * per-type aggregate — partials cross the exchange, never rows. */
+  val x146: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val d0 = ev.agg(min(col("day")).as("d0")) // 1-row scalar broadcast
+    val base = ev.crossJoin(broadcast(d0)).select(col("event_type"),
+      datediff(col("day"), col("d0")).cast("long").as("x"),
+      round(col("value") * 100).cast("long").as("y"))
+    val agg = base.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val nd = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val syyD = expr("syy div 1000000000").cast("double") * lit(1e9) +
+      expr("syy % 1000000000").cast("double")
+    val num = nd * sxy - sx * sy
+    val den = nd * sxx - sx * sx
+    val deny = nd * syyD - sy * sy
+    val slope = num / den / lit(100.0)
+    val intercept = (sy / nd - num / den * (sx / nd)) / lit(100.0)
+    val r2 = num * num / (den * deny)
+    agg.select(col("event_type"), col("n"),
+        when(col("n") < 2L || den === 0.0, lit(null).cast("double"))
+          .otherwise(fround(slope, 6)).as("slope"),
+        when(col("n") < 2L || den === 0.0, lit(null).cast("double"))
+          .otherwise(fround(intercept, 6)).as("intercept"),
+        when(col("n") < 2L || den === 0.0 || deny === 0.0, lit(null).cast("double"))
+          .otherwise(fround(r2, 6)).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** x100 layout-audit constants: 64 target files, 8-bit per-dimension
     * normalization (so the interleaved z-value fits 16 bits). */
   private val zFiles = 64
@@ -454,7 +501,8 @@ object StatsQueries {
     "x103_fk_audit" -> x103,
     "x140_expectations" -> x140,
     "x142_corr_matrix" -> x142,
-    "x143_roc_auc" -> x143)
+    "x143_roc_auc" -> x143,
+    "x146_trend_fit" -> x146)
 
   /** GENERATED x142 twin: the identical scaled-long sums (HUGEINT exact in
     * DuckDB where Spark holds DECIMAL(38,0)) and the identical IEEE
@@ -484,6 +532,36 @@ object StatsQueries {
 
   val oracles: Map[String, String] = Map(
     "x142_corr_matrix" -> corrMatrixOracle,
+    "x146_trend_fit" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events, d0),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM base GROUP BY 1),
+        |dd AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy // 1000000000 AS DOUBLE) * 1e9 + CAST(syy % 1000000000 AS DOUBLE) AS syyd
+        |  FROM agg),
+        |fit AS (
+        |  SELECT event_type, n,
+        |    nd * sxyd - sxd * syd AS num, nd * sxxd - sxd * sxd AS den,
+        |    nd * syyd - syd * syd AS deny, sxd, syd, nd
+        |  FROM dd)
+        |SELECT event_type, n,
+        |  CASE WHEN n < 2 OR den = 0.0 THEN NULL
+        |    ELSE floor(num / den / 100.0 * 1000000.0 + 0.5) / 1000000.0 END AS slope,
+        |  CASE WHEN n < 2 OR den = 0.0 THEN NULL
+        |    ELSE floor((syd / nd - num / den * (sxd / nd)) / 100.0 * 1000000.0 + 0.5) / 1000000.0 END AS intercept,
+        |  CASE WHEN n < 2 OR den = 0.0 OR deny = 0.0 THEN NULL
+        |    ELSE floor(num * num / (den * deny) * 1000000.0 + 0.5) / 1000000.0 END AS r2
+        |FROM fit ORDER BY event_type""".stripMargin,
     "x143_roc_auc" ->
       """WITH g AS (
         |  SELECT CAST(ts AS DATE) AS day, value,

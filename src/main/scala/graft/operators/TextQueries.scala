@@ -201,7 +201,13 @@ object TextQueries {
     * both engines — no half-ulp rounding ties like round() has); the
     * 4-term sum is written as one fixed-order expression, never a
     * cross-row double reduction. */
-  val x34: Q = (s, d) => {
+  val x34: Q = (s, d) =>
+    bm25Scored(s, d).orderBy(desc("score"), col("doc_id")).limit(20)
+
+  /** The full-corpus BM25-scored frame (doc_id, lang, score rounded to 4)
+    * — x34 takes its top-20; x147 fuses its top-[[rrfN]] with a static
+    * prior ranking. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
@@ -225,8 +231,52 @@ object TextQueries {
     }.reduce(_ + _)
     scored
       .select(col("doc_id"), col("lang"), graft.Tables.fround(score, 4).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(20)
+  }
+
+  /** x147 RRF constants: the standard k=60 damping, lists cut at 100. */
+  private val rrfK = 60.0
+  private val rrfN = 100
+
+  /** x147 — reciprocal-rank-fusion hybrid retrieval (E151): fuse the BM25
+    * relevance ranking (x34's chain) with a static quality-prior ranking
+    * (longest-document-first over n_chars — the stand-in for any
+    * model-scored prior) via RRF: score = Σ 1/(k + rank), the
+    * Cormack/Clarke fusion every hybrid (lexical + semantic/prior) search
+    * stack ships because it needs no score calibration — only RANKS cross
+    * the fusion boundary.
+    *
+    * Determinism: both input rankings order by (rounded score DESC,
+    * doc_id) — total orders, cross-engine stable; RRF terms are
+    * 1/(60+int) doubles summed in one fixed-order expression (lexical
+    * term first), never a cross-row reduction; absent-from-list
+    * contributes 0 (the standard convention).
+    *
+    * 100 TB shape: each ranking is a bounded TakeOrdered (rrfN rows
+    * cross the exchange); ranks, the fusion join, and the final top-20
+    * all run on rrfN-row local frames. */
+  val x147: Q = (s, d) => {
+    val w = Window.orderBy(desc("score"), col("doc_id"))
+    val ra = bm25Scored(s, d)
+      .orderBy(desc("score"), col("doc_id")).limit(rrfN) // bounded TakeOrdered
+      .withColumn("ra", row_number().over(w)) // rrfN-row local frame
+      .select(col("doc_id"), col("ra"))
+    val wq = Window.orderBy(desc("n_chars"), col("doc_id"))
+    val rb = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .orderBy(desc("n_chars"), col("doc_id")).limit(rrfN)
+      .withColumn("rb", row_number().over(wq))
+      .select(col("doc_id"), col("rb"))
+    val fused = ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("ra").cast("long").as("rank_bm25"),
+        col("rb").cast("long").as("rank_prior"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rb").cast("double")), lit(0.0))).as("rrf"))
+    val top = fused.orderBy(desc("rrf"), col("doc_id")).limit(20)
+    top.withColumn("rank", row_number().over( // 20-row local frame
+        Window.orderBy(desc("rrf"), col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("rank_bm25"), col("rank_prior"),
+        graft.Tables.fround(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rank"))
   }
 
   /** x37 — vocabulary induction (E48): the word-level vocab-prep verb a
@@ -617,6 +667,7 @@ object TextQueries {
     "x32_lang_id" -> x32,
     "x33_fingerprint" -> x33,
     "x34_bm25" -> x34,
+    "x147_rrf_fusion" -> x147,
     "x36_normalize" -> x36,
     "x37_vocab" -> x37,
     "x38_source_overlap" -> x38,
@@ -845,24 +896,54 @@ object TextQueries {
     // bits). Operation order mirrors the Column expression exactly; the only
     // transcendental (ln) feeds a 4-digit floor-rounding, so a 1-ulp libm
     // difference cannot flip the output.
-    "x34_bm25" -> {
-      val dfCols = bm25Terms.map(t =>
-        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
-        .mkString(", ")
-      val scores = bm25Terms.map { t =>
-        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
-        s"(ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * ($tf * ${bm25K1 + 1.0}))" +
-          s" / ($tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))"
-      }.mkString(" + ")
-      s"""WITH dd AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
-         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-         |  FROM documents),
-         |st AS (
-         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl, $dfCols
-         |  FROM dd)
-         |SELECT doc_id, lang, floor(($scores) * 10000.0 + 0.5) / 10000.0 AS score
-         |FROM dd, st
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    })
+    "x34_bm25" ->
+      s"""$bm25ScoredCtes
+         |SELECT doc_id, lang, score FROM bmscored
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x147_rrf_fusion" ->
+      s"""$bm25ScoredCtes,
+         |ra AS (
+         |  SELECT doc_id, rn AS ra FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+         |    FROM bmscored) WHERE rn <= $rrfN),
+         |rb AS (
+         |  SELECT doc_id, rn AS rb FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM documents) WHERE rn <= $rrfN),
+         |f AS (
+         |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.ra, rb.rb,
+         |    COALESCE(1.0 / ($rrfK + CAST(ra.ra AS DOUBLE)), 0.0) +
+         |    COALESCE(1.0 / ($rrfK + CAST(rb.rb AS DOUBLE)), 0.0) AS rrf
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+         |g AS (
+         |  SELECT doc_id, ra, rb, rrf,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM f)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+         |  CAST(ra AS BIGINT) AS rank_bm25, CAST(rb AS BIGINT) AS rank_prior,
+         |  floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+         |FROM g WHERE rank <= 20 ORDER BY rank""".stripMargin)
+
+  /** The BM25-scored corpus as shared twin CTEs (`bmscored` = doc_id,
+    * lang, n_chars?, score) — the SQL mirror of [[bm25Scored]]. */
+  private def bm25ScoredCtes: String = {
+    val dfCols = bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(", ")
+    val scores = bm25Terms.map { t =>
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      s"(ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * ($tf * ${bm25K1 + 1.0}))" +
+        s" / ($tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl, $dfCols
+       |  FROM dd),
+       |bmscored AS (
+       |  SELECT doc_id, lang, floor(($scores) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM dd, st)""".stripMargin
+  }
 }

@@ -376,4 +376,33 @@ class AdvancedSpec extends SparkSpec {
     // the damped floor is the minimum attainable score
     assert(got.forall(_._3 >= 150000L))
   }
+
+  test("x148: triangle counts match a naive all-triples check over the undirected kNN graph") {
+    val und = operators.AdvancedQueries.x26(spark, sfDir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(2)), math.max(r.getLong(0), r.getLong(2))))
+      .distinct.toSet
+    val nodes = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id")).as[Long].collect().toSeq
+    val adj = (und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val got = operators.AdvancedQueries.x148(spark, sfDir).collect()
+    assert(got.length == nodes.length, "one row per corpus vector")
+    got.foreach { r =>
+      val (id, deg, tri) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val nbrs = adj.getOrElse(id, Set.empty)
+      assert(deg == nbrs.size.toLong, s"degree($id): $deg vs ${nbrs.size}")
+      // naive: triangles at this node = neighbor pairs that are themselves edges
+      val ns = nbrs.toSeq.sorted
+      val expect = (for (i <- ns.indices; j <- i + 1 until ns.size
+        if und.contains((ns(i), ns(j)))) yield 1).size.toLong
+      assert(tri == expect, s"triangles($id): $tri vs $expect")
+      if (deg < 2) assert(r.isNullAt(3), s"degree<2 must emit NULL coefficient: $r")
+      else {
+        val c = 2.0 * tri / (deg.toDouble * (deg.toDouble - 1.0))
+        assert(math.abs(r.getDouble(3) - c) < 1e-6, s"coefficient($id)")
+      }
+    }
+    // the kNN graph at this sf must actually contain triangles, or the test is vacuous
+    assert(got.map(_.getLong(2)).sum > 0, "corpus has no triangles — fixture too sparse")
+  }
 }

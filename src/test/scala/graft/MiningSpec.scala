@@ -59,6 +59,59 @@ class MiningSpec extends SparkSpec {
     assert(rules.head.getLong(3) == pairSup.values.max, "rank 1 carries the max support")
   }
 
+  test("x146 OLS trend matches a naive least-squares fit per event type") {
+    val rows = StatsQueries.x146(spark, sfDir).collect()
+    val byType = events.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    val d0 = events.map(_._1).min
+    def dayIdx(d: String) =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(d0), java.time.LocalDate.parse(d)).toDouble
+    rows.foreach { r =>
+      val xs = byType(r.getString(0)).map(e => (dayIdx(e._1), e._3))
+      val n = xs.length.toDouble
+      assert(r.getLong(1) == xs.length)
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(e => e._1 * e._2).sum
+      val sxx = xs.map(e => e._1 * e._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = sy / n - slope * (sx / n)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-4, s"slope: $r vs $slope")
+      assert(math.abs(r.getDouble(3) - icept) < 1e-3, s"intercept: $r vs $icept")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"r2 in [0,1]: $r")
+    }
+  }
+
+  test("x147 RRF fusion: score recomputes from the emitted ranks; prior list matches direct compute") {
+    val rows = operators.TextQueries.x147(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1, "dense rank from 1")
+      val ra = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val rb = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val expect = ra.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rb.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-6, s"rrf recompute: $r")
+    }
+    val rrfs = rows.map(_.getDouble(4))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)), "rrf non-increasing with rank")
+    // the prior ranking is exactly (n_chars DESC, doc_id) over the corpus
+    val prior = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, nc) => (-nc, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(prior.get(r.getLong(1)).contains(r.getLong(3)), s"prior rank: $r")
+    }
+    // the lexical ranks agree with x34 (same ordering, top-20 visible there)
+    val bm = operators.TextQueries.x34(spark, sfDir).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    rows.filter(r => !r.isNullAt(2) && r.getLong(2) <= 20).foreach { r =>
+      assert(bm.get(r.getLong(1)).contains(r.getLong(2)), s"bm25 rank vs x34: $r")
+    }
+  }
+
   test("x145 CUSUM matches a naive sequential fold per event type") {
     val out = MiningQueries.x145(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
