@@ -466,7 +466,64 @@ object DedupQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** x151 Jaccard threshold, as the exact rational 4/5 (τ = 0.8) so the
+    * accept test is the INTEGER comparison 5·|∩| ≥ 4·|∪|. */
+  private val ppNum = 4
+  private val ppDen = 5
+
+  /** x151 — exact set-similarity self-join via prefix filtering (E155):
+    * ALL document pairs with shingle-set Jaccard ≥ 0.8 — the
+    * deterministic-recall counter to x41's MinHash-LSH (whose banding is
+    * probabilistically complete) and x43's adjacent-pair baseline (which
+    * only scores neighbors). The Chaudhuri/Xiao prefix-filter theorem
+    * does the pruning EXACTLY: order shingles by (global df asc, hash) —
+    * rarest first — and take each set's first m − ⌈τ·m⌉ + 1 elements;
+    * any pair with J ≥ τ shares overlap ≥ ⌈τ·max(m_a, m_b)⌉, so fewer
+    * elements sit past either prefix than the overlap and the smallest
+    * common element lands in BOTH prefixes. Candidates therefore come
+    * from a prefix-token equi-join only — zero recall loss, proven by
+    * the twin being the BRUTE-FORCE join (every shingle, no prefix).
+    *
+    * 100 TB shape: only 8-byte shingle hashes shuffle; the candidate
+    * join is keyed by the RAREST tokens (per-token fan-out df², with df
+    * small by construction of the ordering — boilerplate tokens never
+    * generate candidates because they sort last, the exact-world
+    * equivalent of x82's dfCap); verification joins hash ARRAYS back by
+    * doc id and compares integers. ⌈τ·m⌉ is computed as the integer
+    * (4·m + 4) div 5 — no float touches the pipeline until the final
+    * jaccard render, fround 4. */
+  val x151: Q = (s, d) => {
+    val g = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("toks")))).as("gr"))
+      .select(col("doc_id"), graft.Tables.h60(col("gr")).as("gh"))
+      .distinct() // h60-collision safety: both engines set-ify the hashes
+    val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val ordered = g.join(df, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("os"))
+      .select(col("doc_id"), expr("transform(os, x -> x.gh)").as("hs"),
+        size(col("os")).cast("long").as("m"))
+    val pref = ordered.select(col("doc_id"),
+        expr(s"slice(hs, 1, cast(m - (($ppNum * m + $ppNum) div $ppDen) + 1 as int))").as("p"))
+      .select(col("doc_id"), explode(col("p")).as("gh"))
+    val cand = pref.select(col("doc_id").as("a_id"), col("gh"))
+      .join(pref.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("m").as("ma")), Seq("a_id"))
+      .join(ordered.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("m").as("mb")), Seq("b_id"))
+      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("u", col("ma") + col("mb") - col("i"))
+      .filter(lit(ppDen.toLong) * col("i") >= lit(ppNum.toLong) * col("u"))
+      .select(col("a_id"), col("b_id"), col("i").as("n_common"), col("u").as("n_union"),
+        fround(col("i").cast("double") / col("u").cast("double"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x151_ppjoin" -> x151,
     "x128_dup_weights" -> x128,
     "x40_dedup_exact" -> x40,
     "x41_minhash_lsh" -> x41,
@@ -582,6 +639,25 @@ object DedupQueries {
       |lab AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // x151's twin is deliberately the BRUTE-FORCE join over EVERY shared
+    // shingle (no prefix anywhere): hash equality proves the prefix
+    // filter's completeness, not just its self-consistency.
+    "x151_ppjoin" ->
+      s"""WITH $shingleCte,
+         |g AS (SELECT DISTINCT doc_id, gh FROM (
+         |  SELECT doc_id, unnest(list_transform(s, x -> ${graft.Tables.h60Sql("x")})) AS gh
+         |  FROM sh)),
+         |docs AS (SELECT doc_id, COUNT(*) AS m FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+         |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST(i AS BIGINT) AS n_common,
+         |  CAST(ma.m + mb.m - i AS BIGINT) AS n_union,
+         |  floor(CAST(i AS DOUBLE) / CAST(ma.m + mb.m - i AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |FROM inter JOIN docs ma ON ma.doc_id = a_id JOIN docs mb ON mb.doc_id = b_id
+         |WHERE 5 * i >= 4 * (ma.m + mb.m - i)
+         |ORDER BY a_id, b_id""".stripMargin,
     "x128_dup_weights" ->
       s"""WITH RECURSIVE
         |$ccLabCte,

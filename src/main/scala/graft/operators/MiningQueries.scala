@@ -118,9 +118,49 @@ object MiningQueries {
       .orderBy(col("event_type"))
   }
 
+  /** x149 — A/B experiment readout with a two-proportion z-test (E153):
+    * users hash-bucket into variants (user_id parity — the deterministic
+    * assignment every experimentation stack uses so re-runs re-derive the
+    * same split; a user's WHOLE stream lands on one side), the metric is
+    * purchase share of events, and the readout is the pooled
+    * two-proportion z statistic with the |z| ≥ 1.96 call — the "did the
+    * experiment move the metric" verb. (Event-level rather than has-
+    * converted user-level: at this fixture's ~70 events/user the user
+    * metric saturates at 100 % on both sides and the test degenerates to
+    * 0/0 — share-of-traffic metrics stay informative at any density.)
+    *
+    * Determinism: counts are exact integers off ONE map-side-combined
+    * aggregate; the z render is a fixed IEEE expression over those ints,
+    * identical in the twin, fround 6.
+    *
+    * 100 TB shape: the 2-group count-sum agg is the only data-scale pass
+    * (partials cross the exchange), the 2×2 readout is a 1-row result. */
+  val x149: Q = (s, d) => {
+    val g = t(s, d, "events")
+      .select((col("user_id") % 2).as("variant"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = g.agg(
+      sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("c")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("c")).otherwise(0L)).as("c_b"))
+    def dd(c: String) = col(c).cast("double")
+    val (na, ca, nb, cb) = (dd("n_a"), dd("c_a"), dd("n_b"), dd("c_b"))
+    val pPool = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      fround(ca / na, 6).as("rate_a"), fround(cb / nb, 6).as("rate_b"),
+      fround(z, 6).as("z"),
+      (abs(z) >= lit(1.96)).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x144_basket_rules" -> x144,
-    "x145_cusum" -> x145)
+    "x145_cusum" -> x145,
+    "x149_ab_test" -> x149)
 
   val oracles: Map[String, String] = Map(
     "x144_basket_rules" ->
@@ -146,6 +186,34 @@ object MiningQueries {
          |FROM q JOIN isup ia ON ia.item = q.item_a JOIN isup ib ON ib.item = q.item_b, tot
          |WHERE q.rank <= $mbTopN
          |ORDER BY rank""".stripMargin,
+    "x149_ab_test" ->
+      """WITH g AS (
+        |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM g),
+        |dd AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS nad, CAST(c_a AS DOUBLE) AS cad,
+        |    CAST(n_b AS DOUBLE) AS nbd, CAST(c_b AS DOUBLE) AS cbd
+        |  FROM w),
+        |zz AS (
+        |  SELECT *,
+        |    (cad / nad - cbd / nbd) /
+        |      sqrt(((cad + cbd) / (nad + nbd)) * (1.0 - (cad + cbd) / (nad + nbd))
+        |        * (1.0 / nad + 1.0 / nbd)) AS z
+        |  FROM dd)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  floor(cad / nad * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+        |  floor(cbd / nbd * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  abs(z) >= 1.96 AS significant
+        |FROM zz""".stripMargin,
     "x145_cusum" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt

@@ -307,6 +307,58 @@ object StatsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The join/shuffle key columns x150 profiles. */
+  private[graft] val skewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** x150 — shuffle-skew profiler (E154): per join key, the key-frequency
+    * distribution read a planner (or an engineer sizing
+    * spark.sql.shuffle.partitions) needs BEFORE shuffling 100 TB on that
+    * key: n_keys, max/p99/avg per-key cardinality, the max/avg imbalance
+    * factor, and the Gini coefficient of the key histogram — the audit
+    * that decides between a plain shuffle, AQE skew splitting, and the
+    * x117 salted join.
+    *
+    * Scale shape: per key column, ONE map-side-combined count-by-key (the
+    * only data-scale exchange), then everything runs on the (cnt, freq)
+    * HISTOGRAM — bounded by the distinct per-key cardinalities (a handful
+    * of values), not by keys or rows: the p99 pick and the Gini prefix
+    * sum are windows over that tiny frame. Exact integers throughout;
+    * p99 is the x108 picked-element rank rule (never interpolated); Gini's
+    * Σi·xᵢ accumulates as DECIMAL(38,0) with the x142 hi·1e9+lo render
+    * (it crosses 2⁵³ when keys do). */
+  val x150: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val perCol = skewCols.map { k =>
+      val cf = li.groupBy(col(k)).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+      val tot = cf.agg(sum(col("freq")).as("n_keys"),
+        sum(col("cnt") * col("freq")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+      val w = Window.orderBy(col("cnt")).rowsBetween(Window.unboundedPreceding, -1)
+      val cum = cf // histogram-sized frame: |distinct cnt| rows
+        .withColumn("cbefore", coalesce(sum(col("freq")).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val r99 = floor((col("n_keys") - 1L).cast("double") * lit(0.99)).cast("long")
+      val p99 = cum.filter(col("cbefore") <= r99 && r99 < col("cbefore") + col("freq"))
+        .agg(min(col("cnt")).as("p99_cnt")) // exactly one row matches; the
+        // global-agg wrapper makes the 1-row broadcast shape provable
+      // ascending-rank weighted sum: a run of `freq` keys of size `cnt`
+      // after `cbefore` smaller keys contributes cnt·(freq·cbefore + f(f+1)/2)
+      val six = cum.agg(sum((col("cnt") *
+          (col("freq") * col("cbefore") + expr("freq * (freq + 1L) div 2")))
+          .cast("decimal(38,0)")).as("six"))
+      val sixD = expr("six div 1000000000").cast("double") * lit(1e9) +
+        expr("six % 1000000000").cast("double")
+      val (nk, nr, mx) = (col("n_keys").cast("double"), col("n_rows").cast("double"),
+        col("max_cnt").cast("double"))
+      tot.crossJoin(broadcast(six)).crossJoin(broadcast(p99)).select(
+        lit(k).as("col_name"), col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p99_cnt"), fround(nr / nk, 6).as("avg_cnt"),
+        fround(mx / (nr / nk), 6).as("imbalance"),
+        fround((lit(2.0) * sixD - (nk + lit(1.0)) * nr) / (nk * nr), 6).as("gini"))
+    }
+    perCol.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
   /** x100 layout-audit constants: 64 target files, 8-bit per-dimension
     * normalization (so the interleaved z-value fits 16 bits). */
   private val zFiles = 64
@@ -502,7 +554,8 @@ object StatsQueries {
     "x140_expectations" -> x140,
     "x142_corr_matrix" -> x142,
     "x143_roc_auc" -> x143,
-    "x146_trend_fit" -> x146)
+    "x146_trend_fit" -> x146,
+    "x150_skew_profile" -> x150)
 
   /** GENERATED x142 twin: the identical scaled-long sums (HUGEINT exact in
     * DuckDB where Spark holds DECIMAL(38,0)) and the identical IEEE
@@ -530,8 +583,44 @@ object StatsQueries {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** GENERATED x150 twin: identical histogram chain per key column. */
+  private def skewProfileOracle: String = {
+    val blocks = skewCols.map { k =>
+      s"""SELECT '$k' AS col_name, n_rows, n_keys, max_cnt,
+         |  (SELECT cnt FROM cum_$k, tot_$k
+         |   WHERE cbefore <= CAST(floor(CAST(n_keys - 1 AS DOUBLE) * 0.99) AS BIGINT)
+         |     AND CAST(floor(CAST(n_keys - 1 AS DOUBLE) * 0.99) AS BIGINT) < cbefore + freq) AS p99_cnt,
+         |  floor(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_cnt,
+         |  floor(CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS imbalance,
+         |  floor((2.0 * (CAST(six // 1000000000 AS DOUBLE) * 1e9 + CAST(six % 1000000000 AS DOUBLE))
+         |    - (CAST(n_keys AS DOUBLE) + 1.0) * CAST(n_rows AS DOUBLE))
+         |    / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS gini
+         |FROM tot_$k, six_$k""".stripMargin
+    }
+    val ctes = skewCols.map { k =>
+      s"""cf_$k AS (
+         |  SELECT cnt, COUNT(*) AS freq FROM (
+         |    SELECT $k, COUNT(*) AS cnt FROM lineitem GROUP BY 1) GROUP BY 1),
+         |tot_$k AS (
+         |  SELECT CAST(SUM(freq) AS BIGINT) AS n_keys,
+         |    CAST(SUM(cnt * freq) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt
+         |  FROM cf_$k),
+         |cum_$k AS (
+         |  SELECT cnt, freq, CAST(COALESCE(SUM(freq) OVER (ORDER BY cnt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cbefore
+         |  FROM cf_$k),
+         |six_$k AS (
+         |  SELECT SUM(cnt * (freq * cbefore + freq * (freq + 1) // 2)) AS six
+         |  FROM cum_$k)""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT * FROM (${blocks.mkString("\nUNION ALL\n")})
+       |ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x142_corr_matrix" -> corrMatrixOracle,
+    "x150_skew_profile" -> skewProfileOracle,
     "x146_trend_fit" ->
       """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
         |base AS (

@@ -112,6 +112,64 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("x149 A/B readout matches a naive recount and the closed-form z") {
+    val r = MiningQueries.x149(spark, sfDir).collect().head
+    val evs = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(e => (e.getLong(0) % 2, e.getString(1) == "purchase"))
+    val (a, b) = evs.partition(_._1 == 0)
+    assert(r.getLong(0) == a.length && r.getLong(2) == b.length, s"group sizes: $r")
+    val (ca, cb) = (a.count(_._2).toLong, b.count(_._2).toLong)
+    assert(r.getLong(1) == ca && r.getLong(3) == cb, s"conversions: $r")
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    val p = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-6, s"z: ${r.getDouble(6)} vs $z")
+    assert(r.getBoolean(7) == (math.abs(z) >= 1.96), s"significance call: $r")
+  }
+
+  test("x150 skew profile matches a naive key-frequency recount per column") {
+    val rows = StatsQueries.x150(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = Tables.t(spark, sfDir, "lineitem")
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { c =>
+      val counts = li.select(col(c)).collect().map(_.getLong(0))
+        .groupBy(identity).values.map(_.length.toLong).toSeq.sorted
+      val r = rows(c)
+      val (nk, nr) = (counts.length.toLong, counts.sum)
+      assert(r.getLong(1) == nr && r.getLong(2) == nk && r.getLong(3) == counts.max, s"$c: $r")
+      val p99 = counts(math.floor((nk - 1).toDouble * 0.99).toInt)
+      assert(r.getLong(4) == p99, s"$c p99: ${r.getLong(4)} vs $p99")
+      val six = counts.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val gini = (2.0 * six - (nk + 1.0) * nr) / (nk.toDouble * nr)
+      assert(math.abs(r.getDouble(7) - gini) < 1e-6, s"$c gini: ${r.getDouble(7)} vs $gini")
+    }
+  }
+
+  test("x151 prefix-filtered join equals the brute-force Jaccard>=0.8 pair set") {
+    val got = operators.DedupQueries.x151(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // brute force in plain Scala over the same shingle sets
+    val sets = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val sh = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(r.getString(1))
+        r.getLong(0) -> sh
+      }.sortBy(_._1)
+    val expect = (for {
+      i <- sets.indices; j <- i + 1 until sets.length
+      in = (sets(i)._2 & sets(j)._2).size.toLong
+      un = (sets(i)._2 | sets(j)._2).size.toLong
+      if 5 * in >= 4 * un
+    } yield ((sets(i)._1, sets(j)._1), (in, un))).toMap
+    assert(got == expect,
+      s"missing=${(expect.keySet -- got.keySet).take(3)} extra=${(got.keySet -- expect.keySet).take(3)}")
+    assert(expect.nonEmpty, "fixture must contain near-dup pairs or the test is vacuous")
+  }
+
   test("x145 CUSUM matches a naive sequential fold per event type") {
     val out = MiningQueries.x145(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
