@@ -679,7 +679,51 @@ object TemporalQueries {
       .orderBy(desc("n"), col("path")).limit(10)
   }
 
+  /** x152 — TWAP: time-weighted average value per (event type, day)
+    * (E156) — the irregular-sampling average the reference's trading
+    * domain actually wants (`query_and_publish.py`'s per-symbol AVG
+    * weights every tick equally; a burst of quotes in one minute then
+    * skews the day). Each observation holds until the next one (the
+    * standard step-function convention), the first interval starts at
+    * the first observation, the last runs to day end — so the weights
+    * are exact µs gaps.
+    *
+    * Determinism: cents × Δµs products are exact longs (≤ 8.6e15),
+    * summed as DECIMAL(38,0) with the x142 hi·1e9+lo render (the per-day
+    * sum sits within 5 % of 2⁵³ — too close to trust a raw long→double);
+    * Σ Δµs is an exact long; the TWAP is one fixed IEEE division chain,
+    * fround 6. Timestamp ties order by (ts, event_id) — the tied-away
+    * row gets Δ = 0, so the choice is harmless but still total.
+    *
+    * 100 TB shape: ONE lead window per (type, day) partition (the
+    * temporal family's standard co-partitioned exchange — x95/x133 share
+    * it) + one map-side-combined agg to the types×days grid. */
+  val x152: Q = (s, d) => {
+    val dayUs = 86400000000L
+    val e = t(s, d, "events").select(col("event_type"),
+      to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("c"),
+      unix_micros(col("ts")).as("tu"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val withDt = e.withColumn("dt",
+      coalesce(lead(col("tu"), 1).over(w),
+        unix_micros(col("day").cast("timestamp")) + lit(dayUs)) - col("tu"))
+    val agg = withDt.groupBy(col("event_type"), col("day")).agg(
+      count(lit(1)).as("n_events"),
+      sum((col("c") * col("dt")).cast("decimal(38,0)")).as("scd"),
+      sum(col("dt")).as("sd"), sum(col("c")).as("sc"))
+    val scdD = expr("scd div 1000000000").cast("double") * lit(1e9) +
+      expr("scd % 1000000000").cast("double")
+    agg.select(col("event_type"), col("day"), col("n_events"),
+        fround(scdD / col("sd").cast("double") / lit(100.0), 6).as("twap"),
+        fround(col("sc").cast("double") / col("n_events").cast("double") / lit(100.0), 6)
+          .as("mean_v"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x152_twap" -> x152,
     "x134_journey_paths" -> x134,
     "x133_markov_transitions" -> x133,
     "x132_rfm_segments" -> x132,
@@ -733,6 +777,26 @@ object TemporalQueries {
        |    FROM wm) WHERE sd > 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x152_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c, epoch_us(ts) AS tu
+        |  FROM events),
+        |w AS (
+        |  SELECT *, COALESCE(LEAD(tu) OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id),
+        |    epoch_us(CAST(day AS TIMESTAMP)) + 86400000000) - tu AS dt
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, day, COUNT(*) AS n_events,
+        |    SUM(c * dt) AS scd, CAST(SUM(dt) AS BIGINT) AS sd,
+        |    CAST(SUM(c) AS BIGINT) AS sc
+        |  FROM w GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  floor((CAST(scd // 1000000000 AS DOUBLE) * 1e9 + CAST(scd % 1000000000 AS DOUBLE))
+        |    / CAST(sd AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS twap,
+        |  floor(CAST(sc AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_v
+        |FROM a ORDER BY event_type, day""".stripMargin,
     "x134_journey_paths" ->
       """WITH tr AS (
         |  SELECT event_type || ' > '

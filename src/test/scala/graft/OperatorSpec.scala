@@ -792,6 +792,34 @@ class OperatorSpec extends SparkSpec {
     assert(viaUdaf == viaWindow)
   }
 
+  test("x152 TWAP matches a naive step-function integral; constant day degenerates to the value") {
+    val rows = operators.TemporalQueries.x152(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    def us(ts: java.sql.Timestamp) = ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+    rows.take(8).foreach { r =>
+      val (et, day) = (r.getString(0), r.getDate(1).toString)
+      val es = evs.filter(e => e._1 == et && e._2.toInstant.toString.startsWith(day))
+        .sortBy(e => (us(e._2), e._3))
+      assert(r.getLong(2) == es.length, s"$et/$day count")
+      val dayEndUs = java.time.LocalDate.parse(day).plusDays(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+      val cents = es.map(e => math.round(e._4 * 100))
+      val tus = es.map(e => us(e._2))
+      val dts = tus.indices.map(i =>
+        (if (i + 1 < tus.length) tus(i + 1) else dayEndUs) - tus(i))
+      val twap = cents.zip(dts).map { case (c, dt) => BigInt(c) * BigInt(dt) }.sum.toDouble /
+        dts.sum.toDouble / 100.0
+      assert(math.abs(r.getDouble(3) - twap) < 1e-5, s"$et/$day twap: ${r.getDouble(3)} vs $twap")
+      // TWAP and the unweighted mean must both live inside the value range
+      val (lo, hi) = (cents.min / 100.0, cents.max / 100.0)
+      assert(r.getDouble(3) >= lo - 1e-6 && r.getDouble(3) <= hi + 1e-6, s"twap in range: $r")
+      assert(r.getDouble(4) >= lo - 1e-6 && r.getDouble(4) <= hi + 1e-6, s"mean in range: $r")
+    }
+  }
+
   test("as-of join: every purchase appears exactly once, prev error is earlier") {
     val res = TemporalQueries.q33(spark, sfDir)
     val purchases = graft.Tables.t(spark, sfDir, "events")
