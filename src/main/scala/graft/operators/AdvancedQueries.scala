@@ -364,6 +364,71 @@ object AdvancedQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** k-core threshold + peel-round unroll for x155. */
+  // k=4: the top-3 kNN graph guarantees undirected degree >= 3 for every
+  // node, so the 3-core is the whole graph; 4 is the smallest threshold
+  // that actually peels (nodes with no reciprocated/extra in-edges drop,
+  // then the cascade runs).
+  private val coreK = 4
+  private val coreRounds = 8
+
+  /** x155 — k-core onion decomposition of the kNN graph (E159): the
+    * density-stratification read next to x139's influence ranking and
+    * x148's local cohesion — synchronously peel all nodes of degree < k,
+    * repeat, and report for each node the ROUND it fell (its onion
+    * layer; layer 0 = survived every round, i.e. sits in the k-core).
+    * Outer layers are periphery/outliers; the deepest layers are the
+    * semantically dense dedup-cluster cores. Reporting the layer rather
+    * than just the surviving core keeps the result discriminating
+    * whatever the corpus: on the top-3 kNN graph the 3-core is the whole
+    * graph and the 4-core is often empty, but the k=4 peel ORDER is a
+    * full density ranking either way.
+    *
+    * Determinism: synchronous peeling is order-independent (each round's
+    * casualty set depends only on the previous round's edge set), and
+    * every round is pure integer degree counting — no floats anywhere.
+    * The loop unrolls `coreRounds` rounds; AdvancedSpec replays the
+    * naive synchronous peel and asserts per-node layer equality.
+    *
+    * 100 TB shape: per round, one map-side-combined degree agg + one
+    * anti-join (this round's casualties) + two node-id semi-joins — all
+    * keyed on node id, co-partitioned after the first exchange like
+    * x139's loop; edges only ever shrink. Each round's edge set is
+    * materialized with an eager localCheckpoint — a round references the
+    * previous edge set five times (degree union + the two semi-join
+    * probes), so leaving the lineage lazy would nest 5^rounds copies of
+    * the kNN chain into one plan; the checkpoint is the standard Spark
+    * iterative-algorithm lineage cut (x139's loop gets away without one
+    * only because each round references its predecessor once). */
+  val x155: Q = (s, d) => {
+    var edges = x26(s, d).select(
+      least(col("vec_id"), col("nbr_id")).as("u"),
+      greatest(col("vec_id"), col("nbr_id")).as("v")).distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val d1 = degrees(edges).localCheckpoint(true) // initial degrees; k0 = its node set
+    var keep = d1.select(col("node"))
+    var layers: DataFrame = null
+    for (i <- 1 to coreRounds) {
+      val keepNext = degrees(edges).filter(col("dg") >= coreK).select(col("node"))
+        .localCheckpoint(true)
+      val peeled = keep.join(keepNext, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("layer"))
+      layers = if (layers == null) peeled else layers.unionAll(peeled)
+      edges = edges
+        .join(keepNext.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keepNext.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      keep = keepNext
+    }
+    d1.join(layers, Seq("node"), "left")
+      .select(col("node").as("vec_id"), coalesce(col("layer"), lit(0L)).as("layer"),
+        col("dg").as("init_degree"))
+      .orderBy(col("vec_id"))
+  }
+
   /** x27 — ANN retrieval join (E50): top-3 IVF-probed cosine neighbors for
     * a SET of query vectors against the whole corpus — the batch retrieval
     * verb (RAG index backfill, hard-negative mining) that generalizes x22
@@ -1006,6 +1071,7 @@ object AdvancedQueries {
     "x26_knn_graph" -> x26,
     "x139_pagerank" -> x139,
     "x148_triangles" -> x148,
+    "x155_kcore" -> x155,
     "x27_retrieval_join" -> x27,
     "x28_indexed_retrieval" -> x28,
     "x85_refine_search" -> x85,
@@ -1287,6 +1353,47 @@ object AdvancedQueries {
        |LEFT JOIN tc ON tc.node = em.vec_id
        |ORDER BY em.vec_id""".stripMargin
 
+  /** GENERATED x155 twin: the kNN chain + `coreRounds` UNROLLED peel
+    * CTEs — per round a degree count, a keep set, this round's
+    * casualties (k_{i-1} \ k_i), and the filtered edge set: the
+    * identical integer recursion. */
+  private def kCoreOracle: String = {
+    // MATERIALIZED: each round references its predecessor five times —
+    // inlining would nest 5^rounds copies of the kNN chain (the same
+    // blowup the Spark side cuts with localCheckpoint).
+    val rounds = (1 to coreRounds).map { i =>
+      val dCte = if (i == 1) "" else
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, COUNT(*) AS dg FROM (
+           |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v AS node FROM e${i - 1})
+           |  GROUP BY 1),
+           |""".stripMargin
+      s"""${dCte}k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $coreK),
+         |p$i AS MATERIALIZED (
+         |  SELECT node, CAST($i AS BIGINT) AS layer FROM k${i - 1}
+         |  WHERE node NOT IN (SELECT node FROM k$i)),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN k$i a ON a.node = e.u JOIN k$i b ON b.node = e.v)""".stripMargin
+    }.mkString(",\n")
+    val layerUnion = (1 to coreRounds).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+    s"""$knnCtes,
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u, GREATEST(vec_id, nbr_id) AS v
+       |  FROM ranked WHERE rn <= 3),
+       |d1 AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS dg FROM (
+       |    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+       |  GROUP BY 1),
+       |k0 AS MATERIALIZED (SELECT node FROM d1),
+       |$rounds,
+       |layers AS ($layerUnion)
+       |SELECT d1.node AS vec_id, COALESCE(l.layer, 0) AS layer,
+       |  d1.dg AS init_degree
+       |FROM d1 LEFT JOIN layers l ON l.node = d1.node
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** GENERATED x27 oracle: per-query probe ranking (sc DESC, cid — the
     * Spark window's exact comparator) + probed-candidate join +
     * ROW_NUMBER over the TopK comparator. */
@@ -1519,6 +1626,7 @@ object AdvancedQueries {
     "x26_knn_graph" -> knnGraphOracle,
     "x139_pagerank" -> pageRankOracle,
     "x148_triangles" -> trianglesOracle,
+    "x155_kcore" -> kCoreOracle,
     "x120_mmr_rerank" -> mmrOracle,
     "x127_topk_refine" -> {
       val cosE = "list_aggregate(list_transform(list_zip(e.embedding, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(list_zip(e.embedding, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(list_zip(q.qe, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')))"

@@ -544,7 +544,57 @@ object StatsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** x154 — calibration bins + per-bin Brier (E158): is the score
+    * CALIBRATED, the complement of x143's "does it rank" — per decile of
+    * the min-max-normalized `value`, the mean normalized score vs the
+    * observed purchase rate, their gap, and the bin's Brier contribution
+    * mean((p−y)²). A scored feature with AUC 0.9 can still be wildly
+    * miscalibrated; this is the reliability-diagram table model-eval
+    * actually plots.
+    *
+    * Determinism: the bin is EXACT integer arithmetic — floor((c−cmin)·10
+    * div R) with R = cmax−cmin (cents), clamped to 9, so no float ever
+    * touches a bin boundary. Per-bin sums are exact: Σd, Σ_pos d as longs
+    * (d ≤ 2·10⁵ cents ⇒ safe past 10¹² rows), Σd² as DECIMAL(38,0) with
+    * the hi·1e9+lo render. mean_p = Σd/n/R, brier = (Σd²/R² − 2Σ_pos d/R
+    * + n_pos)/n — fixed IEEE trees, fround 6. R=0 (constant corpus)
+    * degenerates to bin 0 with p=0 via the shared greatest(R,1) guard.
+    *
+    * 100 TB shape: one scalar min/max broadcast + ONE map-side-combined
+    * aggregate to the 10-bin grid — partials cross the exchange, never
+    * rows; the same two-exchange shape as x146. */
+  val x154: Q = (s, d) => {
+    val ev = t(s, d, "events").select(
+      round(col("value") * 100).cast("long").as("c"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val mm = ev.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    val base = ev.crossJoin(broadcast(mm)).select(
+      (col("c") - col("cmin")).as("dc"), col("y"),
+      greatest(col("cmax") - col("cmin"), lit(1L)).as("r"))
+    val agg = base
+      .withColumn("bin", least(expr("(dc * 10) div r"), lit(9L)))
+      .groupBy(col("bin"), col("r")).agg(
+        count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("dc")).as("sd"),
+        sum((col("dc") * col("dc")).cast("decimal(38,0)")).as("sdd"),
+        sum(col("dc") * col("y")).as("sdy"))
+    val (nD, rD) = (col("n").cast("double"), col("r").cast("double"))
+    val sddD = expr("sdd div 1000000000").cast("double") * lit(1e9) +
+      expr("sdd % 1000000000").cast("double")
+    val meanP = col("sd").cast("double") / nD / rD
+    val posRate = col("n_pos").cast("double") / nD
+    val brier = (sddD / rD / rD - lit(2.0) * col("sdy").cast("double") / rD +
+      col("n_pos").cast("double")) / nD
+    agg.select(col("bin"), col("n"), col("n_pos"),
+        fround(meanP, 6).as("mean_score"),
+        fround(posRate, 6).as("pos_rate"),
+        fround(abs(meanP - posRate), 6).as("gap"),
+        fround(brier, 6).as("bin_brier"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x154_calibration" -> x154,
     "x100_zorder_audit" -> x100,
     "x122_sampled_agg" -> x122,
     "x124_grouped_aqp" -> x124,
@@ -619,6 +669,30 @@ object StatsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x154_calibration" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |mm AS (SELECT min(c) AS cmin, max(c) AS cmax FROM ev),
+        |base AS (
+        |  SELECT c - cmin AS dc, y,
+        |    greatest(cmax - cmin, 1) AS r
+        |  FROM ev, mm),
+        |agg AS (
+        |  SELECT least((dc * 10) // r, 9) AS bin, r, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(dc) AS BIGINT) AS sd,
+        |    SUM(dc * dc) AS sdd,
+        |    CAST(SUM(dc * y) AS BIGINT) AS sdy
+        |  FROM base GROUP BY 1, 2)
+        |SELECT bin, n, n_pos,
+        |  floor(CAST(sd AS DOUBLE) / n / r * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+        |  floor(CAST(n_pos AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0 AS pos_rate,
+        |  floor(abs(CAST(sd AS DOUBLE) / n / r - CAST(n_pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS gap,
+        |  floor(((CAST(sdd // 1000000000 AS DOUBLE) * 1e9 + CAST(sdd % 1000000000 AS DOUBLE)) / r / r
+        |      - 2.0 * CAST(sdy AS DOUBLE) / r + CAST(n_pos AS DOUBLE)) / n * 1000000.0 + 0.5) / 1000000.0 AS bin_brier
+        |FROM agg ORDER BY bin""".stripMargin,
     "x142_corr_matrix" -> corrMatrixOracle,
     "x150_skew_profile" -> skewProfileOracle,
     "x146_trend_fit" ->

@@ -722,7 +722,46 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** x153 — OHLC bars: open/high/low/close of `value` per (event type, day)
+    * (E157) — the candlestick aggregation every market-data engine ships
+    * (the reference's DuckDB would spell it arg_min/arg_max over ticks).
+    * open/close are the values at the first/last observation under the
+    * (ts, event_id) total order; high/low are plain min/max.
+    *
+    * Determinism: values go through the cents round first, so every
+    * comparison and the final /100.0 render are exact-integer + one IEEE
+    * division. The selection key is the (tu, event_id) total order —
+    * Spark orders a two-field struct lexicographically inside min_by/
+    * max_by; the twin packs the same pair into a HUGEINT (tu·10¹⁰ +
+    * event_id, exact for any event_id < 10¹⁰) for arg_min/arg_max.
+    * Identical total order ⇒ identical selection; only the key
+    * representation differs.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate to the types×days
+    * grid — no window, no second exchange; min_by/max_by partials are
+    * constant-size. This is the aggregate-only sibling of x152's
+    * window-based integral. */
+  val x153: Q = (s, d) => {
+    val e = t(s, d, "events").select(col("event_type"),
+      to_date(col("ts")).as("day"),
+      round(col("value") * 100).cast("long").as("c"),
+      struct(unix_micros(col("ts")).as("tu"), col("event_id")).as("k"))
+    e.groupBy(col("event_type"), col("day")).agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("c"), col("k")).as("oc"),
+        max(col("c")).as("hc"), min(col("c")).as("lc"),
+        max_by(col("c"), col("k")).as("cc"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (col("oc").cast("double") / 100.0).as("open"),
+        (col("hc").cast("double") / 100.0).as("high"),
+        (col("lc").cast("double") / 100.0).as("low"),
+        (col("cc").cast("double") / 100.0).as("close"),
+        (col("hc") - col("lc")).as("range_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x153_ohlc" -> x153,
     "x152_twap" -> x152,
     "x134_journey_paths" -> x134,
     "x133_markov_transitions" -> x133,
@@ -777,6 +816,19 @@ object TemporalQueries {
        |    FROM wm) WHERE sd > 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x153_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id AS k
+        |  FROM events)
+        |SELECT event_type, day, COUNT(*) AS n_events,
+        |  CAST(arg_min(c, k) AS DOUBLE) / 100.0 AS open,
+        |  CAST(max(c) AS DOUBLE) / 100.0 AS high,
+        |  CAST(min(c) AS DOUBLE) / 100.0 AS low,
+        |  CAST(arg_max(c, k) AS DOUBLE) / 100.0 AS close,
+        |  max(c) - min(c) AS range_cents
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "x152_twap" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,

@@ -377,6 +377,36 @@ class AdvancedSpec extends SparkSpec {
     assert(got.forall(_._3 >= 150000L))
   }
 
+  test("x155: onion layers match a naive synchronous k=4 peel of the kNN graph") {
+    val und = operators.AdvancedQueries.x26(spark, sfDir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(2)), math.max(r.getLong(0), r.getLong(2))))
+      .distinct
+    var edges = und.toSet
+    def degs(es: Set[(Long, Long)]): Map[Long, Int] =
+      es.toSeq.flatMap { case (u, v) => Seq(u, v) }.groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val init = degs(edges)
+    var keep = init.keySet
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    for (i <- 1 to 8) {
+      val d = degs(edges)
+      val keepNext = d.filter(_._2 >= 4).keySet
+      (keep -- keepNext).foreach(n => expect(n) = i.toLong)
+      edges = edges.filter { case (u, v) => keepNext(u) && keepNext(v) }
+      keep = keepNext
+    }
+    keep.foreach(n => expect(n) = 0L)
+    val got = operators.AdvancedQueries.x155(spark, sfDir).collect()
+    assert(got.length == init.size, "one row per node with at least one edge")
+    got.foreach { r =>
+      val (id, layer, deg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deg == init(id).toLong, s"init_degree($id)")
+      assert(layer == expect(id), s"layer($id): $layer vs ${expect(id)}")
+    }
+    // the peel must actually stratify (more than one distinct layer), or
+    // the decomposition is vacuous on this corpus
+    assert(got.map(_.getLong(1)).distinct.length > 1, "multiple onion layers")
+  }
+
   test("x148: triangle counts match a naive all-triples check over the undirected kNN graph") {
     val und = operators.AdvancedQueries.x26(spark, sfDir).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(2)), math.max(r.getLong(0), r.getLong(2))))

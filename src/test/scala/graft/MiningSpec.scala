@@ -33,6 +33,34 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("x154 calibration bins match a naive min-max binning replay") {
+    val rows = StatsQueries.x154(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val cs = events.map { case (_, et, v) =>
+      (math.round(v * 100), if (et == "purchase") 1L else 0L)
+    }
+    val (cmin, cmax) = (cs.map(_._1).min, cs.map(_._1).max)
+    val r = math.max(cmax - cmin, 1L)
+    val byBin = cs.groupBy { case (c, _) => math.min((c - cmin) * 10 / r, 9L) }
+    assert(rows.length == byBin.size, "one row per non-empty bin")
+    rows.foreach { row =>
+      val bin = row.getLong(0)
+      val es = byBin(bin)
+      assert(row.getLong(1) == es.length, s"bin $bin n")
+      assert(row.getLong(2) == es.map(_._2).sum, s"bin $bin n_pos")
+      val ps = es.map(e => (e._1 - cmin).toDouble / r)
+      val meanP = ps.sum / ps.length
+      assert(math.abs(row.getDouble(3) - meanP) < 1e-5, s"bin $bin mean_score")
+      val posRate = es.map(_._2).sum.toDouble / es.length
+      assert(math.abs(row.getDouble(4) - posRate) < 1e-5, s"bin $bin pos_rate")
+      assert(math.abs(row.getDouble(5) - math.abs(meanP - posRate)) < 1e-5, s"bin $bin gap")
+      val brier = es.map { case (c, y) =>
+        val p = (c - cmin).toDouble / r; (p - y) * (p - y)
+      }.sum / es.length
+      assert(math.abs(row.getDouble(6) - brier) < 1e-5, s"bin $bin brier: ${row.getDouble(6)} vs $brier")
+    }
+  }
+
   test("x144 association rules match a naive basket recount; ranks are total-ordered") {
     val rules = MiningQueries.x144(spark, sfDir).collect()
     assert(rules.nonEmpty && rules.length <= 50)

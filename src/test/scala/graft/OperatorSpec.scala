@@ -820,6 +820,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x153 OHLC matches a naive first/last/min/max replay; invariants hold") {
+    val rows = operators.TemporalQueries.x153(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    def us(ts: java.sql.Timestamp) = ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+    rows.take(8).foreach { r =>
+      val (et, day) = (r.getString(0), r.getDate(1).toString)
+      val es = evs.filter(e => e._1 == et && e._2.toInstant.toString.startsWith(day))
+        .sortBy(e => (us(e._2), e._3))
+      assert(r.getLong(2) == es.length, s"$et/$day count")
+      val cents = es.map(e => math.round(e._4 * 100))
+      assert(r.getDouble(3) == cents.head / 100.0, s"$et/$day open")
+      assert(r.getDouble(4) == cents.max / 100.0, s"$et/$day high")
+      assert(r.getDouble(5) == cents.min / 100.0, s"$et/$day low")
+      assert(r.getDouble(6) == cents.last / 100.0, s"$et/$day close")
+      assert(r.getLong(7) == cents.max - cents.min, s"$et/$day range")
+    }
+    // structural invariants over ALL bars: low <= open/close <= high
+    rows.foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4), s"open in [low,high]: $r")
+      assert(r.getDouble(5) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(4), s"close in [low,high]: $r")
+    }
+  }
+
   test("as-of join: every purchase appears exactly once, prev error is earlier") {
     val res = TemporalQueries.q33(spark, sfDir)
     val purchases = graft.Tables.t(spark, sfDir, "events")
