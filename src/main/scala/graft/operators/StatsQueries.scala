@@ -593,7 +593,52 @@ object StatsQueries {
       .orderBy(col("bin"))
   }
 
+  /** Benford expected shares, log10(1 + 1/d) — computed ONCE in Scala and
+    * interpolated into both engines (Spark lit()s and the generated twin
+    * SQL via Double round-trip formatting), so neither engine's own log10
+    * is in the comparison surface. */
+  private val benfordP: Seq[(Long, Double)] =
+    (1L to 9L).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
+
+  /** x158 — Benford first-digit audit (E162): the data-forensics verb —
+    * distribution of the first significant digit of l_extendedprice
+    * against Benford's law, with per-digit χ² contributions. Fabricated
+    * or truncated financial columns fail this audit; a per-source run is
+    * the classic fraud/ETL-bug screen (Nigrini 1996). TPC-H prices are
+    * range-bound rather than multi-decade, so the audit correctly
+    * reports a large χ² — the operator's job is the measurement, not a
+    * pass verdict.
+    *
+    * Determinism: the digit comes from the INTEGER cents string — no
+    * log/pow on data anywhere, so grouping is exact; expected shares are
+    * shared literals; dev²/(n·p) is a fixed IEEE tree over exact counts,
+    * fround 6.
+    *
+    * 100 TB shape: ONE map-side-combined count to a ≤9-row grid + a
+    * 1-row total broadcast. */
+  val x158: Q = (s, d) => {
+    val digits = t(s, d, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .filter(col("c") > 0L)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+    val cnt = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val tot = digits.agg(count(lit(1)).as("n")) // 1-row scalar broadcast
+    val expCol = benfordP.tail.foldLeft(when(col("digit") === benfordP.head._1,
+        lit(benfordP.head._2))) { case (acc, (dd, p)) =>
+      acc.when(col("digit") === dd, lit(p))
+    }.otherwise(lit(0.0))
+    val (ndD, nD) = (col("n_d").cast("double"), col("n").cast("double"))
+    val dev = ndD - nD * expCol
+    cnt.crossJoin(broadcast(tot)).select(
+        col("digit"), col("n_d"),
+        fround(ndD / nD, 6).as("obs_share"),
+        fround(expCol, 6).as("exp_share"),
+        fround(dev * dev / (nD * expCol), 6).as("chi2_part"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x158_benford" -> x158,
     "x154_calibration" -> x154,
     "x100_zorder_audit" -> x100,
     "x122_sampled_agg" -> x122,
@@ -668,7 +713,28 @@ object StatsQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** GENERATED x158 twin: the same integer-cents digit extraction and the
+    * SAME Benford literals (Double round-trip formatting) — neither
+    * engine's log10 participates. */
+  private def benfordOracle: String = {
+    val caseExpr = benfordP.map { case (dd, p) => s"WHEN digit = $dd THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+       |cnt AS (SELECT digit, COUNT(*) AS n_d FROM digits GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n FROM digits)
+       |SELECT digit, n_d,
+       |  floor(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS obs_share,
+       |  floor(($caseExpr) * 1000000.0 + 0.5) / 1000000.0 AS exp_share,
+       |  floor((CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * ($caseExpr))
+       |      * (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * ($caseExpr))
+       |      / (CAST(n AS DOUBLE) * ($caseExpr)) * 1000000.0 + 0.5) / 1000000.0 AS chi2_part
+       |FROM cnt, tot ORDER BY digit""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x158_benford" -> benfordOracle,
     "x154_calibration" ->
       """WITH ev AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS c,

@@ -760,7 +760,123 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** x156 — Kaplan–Meier time-to-convert survival curve (E160): S(t) =
+    * Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over conversion-day grid points — the
+    * censoring-correct version of x130's converters-only quantiles
+    * (dropping never-converters overstates conversion speed; KM keeps
+    * them at risk until the observation window ends). Observation = per
+    * user, first 'view' day → first subsequent 'purchase' day
+    * (converted, e=1) or → corpus max day (right-censored, e=0).
+    *
+    * Determinism: the grid is exact integer (day durations, dᵢ/cᵢ/nᵢ
+    * counts; nᵢ a suffix sum). The survival product is the one float —
+    * an inherently sequential fold, so it runs LEFT-TO-RIGHT over the
+    * ascending sorted grid array inside codegen'd higher-order
+    * `aggregate` (the x125/x145 pre-agg discipline: events collapse to
+    * the day grid FIRST, the O(G²) prefix folds run on a G ≈ day-span
+    * array, never on rows); the twin replays the identical IEEE chain
+    * with an ascending recursive CTE. fround 6 at render.
+    *
+    * 100 TB shape: two user-co-partitioned aggs (first view, first
+    * conversion) + one map-side-combined grid agg; the grid singleton is
+    * bounded by the calendar span, not the corpus. */
+  val x156: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val mx = ev.agg(max(col("day")).as("mx")) // 1-row scalar broadcast
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("day")).as("v0"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tv, "user_id").filter(col("day") >= col("v0"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("p0"))
+    val obs = tv.join(tp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+      .select(
+        when(col("p0").isNotNull, datediff(col("p0"), col("v0")))
+          .otherwise(datediff(col("mx"), col("v0"))).cast("long").as("t"),
+        when(col("p0").isNotNull, 1L).otherwise(0L).as("e"))
+    val grid = obs.groupBy(col("t"))
+      .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+    val arr0 = grid.agg(array_sort(collect_list(struct(col("t"), col("d"), col("c")))).as("g"))
+    val withN = arr0.select(transform(col("g"), x =>
+      struct(x("t").as("t"), x("d").as("d"), x("c").as("c"),
+        aggregate(filter(col("g"), y => y("t") >= x("t")), lit(0L),
+          (acc, y) => acc + y("d") + y("c")).as("n"))).as("g2"))
+    withN.select(explode(filter(col("g2"), x => x("d") > lit(0L))).as("x"), col("g2"))
+      .select(col("x.t").as("t_days"), col("x.n").as("n_risk"),
+        col("x.d").as("n_conv"), col("x.c").as("n_cens"),
+        fround(aggregate(
+          filter(col("g2"), y => y("d") > lit(0L) && y("t") <= col("x.t")),
+          lit(1.0),
+          (acc, y) => acc * (lit(1.0) - y("d").cast("double") / y("n").cast("double"))), 6)
+          .as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** SES smoothing factor for x157 — the same double literal is
+    * interpolated into the twin, so both engines smooth with the
+    * bit-identical constant. */
+  private val sesAlpha = 0.3
+
+  /** x157 — exponential-smoothing forecast + backtest (E161): simple
+    * exponential smoothing (lₜ = lₜ₋₁ + α(yₜ − lₜ₋₁), α = 0.3) over each
+    * event type's DENSE daily count series, with a one-step-ahead
+    * backtest — the "can we forecast tomorrow's volume, and does the
+    * model beat persistence" verb that closes the temporal family
+    * (x104 flags anomalies, x145 locates level shifts, x146 fits the
+    * trend; this one predicts). Gap days count 0 (the dense calendar,
+    * x95's convention), or the recursion would silently skip them.
+    *
+    * Determinism: counts are exact integers on an exact calendar grid;
+    * the level/MAE recursion is the one float and is inherently
+    * sequential, so it runs LEFT-TO-RIGHT over the ascending sorted
+    * array inside ONE codegen'd higher-order `aggregate` carrying a
+    * (cnt, level, Σ|err|, Σ|naive err|, prev) struct — the x125/x145
+    * grid-fold discipline; the twin replays the identical IEEE chain
+    * with an ascending recursive CTE. The naive-baseline error sum is
+    * all-integer. fround 6 renders; skill = 1 − mae/naive_mae (NULL when
+    * the baseline is perfect).
+    *
+    * 100 TB shape: events collapse map-side to the types×days grid; the
+    * fold runs on calendar-bounded arrays. One exchange. */
+  val x157: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_type"), to_date(col("ts")).as("day"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val cnts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val series = cal.join(cnts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+    val folded = series.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("g"))
+      .select(col("event_type"), size(col("g")).cast("long").as("n_days"),
+        aggregate(col("g"),
+          struct(lit(0L).as("cnt"), lit(0.0).as("l"), lit(0.0).as("sae"),
+            lit(0L).as("snae"), lit(0L).as("prev")),
+          (acc, x) => {
+            val y = x("y").cast("double")
+            val first = acc("cnt") === 0L
+            struct((acc("cnt") + 1L).as("cnt"),
+              when(first, y).otherwise(acc("l") + lit(sesAlpha) * (y - acc("l"))).as("l"),
+              when(first, lit(0.0)).otherwise(acc("sae") + abs(y - acc("l"))).as("sae"),
+              when(first, lit(0L)).otherwise(acc("snae") + abs(x("y") - acc("prev"))).as("snae"),
+              x("y").as("prev"))
+          }).as("st"))
+    val steps = (col("n_days") - 1L).cast("double")
+    val mae = col("st.sae") / steps
+    val nmae = col("st.snae").cast("double") / steps
+    folded.select(col("event_type"), col("n_days"),
+        fround(col("st.l"), 6).as("ses_forecast"),
+        fround(mae, 6).as("ses_mae"),
+        fround(nmae, 6).as("naive_mae"),
+        when(col("st.snae") === 0L, lit(null).cast("double"))
+          .otherwise(fround(lit(1.0) - mae / nmae, 6)).as("skill"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x157_ses_forecast" -> x157,
+    "x156_kaplan_meier" -> x156,
     "x153_ohlc" -> x153,
     "x152_twap" -> x152,
     "x134_journey_paths" -> x134,
@@ -816,6 +932,80 @@ object TemporalQueries {
        |    FROM wm) WHERE sd > 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x157_ses_forecast" ->
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cal AS (
+        |  SELECT ty.event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ty CROSS JOIN span),
+        |cnts AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |series AS (
+        |  SELECT c.event_type, c.day, COALESCE(n, 0) AS y
+        |  FROM cal c LEFT JOIN cnts ON cnts.event_type = c.event_type AND cnts.day = c.day),
+        |srn AS (
+        |  SELECT event_type, y,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM series),
+        |ses AS (
+        |  SELECT event_type, rn, CAST(y AS DOUBLE) AS l, 0.0 AS sae,
+        |    CAST(0 AS BIGINT) AS snae, y AS prev
+        |  FROM srn WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn,
+        |    ses.l + $sesAlpha * (CAST(s.y AS DOUBLE) - ses.l),
+        |    ses.sae + abs(CAST(s.y AS DOUBLE) - ses.l),
+        |    ses.snae + abs(s.y - ses.prev), s.y
+        |  FROM srn s JOIN ses ON s.event_type = ses.event_type AND s.rn = ses.rn + 1),
+        |fin AS (SELECT event_type, max(rn) AS n_days FROM srn GROUP BY 1),
+        |lastr AS (
+        |  SELECT ses.event_type, fin.n_days, ses.l, ses.sae, ses.snae
+        |  FROM ses JOIN fin ON ses.event_type = fin.event_type AND ses.rn = fin.n_days)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  floor(l * 1000000.0 + 0.5) / 1000000.0 AS ses_forecast,
+        |  floor(sae / (n_days - 1) * 1000000.0 + 0.5) / 1000000.0 AS ses_mae,
+        |  floor(CAST(snae AS DOUBLE) / (n_days - 1) * 1000000.0 + 0.5) / 1000000.0 AS naive_mae,
+        |  CASE WHEN snae = 0 THEN NULL ELSE
+        |    floor((1.0 - (sae / (n_days - 1)) / (CAST(snae AS DOUBLE) / (n_days - 1)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS skill
+        |FROM lastr ORDER BY event_type""".stripMargin,
+    "x156_kaplan_meier" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS mx FROM ev),
+        |tv AS (SELECT user_id, min(day) AS v0 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |tp AS (SELECT e.user_id, min(e.day) AS p0 FROM ev e
+        |       JOIN tv ON tv.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.day >= tv.v0 GROUP BY 1),
+        |obs AS (
+        |  SELECT CAST(CASE WHEN p0 IS NOT NULL THEN datediff('day', v0, p0)
+        |    ELSE datediff('day', v0, mx) END AS BIGINT) AS t,
+        |    CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM tv LEFT JOIN tp USING (user_id), mx),
+        |grid AS (
+        |  SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1),
+        |gn AS (
+        |  SELECT t, d, c, CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+        |  FROM grid),
+        |evt AS (
+        |  SELECT t, d, c, n, ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM gn WHERE d > 0),
+        |km AS (
+        |  SELECT rn, t, d, c, n,
+        |    1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+        |  FROM evt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.rn, e.t, e.d, e.c, e.n,
+        |    km.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))
+        |  FROM evt e JOIN km ON e.rn = km.rn + 1)
+        |SELECT t AS t_days, n AS n_risk, d AS n_conv, c AS n_cens,
+        |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS survival
+        |FROM km ORDER BY t_days""".stripMargin,
     "x153_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

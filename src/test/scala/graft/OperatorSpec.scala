@@ -846,6 +846,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x156 Kaplan-Meier matches a naive censored-survival replay") {
+    val rows = operators.TemporalQueries.x156(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type", to_date($"ts").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val mx = evs.map(_._3).max
+    val obs = evs.filter(_._2 == "view").groupBy(_._1).map { case (u, vs) =>
+      val v0 = vs.map(_._3).min
+      val p0 = evs.filter(e => e._1 == u && e._2 == "purchase" && !e._3.isBefore(v0))
+        .map(_._3).minOption
+      p0 match {
+        case Some(p) => (java.time.temporal.ChronoUnit.DAYS.between(v0, p), 1)
+        case None    => (java.time.temporal.ChronoUnit.DAYS.between(v0, mx), 0)
+      }
+    }.toSeq
+    val grid = obs.groupBy(_._1).map { case (t, os) =>
+      (t, os.count(_._2 == 1).toLong, os.count(_._2 == 0).toLong)
+    }.toSeq.sortBy(_._1)
+    var surv = 1.0
+    val expect = grid.flatMap { case (t, d, c) =>
+      val n = grid.filter(_._1 >= t).map(g => g._2 + g._3).sum
+      if (d > 0) { surv *= (1.0 - d.toDouble / n.toDouble); Some((t, n, d, c, surv)) }
+      else None
+    }
+    assert(rows.length == expect.length, s"${rows.length} vs ${expect.length} event days")
+    rows.zip(expect).foreach { case (r, (t, n, d, c, s0)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == n && r.getLong(2) == d && r.getLong(3) == c,
+        s"grid row: $r vs ($t,$n,$d,$c)")
+      assert(math.abs(r.getDouble(4) - s0) < 1e-5, s"survival($t): ${r.getDouble(4)} vs $s0")
+    }
+    // survival must be monotone nonincreasing, in (0, 1]
+    val ss = rows.map(_.getDouble(4))
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-12 }, "monotone")
+    assert(ss.forall(s0 => s0 > 0.0 && s0 <= 1.0), "in (0,1]")
+  }
+
   test("as-of join: every purchase appears exactly once, prev error is earlier") {
     val res = TemporalQueries.q33(spark, sfDir)
     val purchases = graft.Tables.t(spark, sfDir, "events")
