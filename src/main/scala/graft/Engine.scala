@@ -35,6 +35,18 @@ object Engine {
       // each evicts round-robin, so every warm query pays a janino recompile
       // (~0.5–1 s). Sized to hold the whole suite's generated classes.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Named SQL catalog over the engine's DSv2 connector: three-part
+      // names (`SELECT … FROM graft.sf001.lineitem`) resolve through
+      // sources.GraftCatalog → GraftDataTable — the same pushdown +
+      // snapshot-isolation path as spark.read.format("graft"). Namespaces
+      // are directories under root; the sfNNN aliases exist because the
+      // testdata dir names carry dots SQL identifiers can't (unquoted).
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.root",
+        sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata"))
+      .config("spark.sql.catalog.graft.ns.sf0001", "sf0.001")
+      .config("spark.sql.catalog.graft.ns.sf001", "sf0.01")
+      .config("spark.sql.catalog.graft.ns.sf01", "sf0.1")
       .config("spark.ui.enabled", "false")
     defaults.foreach { case (k, v) => b.config(k, v) }
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>

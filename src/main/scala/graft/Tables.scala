@@ -58,7 +58,11 @@ object Tables {
     if (mode == "off") load(spark, dir, name)
     else {
       evictStopped()
-      dfCache.getOrElseUpdate((spark, mode, dir, name), {
+      // tableSource is part of the key: flipping it to/from "graft"
+      // mid-session must not serve DataFrames resolved through the OTHER
+      // source out of the cache.
+      val source = spark.conf.get("spark.graft.tableSource", "parquet")
+      dfCache.getOrElseUpdate((spark, s"$mode/$source", dir, name), {
         val df = load(spark, dir, name)
         if (mode != "memory") df
         else {

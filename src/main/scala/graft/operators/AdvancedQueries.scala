@@ -411,6 +411,7 @@ object AdvancedQueries {
     val d1 = degrees(edges).localCheckpoint(true) // initial degrees; k0 = its node set
     var keep = d1.select(col("node"))
     var layers: DataFrame = null
+    var lastPeeled: DataFrame = null
     for (i <- 1 to coreRounds) {
       val keepNext = degrees(edges).filter(col("dg") >= coreK).select(col("node"))
         .localCheckpoint(true)
@@ -422,7 +423,16 @@ object AdvancedQueries {
         .join(keepNext.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .localCheckpoint(true)
       keep = keepNext
+      lastPeeled = peeled
     }
+    // Convergence guard: if the FINAL round still peeled nodes, the cascade
+    // is still running at the unroll bound and unpeeled survivors would be
+    // reported as layer 0 ("in the core") — a silent truncation the twin
+    // (which replays the same 8 rounds) cannot catch. Loud error instead;
+    // cheap to check — the inputs are already checkpoint-materialized.
+    require(lastPeeled.isEmpty,
+      s"x155: k-core peel has not converged after $coreRounds rounds " +
+        s"(round $coreRounds still peeled nodes) — raise coreRounds for this graph")
     d1.join(layers, Seq("node"), "left")
       .select(col("node").as("vec_id"), coalesce(col("layer"), lit(0L)).as("layer"),
         col("dg").as("init_degree"))

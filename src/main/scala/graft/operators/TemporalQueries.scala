@@ -951,8 +951,8 @@ object TemporalQueries {
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
         |  FROM series),
         |ses AS (
-        |  SELECT event_type, rn, CAST(y AS DOUBLE) AS l, 0.0 AS sae,
-        |    CAST(0 AS BIGINT) AS snae, y AS prev
+        |  SELECT event_type, rn, CAST(y AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS sae,
+        |    CAST(0 AS BIGINT) AS snae, CAST(y AS BIGINT) AS prev
         |  FROM srn WHERE rn = 1
         |  UNION ALL
         |  SELECT s.event_type, s.rn,

@@ -14,7 +14,7 @@ import org.apache.parquet.hadoop.api.ReadSupport.ReadContext
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
 import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, Type}
-import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, ListLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, ListLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -143,6 +143,24 @@ object GraftDataSource {
       StructField(t.getName, toSpark(t), nullable = true)
     })
 
+  /** Exposed for per-file type-agreement checks (InternalRowReadSupport). */
+  private[sources] def sparkTypeOf(t: Type): DataType = toSpark(t)
+
+  // (bytes, rows) per file, cached: footers are immutable once written
+  // (the commit protocol never rewrites a data file in place), so the
+  // cache never goes stale; keyed by path — compaction writes NEW files.
+  private val fileStats = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+  /** Total (bytes, rows) of `files` from file lengths + footer row counts. */
+  private[sources] def statsOf(files: Seq[String]): (Long, Long) =
+    files.foldLeft((0L, 0L)) { case ((b, r), f) =>
+      val (fb, fr) = fileStats.computeIfAbsent(f, { path =>
+        val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
+        val rd = ParquetFileReader.open(in)
+        try (new java.io.File(path).length, rd.getRecordCount) finally rd.close()
+      })
+      (b + fb, r + fr)
+    }
+
   private def toSpark(t: Type): DataType =
     if (t.isPrimitive) primToSpark(t)
     else t.getLogicalTypeAnnotation match {
@@ -162,8 +180,18 @@ object GraftDataSource {
     val p = t.asPrimitiveType()
     (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
       case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) => TimestampType
+      // DECIMAL-annotated ints carry an implicit scale: mapping them to
+      // Long/Int would surface UNSCALED integers (12345 for 123.45) —
+      // silent wrong data. Fail loudly like the BINARY/FIXED decimals do;
+      // the engine's tables are written decimal-free by design.
+      case (PrimitiveTypeName.INT64, dec: DecimalLogicalTypeAnnotation) =>
+        throw new IllegalArgumentException(
+          s"graft: unsupported parquet type ${t.getName}: INT64/$dec (decimal)")
       case (PrimitiveTypeName.INT64, _) => LongType
       case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => DateType
+      case (PrimitiveTypeName.INT32, dec: DecimalLogicalTypeAnnotation) =>
+        throw new IllegalArgumentException(
+          s"graft: unsupported parquet type ${t.getName}: INT32/$dec (decimal)")
       case (PrimitiveTypeName.INT32, _) => IntegerType
       case (PrimitiveTypeName.DOUBLE, _) => DoubleType
       case (PrimitiveTypeName.FLOAT, _) => FloatType
@@ -253,15 +281,22 @@ object GraftDataSource {
 
 class GraftDataTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
   require(path != null, "graft: .load(<path>) path is required")
+  // Snapshot isolation: the visible file list is resolved ONCE, when the
+  // relation is created, and threaded immutably to every scan. A
+  // commit/compaction landing between two actions on the same DataFrame
+  // must not change what that DataFrame reads (or desync the files from
+  // the already-resolved schema) — re-resolving per planInputPartitions
+  // did exactly that. A NEW spark.read...load() picks up new snapshots.
+  private val files: Seq[String] = GraftDataSource.resolveFiles(path)
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+    new GraftScanBuilder(path, files, tableSchema)
 }
 
-class GraftScanBuilder(path: String, tableSchema: StructType)
+class GraftScanBuilder(path: String, files: Seq[String], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -276,19 +311,29 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(path, tableSchema, required, pushed)
+    new GraftScan(path, files, tableSchema, required, pushed)
 }
 
-class GraftScan(path: String, tableSchema: StructType, required: StructType,
-    pushed: Array[sources.Filter]) extends Scan with Batch {
+class GraftScan(path: String, files: Seq[String], tableSchema: StructType,
+    required: StructType, pushed: Array[sources.Filter])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftDataSource.resolveFiles(path).map(f =>
-      GraftFilePartition(f): InputPartition).toArray
+    files.map(f => GraftFilePartition(f): InputPartition).toArray
+  /** Bytes + row counts from the file footers, so join planning sees
+    * dimension tables as broadcast-able through the connector/catalog
+    * path exactly like through the built-in parquet source. */
+  override def estimateStatistics(): Statistics = {
+    val (bytes, rows) = GraftDataSource.statsOf(files)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(tableSchema.json, required.json,
       pushed.map(SerializedFilter.pack))
@@ -361,13 +406,27 @@ class GraftFileReader(file: String, tableSchema: StructType, required: StructTyp
 }
 
 /** ReadSupport: request the projected subset of THIS file's schema (a file
-  * from an older snapshot may lack evolved columns — they stay null). */
+  * from an older snapshot may lack evolved columns — they stay null).
+  * A file column whose parquet type DISAGREES with the union ("latest
+  * wins") schema is rejected loudly: the converter slots are typed by the
+  * union schema, so e.g. an old INT32 file under an evolved INT64 column
+  * would silently put Int values into a Long slot (and a pushed filter
+  * built from the union type would trip parquet's
+  * SchemaCompatibilityValidator) — type-changing evolution is not a
+  * supported read, per the class contract of failing loudly. */
 class InternalRowReadSupport(required: StructType) extends ReadSupport[InternalRow] {
   override def init(context: InitContext): ReadContext = {
     val fileSchema = context.getFileSchema
     val kept: Seq[Type] = required.fieldNames.toSeq
       .filter(fileSchema.containsField)
       .map(n => fileSchema.getType(fileSchema.getFieldIndex(n)))
+    kept.foreach { t =>
+      val unionDt = required(t.getName).dataType
+      val fileDt = GraftDataSource.sparkTypeOf(t)
+      require(fileDt == unionDt,
+        s"graft: column ${t.getName} is $fileDt in file but $unionDt in the " +
+          "table schema — type-changing schema evolution is unsupported")
+    }
     new ReadContext(new MessageType(fileSchema.getName, kept: _*))
   }
   override def prepareForRead(conf: Configuration,

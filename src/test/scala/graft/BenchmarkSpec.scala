@@ -59,4 +59,48 @@ class BenchmarkSpec extends SparkSpec {
     val st = stats.getOrElse("Statistics", "")
     assert(st.contains("rows"), s"ANALYZE must land row counts in the catalog: $st")
   }
+
+  test("q42–q46 run via three-part catalog names: connector pushdown, value-identical results") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", "/root/testdata")
+    s.conf.set("spark.sql.catalog.graft.ns.sf0001", "sf0.001")
+    BenchmarkQueries.catalogSql("sf0001").foreach { case (name, sql) =>
+      val viaCat = s.sql(sql)
+      val plan = viaCat.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftScan"), s"$name must scan through the connector: $plan")
+      // the date/segment predicates reach the connector scan as pushed filters
+      if (name != "q46_big_orders")
+        assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+          s"$name should push at least one filter: $plan")
+      val got = viaCat.collect().map(_.toString).toSeq
+      val want = BenchmarkQueries.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
+      assert(got == want, s"$name: catalog route diverges from the primary route")
+    }
+  }
+
+  test("output-type guard: flags DECIMAL (the q43/q44 r11 defect class), passes clean schemas") {
+    // Spark parses the bare literal 1.0 as DECIMAL(2,1) — the injected case
+    // the guard must catch (VERDICT r11 #2)
+    val dec = Verify.badOutputColumns(spark.sql("SELECT 1.0 AS x").schema)
+    assert(dec.nonEmpty && dec.head._1 == "x" && dec.head._2.contains("DECIMAL"), dec.toString)
+    // BIGINT / 10000.0 is decimal division in Spark SQL — exactly how q43 shipped red
+    val div = Verify.badOutputColumns(
+      spark.sql("SELECT CAST(42 AS BIGINT) / 10000.0 AS revenue").schema)
+    assert(div.nonEmpty, "BIGINT/10000.0 must flag as decimal")
+    // nested decimals flag too
+    val nested = Verify.badOutputColumns(
+      spark.sql("SELECT array(1.0) AS xs, named_struct('a', 2.5) AS st").schema)
+    assert(nested.size == 2, nested.toString)
+    // every registered query's output schema is clean. Queries whose
+    // CONSTRUCTION needs data sf0.001 lacks (e.g. x123's probe window) are
+    // skipped here — graft.Verify applies the same guard at gate time.
+    SparkEntry.queries.foreach { case (name, q) =>
+      scala.util.Try(q(spark, sfDir).schema).foreach { schema =>
+        val bad = Verify.badOutputColumns(schema)
+        assert(bad.isEmpty, s"$name ships non-comparable output columns: $bad")
+      }
+    }
+  }
 }

@@ -853,7 +853,7 @@ class OperatorSpec extends SparkSpec {
       .select($"user_id", $"event_type", to_date($"ts").as("day")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
     val mx = evs.map(_._3).max
-    val obs = evs.filter(_._2 == "view").groupBy(_._1).map { case (u, vs) =>
+    val obs = evs.filter(_._2 == "view").groupBy(_._1).toSeq.map { case (u, vs) =>
       val v0 = vs.map(_._3).min
       val p0 = evs.filter(e => e._1 == u && e._2 == "purchase" && !e._3.isBefore(v0))
         .map(_._3).minOption
@@ -877,10 +877,45 @@ class OperatorSpec extends SparkSpec {
         s"grid row: $r vs ($t,$n,$d,$c)")
       assert(math.abs(r.getDouble(4) - s0) < 1e-5, s"survival($t): ${r.getDouble(4)} vs $s0")
     }
-    // survival must be monotone nonincreasing, in (0, 1]
+    // survival must be monotone nonincreasing, in [0, 1] — exactly 0.0 is
+    // legitimate when every subject still at risk has the event at the
+    // final duration (the KM curve hits zero)
     val ss = rows.map(_.getDouble(4))
     assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-12 }, "monotone")
-    assert(ss.forall(s0 => s0 > 0.0 && s0 <= 1.0), "in (0,1]")
+    assert(ss.forall(s0 => s0 >= 0.0 && s0 <= 1.0), "in [0,1]")
+  }
+
+  test("x157 SES forecast matches a plain-Scala fold over the dense daily series") {
+    val rows = operators.TemporalQueries.x157(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val cnts = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val ys = days.map(dd => cnts.getOrElse((et, dd), 0L))
+      assert(r.getLong(1) == ys.length.toLong, s"$et n_days")
+      // the operator's exact fold: level starts at y0; errors measured
+      // against the PRE-update level (one-step-ahead), naive against prev
+      var (l, sae, snae, prev) = (ys.head.toDouble, 0.0, 0L, ys.head)
+      ys.tail.foreach { y =>
+        sae += math.abs(y.toDouble - l)
+        snae += math.abs(y - prev)
+        l = l + 0.3 * (y.toDouble - l)
+        prev = y
+      }
+      val steps = (ys.length - 1).toDouble
+      assert(math.abs(r.getDouble(2) - fr6(l)) < 1e-9, s"$et forecast")
+      assert(math.abs(r.getDouble(3) - fr6(sae / steps)) < 1e-9, s"$et mae")
+      assert(math.abs(r.getDouble(4) - fr6(snae / steps)) < 1e-9, s"$et naive_mae")
+      if (snae == 0L) assert(r.isNullAt(5), s"$et skill null when baseline perfect")
+      else assert(math.abs(r.getDouble(5) - fr6(1.0 - (sae / steps) / (snae / steps))) < 1e-9,
+        s"$et skill")
+    }
   }
 
   test("as-of join: every purchase appears exactly once, prev error is earlier") {

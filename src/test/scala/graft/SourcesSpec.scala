@@ -185,4 +185,65 @@ class SourcesSpec extends SparkSpec {
     val plain = operators.CoreQueries.q03(spark, sf).collect().map(_.toString).toSeq
     assert(viaConn == plain)
   }
+
+  /** A fresh session with the named catalog registered (catalog confs are
+    * runtime-resolvable — Engine sets the same ones at build time). */
+  private def catalogSession() = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", "/root/testdata")
+    s.conf.set("spark.sql.catalog.graft.ns.sf0001", "sf0.001")
+    s
+  }
+
+  test("graft catalog: three-part names resolve through the connector with pushdown") {
+    val s = catalogSession()
+    val df = s.sql(
+      "SELECT l_orderkey, l_quantity FROM graft.sf0001.lineitem WHERE l_quantity > 49.0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), "catalog must route through the connector: " + plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,49.0)"), plan)
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 49.0).count()
+    assert(df.count() == expected && expected > 0)
+    // backquoted LITERAL directory name works without an alias
+    assert(s.sql("SELECT count(*) FROM graft.`sf0.001`.lineitem").head.getLong(0)
+      == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("graft catalog: SHOW TABLES / SHOW NAMESPACES list the directory layout") {
+    val s = catalogSession()
+    val tables = s.sql("SHOW TABLES IN graft.sf0001").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("lineitem", "orders", "customer", "events").subsetOf(tables), tables.toString)
+    // dotted directory names render backquoted in SHOW NAMESPACES output
+    val nss = s.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0).stripPrefix("`").stripSuffix("`")).toSet
+    assert(nss.contains("sf0.001") && nss.contains("sf0.01"), nss.toString)
+  }
+
+  test("graft catalog: footer statistics make small dimensions broadcast-able") {
+    val s = catalogSession()
+    val j = s.sql(
+      """SELECT n_name, count(*) AS c FROM graft.sf0001.supplier
+        |JOIN graft.sf0001.nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "footer stats must make nation broadcast-able: " + plan)
+    assert(j.collect().map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$sf/supplier.parquet").count())
+  }
+
+  test("graft catalog: read-only — every DDL mutation refuses loudly") {
+    val s = catalogSession()
+    val e1 = intercept[Exception](s.sql("CREATE TABLE graft.sf0001.t_new (x INT)"))
+    assert(e1.getMessage.contains("read-only") ||
+      Option(e1.getCause).exists(_.getMessage.contains("read-only")), e1.getMessage)
+    val e2 = intercept[Exception](s.sql("DROP TABLE graft.sf0001.lineitem"))
+    assert(e2.getMessage.contains("read-only") ||
+      Option(e2.getCause).exists(_.getMessage.contains("read-only")), e2.getMessage)
+  }
 }

@@ -101,4 +101,27 @@ class StatsSpec extends SparkSpec {
     assert(audit.filterNot(r => r.getString(0) == "lineitem" && r.getString(1) == "l_orderkey")
       .forall(_.getLong(5) == 0L), "other edges stay clean")
   }
+
+  test("x158 Benford audit matches a naive digit recount + chi-square replay") {
+    val rows = StatsQueries.x158(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val cents = Tables.t(spark, sfDir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0L)
+    val byDigit = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = cents.length.toDouble
+    rows.foreach { r =>
+      val (d, nd) = (r.getLong(0), r.getLong(1))
+      assert(byDigit(d) == nd, s"digit $d count: $nd vs ${byDigit(d)}")
+      val p = math.log10(1.0 + 1.0 / d)
+      assert(r.getDouble(2) == fr6(nd / n), s"obs_share($d)")
+      assert(r.getDouble(3) == fr6(p), s"exp_share($d)")
+      val dev = nd - n * p
+      assert(math.abs(r.getDouble(4) - fr6(dev * dev / (n * p))) < 1e-9, s"chi2_part($d)")
+    }
+    // every observed digit appears exactly once, ascending
+    assert(rows.map(_.getLong(0)).toSeq == byDigit.keys.toSeq.sorted)
+  }
 }
