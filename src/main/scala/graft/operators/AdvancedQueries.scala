@@ -439,6 +439,70 @@ object AdvancedQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Synchronous LPA rounds for x163. 4 suffices on the kNN graph: labels
+    * stabilize inside the tight clusters by round 3 (spec asserts the
+    * round-4 relabel rate; the operator reports it so drift is visible). */
+  private val lpaRounds = 4
+
+  /** x163 — label-propagation communities on the kNN graph (E168): the
+    * COMMUNITY view of the similarity graph, completing the graph family's
+    * four orthogonal reads — x139 ranks influence, x148 measures local
+    * cohesion, x155 stratifies by density, x163 PARTITIONS into dense
+    * semantic neighborhoods (near-duplicate topic groups — what a curation
+    * pass samples per-community to de-bias a 100 TB corpus). Unlike x44's
+    * connected components (reachability — one bridge edge merges
+    * everything), LPA keeps weakly-bridged clusters apart: a node adopts
+    * the MAJORITY label of its neighbors, so a single cross-cluster kNN
+    * edge cannot flip a community.
+    *
+    * Determinism: synchronous rounds (round r+1 depends only on round r's
+    * labels — partition-order-free), integer counts, ties broken by MIN
+    * label via the struct-max total order (max (cnt, −lbl)); the twin
+    * replays `lpaRounds` unrolled CTEs with ROW_NUMBER (cnt DESC, lbl).
+    * Isolated nodes (cluster of size 1 ⇒ no kNN edges) keep their own
+    * label, identically on both sides.
+    *
+    * 100 TB shape: x139's loop shape exactly — per round ONE
+    * co-partitioned nbr⋈labels join + a map-side-combined (node, lbl)
+    * count + a struct-max pick, everything keyed on node id; edges and
+    * labels are 16-byte rows; output is a bounded TakeOrdered top-20
+    * plus a 1-row convergence readout via a scalar agg. */
+  val x163: Q = (s, d) => {
+    val und = x26(s, d).select(
+      least(col("vec_id"), col("nbr_id")).as("u"),
+      greatest(col("vec_id"), col("nbr_id")).as("v")).distinct()
+    val nbr = und.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(true) // reused every round — cut the kNN lineage once
+    val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
+    var lab = nodes.select(col("id"), col("id").as("lbl"))
+    var relabeled: DataFrame = null
+    for (r <- 1 to lpaRounds) {
+      val pick = nbr
+        .join(lab.select(col("id").as("nb"), col("lbl")), "nb")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node").as("id"), (-col("m.neg")).as("newl"))
+      val next = nodes.join(pick, Seq("id"), "left")
+        .join(lab.withColumnRenamed("lbl", "oldl"), "id")
+        .select(col("id"), coalesce(col("newl"), col("id")).as("lbl"),
+          col("oldl"))
+        .localCheckpoint(true) // referenced twice (next round + readout)
+      relabeled = next.filter(col("lbl") =!= col("oldl"))
+        .agg(count(lit(1)).as("n"))
+      lab = next.select(col("id"), col("lbl"))
+    }
+    val nMoved = relabeled.head.getLong(0) // 1-row scalar — convergence readout
+    val top = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), col("lbl")).limit(20)
+    top.withColumn("rank", row_number().over( // 20-row local frame
+        Window.orderBy(desc("n_members"), col("lbl"))))
+      .select(col("rank").cast("long").as("rank"), col("lbl").as("community"),
+        col("n_members"), lit(nMoved).as("last_round_moves"))
+      .orderBy(col("rank"))
+  }
+
   /** x27 — ANN retrieval join (E50): top-3 IVF-probed cosine neighbors for
     * a SET of query vectors against the whole corpus — the batch retrieval
     * verb (RAG index backfill, hard-negative mining) that generalizes x22
@@ -1080,6 +1144,7 @@ object AdvancedQueries {
     "x25_semantic_dedup" -> x25,
     "x26_knn_graph" -> x26,
     "x139_pagerank" -> x139,
+    "x163_lpa_communities" -> x163,
     "x148_triangles" -> x148,
     "x155_kcore" -> x155,
     "x27_retrieval_join" -> x27,
@@ -1329,6 +1394,47 @@ object AdvancedQueries {
        |        FROM pr$prIters)
        |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, pr
        |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
+  /** GENERATED x163 twin: the kNN chain + `lpaRounds` UNROLLED synchronous
+    * label-propagation CTEs — majority label via ROW_NUMBER (cnt DESC,
+    * lbl), the mirror of the Spark struct-max; isolated nodes keep their
+    * own label through the same LEFT JOIN + COALESCE. */
+  private def lpaOracle: String = {
+    val rounds = (1 to lpaRounds).map { r =>
+      s"""lc$r AS (
+         |  SELECT n.node, p.lbl, COUNT(*) AS cnt
+         |  FROM lnbr n JOIN l${r - 1} p ON p.id = n.nb GROUP BY 1, 2),
+         |lp$r AS (
+         |  SELECT node, lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |  FROM lc$r),
+         |l$r AS MATERIALIZED (
+         |  SELECT nd.id, COALESCE(p.lbl, nd.id) AS lbl
+         |  FROM lnodes nd LEFT JOIN (SELECT node, lbl FROM lp$r WHERE rn = 1) p
+         |    ON p.node = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCtes,
+       |lund AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u, GREATEST(vec_id, nbr_id) AS v
+       |  FROM ranked WHERE rn <= 3),
+       |lnbr AS MATERIALIZED (
+       |  SELECT u AS node, v AS nb FROM lund
+       |  UNION ALL SELECT v AS node, u AS nb FROM lund),
+       |lnodes AS (SELECT vec_id AS id FROM embeddings),
+       |l0 AS (SELECT id, id AS lbl FROM lnodes),
+       |$rounds,
+       |mv AS (
+       |  SELECT COUNT(*) AS n FROM l$lpaRounds cur
+       |  JOIN l${lpaRounds - 1} prev ON prev.id = cur.id
+       |  WHERE cur.lbl <> prev.lbl),
+       |ltop AS (
+       |  SELECT lbl AS community, COUNT(*) AS n_members,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lbl) AS rank
+       |  FROM l$lpaRounds GROUP BY lbl)
+       |SELECT CAST(rank AS BIGINT) AS rank, community, n_members,
+       |  CAST(mv.n AS BIGINT) AS last_round_moves
+       |FROM ltop, mv WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
   /** GENERATED x148 twin: the kNN chain + identical undirected-pair /
@@ -1635,6 +1741,7 @@ object AdvancedQueries {
     "x25_semantic_dedup" -> semDedupOracle,
     "x26_knn_graph" -> knnGraphOracle,
     "x139_pagerank" -> pageRankOracle,
+    "x163_lpa_communities" -> lpaOracle,
     "x148_triangles" -> trianglesOracle,
     "x155_kcore" -> kCoreOracle,
     "x120_mmr_rerank" -> mmrOracle,

@@ -150,11 +150,82 @@ object IvmQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Snapshot cutoffs for x162 — one year of fact growth between the
+    * reconciled table states (l_shipdate is the ingest-visibility axis). */
+  private val reconT1 = "1997-01-01"
+  private val reconT2 = "1998-01-01"
+
+  /** x162 — snapshot state reconciliation / CDC readout (E167): given the
+    * fact table AT two snapshots (rows visible ≤T1 vs ≤T2), classify
+    * every order key as inserted / updated / unchanged and total the
+    * row and value deltas per class — the downstream-sync verb next to
+    * x109 (x109 MAINTAINS a view from a known delta; x162 DERIVES the
+    * delta between two table states when no changelog exists, which is
+    * what an incremental consumer of a snapshot-only lakehouse table
+    * must do). Append-only facts ⇒ no deleted class by construction
+    * (the catalog's equality-delete path is the MOR seam, A5/E140).
+    *
+    * Determinism: everything is exact integers (counts + cents) until
+    * the one dollars render (DECIMAL(38,0) sum — 100 TB cents exceed
+    * longs — hi·1e9+lo, fround 2); class labels decide on integer
+    * comparisons.
+    *
+    * 100 TB shape: ONE scan classifies each row's snapshot membership
+    * (the T2 predicate prunes partitions), ONE map-side-combined
+    * aggregate per order key (both states accumulate in the same
+    * partial — not two scans joined), then the key frame collapses to
+    * the 3-row class grid. One keyed exchange total. */
+  val x162: Q = (s, d) => {
+    val (t1, t2) = (lit(reconT1).cast("timestamp"), lit(reconT2).cast("timestamp"))
+    val li = t(s, d, "lineitem").filter(col("l_shipdate") < t2)
+      .select(col("l_orderkey"),
+        when(col("l_shipdate") < t1, 1L).otherwise(0L).as("in1"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val st = li.groupBy(col("l_orderkey")).agg(
+      sum(col("in1")).as("n1"), count(lit(1)).as("n2"),
+      sum(col("c") * col("in1")).as("c1"), sum(col("c")).as("c2"))
+    val cls = st.select(
+      when(col("n1") === 0, "inserted")
+        .when(col("n2") > col("n1"), "updated")
+        .otherwise("unchanged").as("change_class"),
+      (col("n2") - col("n1")).as("drows"),
+      (col("c2") - col("c1")).cast("decimal(38,0)").as("dc"))
+    cls.groupBy(col("change_class"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("drows")).as("d_rows"),
+        sum(col("dc")).as("dcs"))
+      .select(col("change_class"), col("n_keys"), col("d_rows"),
+        fround((expr("dcs div 1000000000").cast("double") * lit(1e9) +
+          expr("dcs % 1000000000").cast("double")) / lit(100.0), 2).as("d_dollars"))
+      .orderBy(col("change_class"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x109_ivm_maintain" -> x109,
+    "x162_snapshot_diff" -> x162,
     "x116_hist_drift" -> x116)
 
   val oracles: Map[String, String] = Map(
+    "x162_snapshot_diff" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey,
+         |    CASE WHEN l_shipdate < TIMESTAMP '$reconT1' THEN 1 ELSE 0 END AS in1,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+         |  FROM lineitem WHERE l_shipdate < TIMESTAMP '$reconT2'),
+         |st AS (
+         |  SELECT l_orderkey, CAST(SUM(in1) AS BIGINT) AS n1, COUNT(*) AS n2,
+         |    CAST(SUM(c * in1) AS BIGINT) AS c1, CAST(SUM(c) AS BIGINT) AS c2
+         |  FROM li GROUP BY 1),
+         |cls AS (
+         |  SELECT CASE WHEN n1 = 0 THEN 'inserted'
+         |              WHEN n2 > n1 THEN 'updated'
+         |              ELSE 'unchanged' END AS change_class,
+         |    n2 - n1 AS drows, CAST(c2 - c1 AS HUGEINT) AS dc
+         |  FROM st)
+         |SELECT change_class, COUNT(*) AS n_keys,
+         |  CAST(SUM(drows) AS BIGINT) AS d_rows,
+         |  floor((CAST(SUM(dc) // 1000000000 AS DOUBLE) * 1e9
+         |    + CAST(SUM(dc) % 1000000000 AS DOUBLE)) / 100.0 * 100.0 + 0.5) / 100.0 AS d_dollars
+         |FROM cls GROUP BY 1 ORDER BY change_class""".stripMargin,
     "x109_ivm_maintain" -> {
       val prList = priorities.map(p => s"'$p'").mkString("[", ", ", "]")
       s"""WITH base AS (

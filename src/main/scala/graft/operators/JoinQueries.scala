@@ -352,27 +352,42 @@ object JoinQueries {
     * deterministic integer arithmetic both engines replay exactly.
     *
     * 100 TB shape: inherits x96's candidate generation (deletion-
-    * neighborhood blocking over DISTINCT names — never N²); the scoring
-    * join adds two broadcast-sized field lookups per side; edges at
-    * threshold feed the same size-adaptive CC as x119. Twin: generated
-    * recursive-CTE CC over the identically-scored edge set (feasible at
-    * gate scale like x119's; sf1 documented Spark-timed). */
+    * neighborhood blocking over DISTINCT names — never N²), but builds
+    * the CC edge set WITHOUT materializing the pairwise edges, which are
+    * quadratic in the per-name duplicate count (a 100-way duplicate
+    * flood — /tmp/sf10 — turns 15k names into ~74M clique edges and
+    * killed the sf10 bench run with spill): the score decomposes by
+    * distance, so (a) identical names ALWAYS link (2·(1−0) ≥ 2 whatever
+    * the fields) — a star from each name's min id reaches the exact same
+    * components as the C(k,2) clique with k−1 edges; (b) a distance-1
+    * name pair links iff SOME id pair shares nation AND segment
+    * (0+1+1 ≥ 2), and since each name is already one component via its
+    * star, ONE rep-to-rep edge per linking name pair merges exactly what
+    * the full pairwise edge set would — decided on the distinct
+    * (name, nat, seg) level, never id×id. Components (and so the output)
+    * are provably identical to pairwise scoring; the twin still scores
+    * PAIRWISE and hash equality is the proof. Edges at threshold feed
+    * the same size-adaptive CC as x119. */
   val x137: Q = (s, d) => {
     val cust = t(s, d, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"),
         col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
-    val fields = cust.select(col("id"), col("nat"), col("seg"))
-    val scored = x96(s, d) // (a_id, b_id, dist) — identical + distance-1 pairs
-      .join(fields.select(col("id").as("a_id"), col("nat").as("a_nat"),
-        col("seg").as("a_seg")), "a_id")
-      .join(fields.select(col("id").as("b_id"), col("nat").as("b_nat"),
-        col("seg").as("b_seg")), "b_id")
-      .withColumn("score",
-        lit(2L) * (lit(1L) - col("dist")) +
-          when(col("a_nat") === col("b_nat"), 1L).otherwise(0L) +
-          when(col("a_seg") === col("b_seg"), 1L).otherwise(0L))
-    val edges = scored.filter(col("score") >= 2)
-      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val nameRep = cust.groupBy(col("name")).agg(min(col("id")).as("rep"))
+    // (a) identical-name stars: same components as the per-name clique
+    val stars = cust.join(nameRep, "name").filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"))
+    // (b) distance-1 name pairs that contain at least one both-fields-agree
+    // id pair, decided on distinct (name, nat, seg) triples
+    val fieldSets = cust.select(col("name"), col("nat"), col("seg")).distinct()
+    val d1Edges = fuzzyNamePairs(s, d)
+      .join(fieldSets.select(col("name").as("a_name"), col("nat"), col("seg")), "a_name")
+      .join(fieldSets.select(col("name").as("b_name"), col("nat"), col("seg")),
+        Seq("b_name", "nat", "seg"))
+      .select(col("a_name"), col("b_name")).distinct()
+      .join(nameRep.select(col("name").as("a_name"), col("rep").as("a")), "a_name")
+      .join(nameRep.select(col("name").as("b_name"), col("rep").as("b")), "b_name")
+      .select(col("a"), col("b"))
+    val edges = stars.unionAll(d1Edges)
     val lab = DedupQueries.connectedComponents(cust.select(col("id")), edges)
     val mem = cust
       .join(lab.select(col("id"), col("label")), Seq("id"), "left")

@@ -157,12 +157,169 @@ object MiningQueries {
       (abs(z) >= lit(1.96)).as("significant"))
   }
 
+  /** x165 — split-conformal threshold + coverage audit (E170): the
+    * distribution-free prediction-interval verb a model-serving pipeline
+    * wraps around any scorer — per event type, the calibration half's
+    * ⌈(1−α)(n+1)⌉-th smallest score becomes the threshold q̂, and the
+    * held-out half audits the finite-sample guarantee (coverage ≥ 1−α,
+    * α=0.1). Complements x154 (is the score calibrated in-bin) and x143
+    * (does it rank) with the THIRD model-QA question: can it bound.
+    *
+    * Determinism: the deterministic even/odd event_id split (the
+    * x118/x149 discipline), an all-integer rank k = ⌈9(n+1)/10⌉
+    * (= (9(n+1)+9) div 10), threshold picked by the x108/x150
+    * cumulative-histogram rule on the exact cents grid, coverage a
+    * single final division (fround 6).
+    *
+    * 100 TB shape: rows collapse to the (type, cents) grid in ONE
+    * map-side-combined aggregate carrying BOTH halves' counts (the x162
+    * one-pass-two-states trick); the quantile pick and coverage are
+    * grid-bounded windows/joins against a broadcast ≤|types|-row totals
+    * frame — no row-level sort, no second scan. */
+  val x165: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_type"),
+      round(col("value") * 100).cast("long").as("c"),
+      (col("event_id") % 2 === 0).as("cal"))
+    val grid = ev.groupBy(col("event_type"), col("c")).agg(
+      sum(when(col("cal"), 1L).otherwise(0L)).as("f1"),
+      sum(when(col("cal"), 0L).otherwise(1L)).as("f2"))
+    val tot = grid.groupBy(col("event_type")).agg(
+        sum(col("f1")).as("n_cal"), sum(col("f2")).as("n_test"))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0) // grid-bounded, not rows
+    val cum = grid.withColumn("cum1", sum(col("f1")).over(w))
+    val thr = cum.join(broadcast(tot), "event_type")
+      .filter(col("cum1") >= col("k") && col("cum1") - col("f1") < col("k"))
+      .select(col("event_type"), col("c").as("q_cents"),
+        col("n_cal"), col("n_test"), col("k"))
+    val cov = grid.join(broadcast(thr.select(col("event_type"), col("q_cents"))),
+        "event_type")
+      .filter(col("c") <= col("q_cents"))
+      .groupBy(col("event_type")).agg(sum(col("f2")).as("n_cov"))
+    thr.join(cov, "event_type")
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        col("k").as("rank_k"), col("q_cents"),
+        fround(col("n_cov").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x166 — ABC / Pareto revenue-concentration classification (E171):
+    * rank parts by discounted revenue, classify by cumulative share —
+    * A carries the first 80%, B to 95%, C the tail — the inventory-
+    * policy / curation-priority verb (which 20% of sources carry 80% of
+    * the corpus weight). Complements x150 (Gini says HOW concentrated;
+    * ABC says WHICH members make up each band) and x141's skyline
+    * (dominance, not concentration).
+    *
+    * Determinism: revenue in exact myriacents (the q43 convention), the
+    * rank a total order (rev DESC, partkey), class membership decided by
+    * INTEGER cross-multiplication (cum·5 ≤ tot·4, cum·20 ≤ tot·19 —
+    * DECIMAL(38,0)/HUGEINT, never a float share), so the boundary part
+    * lands identically on both engines; shares are final renders
+    * (hi·1e9+lo, fround 6).
+    *
+    * 100 TB shape: the fact collapses to the PART dimension in ONE
+    * map-side-combined agg; the cumulative window runs on (key, rev)
+    * pairs of the dim grid — fact-row-independent — and the totals ride
+    * a 1-row broadcast. The concentration curve is inherently a global
+    * order; ordering the DIM, not the fact, is what makes it scale. */
+  val x166: Q = (s, d) => {
+    val rev = t(s, d, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)").as("r"))
+      .groupBy(col("l_partkey")).agg(sum(col("r")).as("rev"))
+    val tot = rev.agg(sum(col("rev")).cast("decimal(38,0)").as("tot"),
+      count(lit(1)).as("n_all"))
+    val w = Window.orderBy(desc("rev"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0) // dim-grid-bounded
+    val cls = rev.withColumn("cum", sum(col("rev")).over(w).cast("decimal(38,0)"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+    def hilo(c: String) =
+      expr(s"$c div 1000000000").cast("double") * lit(1e9) +
+        expr(s"$c % 1000000000").cast("double")
+    cls.groupBy(col("abc_class")).agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("decimal(38,0)").as("rev_cls"),
+        max(col("tot")).as("tot"), max(col("n_all")).as("n_all"))
+      .select(col("abc_class"), col("n_parts"),
+        fround(col("n_parts").cast("double") / col("n_all").cast("double"), 6)
+          .as("part_share"),
+        fround(hilo("rev_cls") / hilo("tot"), 6).as("rev_share"))
+      .orderBy(col("abc_class"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x144_basket_rules" -> x144,
     "x145_cusum" -> x145,
+    "x165_conformal" -> x165,
+    "x166_abc_class" -> x166,
     "x149_ab_test" -> x149)
 
   val oracles: Map[String, String] = Map(
+    "x166_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(rev) AS HUGEINT) AS tot, COUNT(*) AS n_all FROM rev),
+        |cum AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS HUGEINT) AS cum
+        |  FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |              WHEN cum * 20 <= tot * 19 THEN 'B'
+        |              ELSE 'C' END AS abc_class, rev
+        |  FROM cum, tot),
+        |g AS (
+        |  SELECT abc_class, COUNT(*) AS n_parts,
+        |    SUM(CAST(rev AS HUGEINT)) AS rev_cls
+        |  FROM cls GROUP BY 1)
+        |SELECT abc_class, n_parts,
+        |  floor(CAST(n_parts AS DOUBLE) / CAST(n_all AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS part_share,
+        |  floor((CAST(rev_cls // 1000000000 AS DOUBLE) * 1e9 + CAST(rev_cls % 1000000000 AS DOUBLE))
+        |    / (CAST(tot // 1000000000 AS DOUBLE) * 1e9 + CAST(tot % 1000000000 AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rev_share
+        |FROM g, tot ORDER BY 1""".stripMargin,
+    "x165_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+        |    (event_id % 2 = 0) AS cal
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, c,
+        |    CAST(SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN cal THEN 0 ELSE 1 END) AS BIGINT) AS f2
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(f1) AS BIGINT) AS n_cal,
+        |    CAST(SUM(f2) AS BIGINT) AS n_test,
+        |    (9 * (CAST(SUM(f1) AS BIGINT) + 1) + 9) // 10 AS k
+        |  FROM grid GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, c, f1, f2,
+        |    SUM(f1) OVER (PARTITION BY event_type ORDER BY c) AS cum1
+        |  FROM grid),
+        |thr AS (
+        |  SELECT cum.event_type, cum.c AS q_cents, tot.n_cal, tot.n_test, tot.k
+        |  FROM cum JOIN tot USING (event_type)
+        |  WHERE cum.cum1 >= tot.k AND cum.cum1 - cum.f1 < tot.k),
+        |cov AS (
+        |  SELECT grid.event_type, CAST(SUM(grid.f2) AS BIGINT) AS n_cov
+        |  FROM grid JOIN thr USING (event_type)
+        |  WHERE grid.c <= thr.q_cents GROUP BY 1)
+        |SELECT event_type, n_cal, n_test, k AS rank_k, q_cents,
+        |  floor(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS coverage
+        |FROM thr JOIN cov USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "x144_basket_rules" ->
       s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
          |tot AS (SELECT COUNT(DISTINCT bid) AS nb FROM b),

@@ -459,7 +459,59 @@ object Quantizers {
       .select(col("vec_id"), graft.Tables.fround(col("raw"), 6).as("adist"))
   }
 
+  /** x161 — simplified silhouette of the trained IVF clustering (E166):
+    * per-cluster cohesion/separation quality of x83's k-means — the
+    * clustering-QA verb the family lacked (x83 traces the OBJECTIVE
+    * falling; silhouette says whether the partition is GOOD: s≈0 means
+    * clusters touch, s<0 means points sit in the wrong cell — exactly
+    * what decides nlist/nprobe before a 100 TB IVF build). Simplified
+    * (centroid-based, Hruschka et al.) in cosine space: per point
+    * a = 1 − cos(x, own centroid), b = 1 − cos(x, runner-up centroid),
+    * s = (b−a)/max(a,b); output = per-cluster n + mean s.
+    *
+    * Determinism: assignment and runner-up are the family's struct-max
+    * total order ((sc, cid) lexicographic — twin replays it as
+    * ROW_NUMBER ... ORDER BY sc DESC, cid DESC); per-point s is a fixed
+    * IEEE div/sub/max tree over codegen'd dots (FloatDoubleDot against
+    * interpolated trained-centroid literals — the x92 twin contract);
+    * per-point fix-point floor(s·1e6+0.5) makes the cluster mean an
+    * EXACT integer sum (order-free merge), rendered hi·1e9+lo.
+    *
+    * 100 TB shape: one spread scan, 17 codegen'd dots/row (16 centroids
+    * + self-norm), ONE map-side-combined aggregate to the nlist-row
+    * grid; the model crosses as literals, no join. */
+  val x161: Q = (s, d) => {
+    verifyDirHint = Some(d)
+    val cents = trainedCents(s, d)
+    val arr = array(cents.map { case (cid, c) =>
+      struct(cdot(col("embedding"), c).as("sc"), lit(cid).as("cid"))
+    }: _*)
+    val per = graft.Tables.spread(t(s, d, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(VectorExprs.floatDot(col("embedding"), col("embedding"))))
+      .withColumn("best", array_max(arr))
+      .withColumn("second", array_max(filter(arr, e => !(e === col("best")))))
+    val aCol = lit(1.0) - col("best.sc") / col("nrm")
+    val bCol = lit(1.0) - col("second.sc") / col("nrm")
+    val sil = when(col("nrm") > 0 && greatest(aCol, bCol) > 0,
+      (bCol - aCol) / greatest(aCol, bCol)).otherwise(lit(0.0))
+    // +1 offset keeps the fix-point sum nonnegative (s ∈ [−1,1]): the
+    // hi·1e9+lo render mixes div/mod conventions across engines on
+    // negative longs; undone exactly at render (−1.0).
+    per.select(col("best.cid").as("cid"),
+        floor((sil + lit(1.0)) * lit(1e6) + lit(0.5)).cast("long").as("silf"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("silf")).as("sumf"))
+      .select(col("cid"), col("n"),
+        graft.Tables.fround(
+          (expr("sumf div 1000000000").cast("double") * lit(1e9) +
+            expr("sumf % 1000000000").cast("double")) / lit(1e6) /
+            col("n").cast("double") - lit(1.0), 6).as("mean_sil"))
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x161_silhouette" -> x161,
     "x83_kmeans_ivf" -> x83,
     "x84_kmeans_pq" -> x84,
     "x91_pca_train" -> x91,
@@ -671,7 +723,47 @@ object Quantizers {
        |${VectorQueries.pqQLutCtesFrom("rembeddings")}
        |${VectorQueries.pqAdcTailSql("pq p")}""".stripMargin
 
+  /** GENERATED x161 twin: trained centroids interpolate as DOUBLE literals
+    * (the x92 contract — Double.toString round-trips exactly), the struct-
+    * max assignment replays as ROW_NUMBER (sc DESC, cid DESC), and the
+    * silhouette is the identical IEEE tree over identical dots; per-point
+    * fix-point (+1-offset) makes per-cluster sums exact integers. */
+  private def x161Oracle: String = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val cents = trainedCents(s, verifyDirHint.getOrElse("/root/testdata/sf0.01"))
+    def vecLit(v: Array[Double]): String =
+      "CAST([" + v.map(_.toString).mkString(",") + "] AS DOUBLE[])"
+    val structs = cents.map { case (cid, c) =>
+      s"{'sc': ${dotSql("embedding", vecLit(c))}, 'cid': $cid}"
+    }.mkString(",\n      ")
+    s"""WITH per AS (
+       |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    unnest([
+       |      $structs]) AS u
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT vec_id, nrm, u.cid AS cid, u.sc AS sc,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.sc DESC, u.cid DESC) AS rn
+       |  FROM per),
+       |pr AS (
+       |  SELECT a.vec_id, a.cid, a.nrm, a.sc AS s1, b.sc AS s2
+       |  FROM ranked a JOIN ranked b ON a.vec_id = b.vec_id
+       |  WHERE a.rn = 1 AND b.rn = 2),
+       |sil AS (
+       |  SELECT cid,
+       |    CAST(floor(((CASE WHEN nrm > 0 AND greatest(1.0 - s1 / nrm, 1.0 - s2 / nrm) > 0
+       |      THEN ((1.0 - s2 / nrm) - (1.0 - s1 / nrm)) / greatest(1.0 - s1 / nrm, 1.0 - s2 / nrm)
+       |      ELSE 0.0 END) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS silf
+       |  FROM pr)
+       |SELECT cid, COUNT(*) AS n,
+       |  floor(((CAST(SUM(silf) // 1000000000 AS DOUBLE) * 1e9
+       |      + CAST(SUM(silf) % 1000000000 AS DOUBLE)) / 1000000.0
+       |      / CAST(COUNT(*) AS DOUBLE) - 1.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_sil
+       |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "x161_silhouette" -> x161Oracle,
     "x83_kmeans_ivf" -> x83Oracle,
     "x84_kmeans_pq" -> x84Oracle,
     "x91_pca_train" -> x91Oracle,

@@ -637,7 +637,60 @@ object StatsQueries {
       .orderBy(col("digit"))
   }
 
+  /** x159 — exact Kolmogorov–Smirnov two-sample test (E164): is the
+    * `value` distribution of purchase events the SAME as that of view
+    * events — the exact nonparametric complement of x116's binned drift
+    * score (PSI needs a bin width; KS is binless and distribution-free)
+    * and of x149's mean-only z readout. D = max |F₁(c) − F₂(c)| over the
+    * pooled support, the max attained at the reported cents value.
+    *
+    * Determinism: D is located on cross-multiplied EXACT integers —
+    * |C₁·N₂ − C₂·N₁| as DECIMAL(38,0) (HUGEINT in the twin; at 100 TB
+    * C·N ~ 1e24 overflows longs) — so argmax and its (dnum DESC, c ASC)
+    * tie-break are integer-decided on both engines; the only floats are
+    * final renders (fround 6) and the significance call, an IEEE
+    * mult/div/sqrt tree (exactly-rounded ops — no transcendental, the
+    * x158 no-log discipline).
+    *
+    * 100 TB shape: rows collapse to the VALUE GRID first (ONE map-side-
+    * combined count keyed by cents — bounded by the value range, ~17.8k
+    * cells at sf0.1, saturating as data grows since the domain is
+    * range-bound like x102's histograms), the ECDF window and top-1 pick
+    * run on the grid, never on rows; one 1-row totals broadcast. */
+  val x159: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100).cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("g2"))
+    val grid = ev.groupBy(col("c"))
+      .agg(sum(col("g1")).as("n1"), sum(col("g2")).as("n2"))
+    val tot = grid.agg(sum(col("n1")).as("n1t"), sum(col("n2")).as("n2t"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0) // grid-bounded, not rows
+    val cum = grid
+      .withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dnum",
+        abs(col("c1").cast("decimal(38,0)") * col("n2t") -
+          col("c2").cast("decimal(38,0)") * col("n1t")))
+    val topRow = cum.orderBy(desc("dnum"), col("c")).limit(1)
+    val dnumD = expr("dnum div 1000000000").cast("double") * lit(1e9) +
+      expr("dnum % 1000000000").cast("double")
+    val (n1D, n2D) = (col("n1t").cast("double"), col("n2t").cast("double"))
+    val ksD = dnumD / (n1D * n2D)
+    val crit = lit(1.358) * sqrt((n1D + n2D) / (n1D * n2D))
+    topRow.select(
+      col("n1t").as("n_purchase"), col("n2t").as("n_view"),
+      col("c").as("at_cents"),
+      fround(ksD, 6).as("ks_d"),
+      fround(crit, 6).as("ks_crit"),
+      (ksD > crit).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x159_ks_test" -> x159,
     "x158_benford" -> x158,
     "x154_calibration" -> x154,
     "x100_zorder_audit" -> x100,
@@ -734,6 +787,36 @@ object StatsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x159_ks_test" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |grid AS (
+        |  SELECT c, CAST(SUM(g1) AS BIGINT) AS n1, CAST(SUM(g2) AS BIGINT) AS n2
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n1) AS BIGINT) AS n1t, CAST(SUM(n2) AS BIGINT) AS n2t
+        |  FROM grid),
+        |cum AS (
+        |  SELECT c, SUM(n1) OVER (ORDER BY c) AS c1, SUM(n2) OVER (ORDER BY c) AS c2
+        |  FROM grid),
+        |d AS (
+        |  SELECT c, abs(CAST(c1 AS HUGEINT) * n2t - CAST(c2 AS HUGEINT) * n1t) AS dnum,
+        |    n1t, n2t
+        |  FROM cum, tot),
+        |top AS (SELECT * FROM d ORDER BY dnum DESC, c LIMIT 1)
+        |SELECT n1t AS n_purchase, n2t AS n_view, c AS at_cents,
+        |  floor((CAST(dnum // 1000000000 AS DOUBLE) * 1e9 + CAST(dnum % 1000000000 AS DOUBLE))
+        |    / (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+        |  floor(1.358 * sqrt((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
+        |    / (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS ks_crit,
+        |  ((CAST(dnum // 1000000000 AS DOUBLE) * 1e9 + CAST(dnum % 1000000000 AS DOUBLE))
+        |    / (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE))
+        |    > 1.358 * sqrt((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
+        |      / (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE)))) AS significant
+        |FROM top""".stripMargin,
     "x158_benford" -> benfordOracle,
     "x154_calibration" ->
       """WITH ev AS (

@@ -874,7 +874,129 @@ object TemporalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** x167 ACF depth: lags 1..7 cover the weekly seasonality the generator
+    * plants and the short-memory decay a curation pass screens for. */
+  private val acfMaxLag = 7
+
+  /** The dense per-type daily count series shared by x167/x168 — the x95
+    * calendar convention (gap days count 0), same construction as x157. */
+  private def dailySeries(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = t(s, d, "events").select(col("event_type"), to_date(col("ts")).as("day"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val cnts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    cal.join(cnts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("y"))
+  }
+
+  /** x167 — lag-k autocorrelation function (E172): ACF of each event
+    * type's DENSE daily count series at lags 1..[[acfMaxLag]] — the
+    * memory/seasonality readout completing the series family (x145
+    * locates a shift, x146 fits trend, x157 forecasts, x167 answers "how
+    * far does today predict"): r_k near the white-noise band ⇒ SES is
+    * the right model; a lag-7 spike ⇒ weekly seasonality x157 misses.
+    *
+    * Determinism: with ȳ = S/n rational, everything is multiplied
+    * through by n² — num_k = Σ(n·yₜ−S)(n·yₜ₊ₖ−S), den = Σ(n·yₜ−S)² —
+    * EXACT DECIMAL(38,0)/HUGEINT integers (n·y ~ 1e12 at 100 TB, squares
+    * ~1e24 overflow longs); num may be negative so its SIGN is decided
+    * on the integer and only |num|, den render to double (hi·1e9+lo, the
+    * x142 discipline — div/% on non-negative values only); r = ±|num|/den
+    * and the ±1.96/√(n−k) white-noise band are final IEEE, fround 6.
+    *
+    * 100 TB shape: rows collapse to the types×days grid FIRST (one
+    * map-side-combined count); the lag join is the grid against itself,
+    * co-partitioned on event_type (one exchange of 24-byte rows), the
+    * per-type moment frame a broadcast ≤|types|-row join. */
+  val x167: Q = (s, d) => {
+    val series = dailySeries(s, d)
+    val mom = series.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val a = series.select(col("event_type"), col("day"), col("y"),
+      explode(typedLit((1 to acfMaxLag).toArray)).as("lag"))
+    val b = series.select(col("event_type").as("et_b"),
+      col("day").as("day_b"), col("y").as("y_b"))
+    val lagged = a.join(b,
+        col("event_type") === col("et_b") &&
+          col("day_b") === date_add(col("day"), col("lag")))
+      .groupBy(col("event_type"), col("lag")).agg(
+        sum((col("y") * col("y_b")).cast("decimal(38,0)")).as("ayy"),
+        sum(col("y") + col("y_b")).as("byy"))
+    def hilo(c: String) =
+      expr(s"$c div 1000000000").cast("double") * lit(1e9) +
+        expr(s"$c % 1000000000").cast("double")
+    val nD = col("n").cast("decimal(38,0)")
+    val out = lagged.join(broadcast(mom), "event_type")
+      // num_k = n²·Σyₜyₜ₊ₖ − n·S·Σ(yₜ+yₜ₊ₖ) + (n−k)·S² — exact decimal
+      .withColumn("num", nD * nD * col("ayy") -
+        nD * col("sy") * col("byy") +
+        (col("n") - col("lag")).cast("decimal(38,0)") * col("sy") * col("sy"))
+      .withColumn("den", nD * nD * col("syy") -
+        nD * col("sy").cast("decimal(38,0)") * col("sy"))
+      .withColumn("anum", abs(col("num")))
+    val sign = when(col("num") < 0, lit(-1.0)).otherwise(lit(1.0))
+    val r = sign * hilo("anum") / hilo("den")
+    val band = lit(1.96) / sqrt((col("n") - col("lag")).cast("double"))
+    out.select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n").as("n_days"),
+        fround(r, 6).as("acf"),
+        fround(band, 6).as("wn_band"),
+        (abs(r) > band).as("significant"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** x168 — Mann–Kendall trend test (E173): the distribution-free
+    * monotone-trend complement of x146's OLS slope (OLS assumes a linear
+    * mean and is dragged by one outlier day; MK only asks "do later days
+    * tend to exceed earlier days" — the screen you run BEFORE trusting a
+    * fitted slope). S = Σᵢ<ⱼ sgn(yⱼ−yᵢ) over each type's dense daily
+    * series, tie-corrected variance 18·Var = n(n−1)(2n+5) −
+    * Σ_g t_g(t_g−1)(2t_g+5), z the continuity-corrected normal score.
+    *
+    * Determinism: S, the tie terms and 18·Var are EXACT integers (n is
+    * calendar-bound — thousands of days — so n³ fits a long with 9
+    * orders to spare); z = (S∓1)/√(Var) is the only float, one IEEE
+    * div/sqrt tree, fround 6.
+    *
+    * 100 TB shape: the all-pairs self-join is GRID×GRID within a type
+    * (days², calendar-bound — 4k pairs on 90 days, 6.6M on a decade —
+    * independent of event count), co-partitioned on event_type; rows
+    * collapsed to the grid before any join, tie histogram a second
+    * grid-bounded agg, both merged on a ≤|types|-row frame. */
+  val x168: Q = (s, d) => {
+    val series = dailySeries(s, d)
+    val pairs = series.as("a").join(series.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s_stat"))
+    val ties = series.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("tg") * (col("tg") - 1L) * (lit(2L) * col("tg") + 5L)).as("tie18"),
+        sum(col("tg")).as("n"))
+    val out = pairs.join(ties, "event_type")
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tie18"))
+    val varD = col("var18").cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0L, (col("s_stat").cast("double") - 1.0) / sqrt(varD))
+      .when(col("s_stat") < 0L, (col("s_stat").cast("double") + 1.0) / sqrt(varD))
+      .otherwise(lit(0.0))
+    out.select(col("event_type"), col("n").as("n_days"),
+        col("n_distinct"), col("s_stat"), col("var18"),
+        fround(z, 6).as("z_score"),
+        when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x167_acf" -> x167,
+    "x168_mann_kendall" -> x168,
     "x157_ses_forecast" -> x157,
     "x156_kaplan_meier" -> x156,
     "x153_ohlc" -> x153,
@@ -931,7 +1053,88 @@ object TemporalQueries {
        |           / $tsimW) AS sd
        |    FROM wm) WHERE sd > 0)""".stripMargin
 
+  /** Shared dense-series CTE prefix for the x167/x168 twins — the same
+    * calendar construction as the x157 twin. */
+  private val seriesCte =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |ty AS (SELECT DISTINCT event_type FROM ev),
+      |cal AS (
+      |  SELECT ty.event_type,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM ty CROSS JOIN span),
+      |cnts AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+      |series AS (
+      |  SELECT c.event_type, c.day, COALESCE(n, 0) AS y
+      |  FROM cal c LEFT JOIN cnts ON cnts.event_type = c.event_type
+      |    AND cnts.day = c.day)""".stripMargin
+
+  /** hi·1e9+lo render of a non-negative HUGEINT expression — x142 twin
+    * discipline. */
+  private def hiloSql(e: String): String =
+    s"(CAST(($e) // 1000000000 AS DOUBLE) * 1e9 + CAST(($e) % 1000000000 AS DOUBLE))"
+
+  private val acfRSql =
+    s"(CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END) * ${hiloSql("abs(num)")} / ${hiloSql("den")}"
+  private val mkZSql =
+    """CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |     WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |     ELSE 0.0 END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x167_acf" ->
+      s"""$seriesCte,
+        |mom AS (
+        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM series GROUP BY 1),
+        |lags AS (SELECT unnest(range(1, ${acfMaxLag + 1})) AS lag),
+        |lagged AS (
+        |  SELECT a.event_type, l.lag,
+        |    SUM(CAST(a.y AS HUGEINT) * b.y) AS ayy,
+        |    CAST(SUM(a.y + b.y) AS BIGINT) AS byy
+        |  FROM series a CROSS JOIN lags l
+        |  JOIN series b ON b.event_type = a.event_type
+        |    AND b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT g.event_type, g.lag, m.n,
+        |    CAST(m.n AS HUGEINT) * m.n * g.ayy
+        |      - CAST(m.n AS HUGEINT) * m.sy * g.byy
+        |      + CAST(m.n - g.lag AS HUGEINT) * m.sy * m.sy AS num,
+        |    CAST(m.n AS HUGEINT) * m.n * m.syy
+        |      - CAST(m.n AS HUGEINT) * m.sy * m.sy AS den
+        |  FROM lagged g JOIN mom m USING (event_type))
+        |SELECT event_type, lag, n AS n_days,
+        |  floor(($acfRSql) * 1000000.0 + 0.5) / 1000000.0 AS acf,
+        |  floor(1.96 / sqrt(CAST(n - lag AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS wn_band,
+        |  (abs($acfRSql) > 1.96 / sqrt(CAST(n - lag AS DOUBLE))) AS significant
+        |FROM j ORDER BY 1, 2""".stripMargin,
+    "x168_mann_kendall" ->
+      s"""$seriesCte,
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM series a JOIN series b ON b.event_type = a.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, COUNT(*) AS n_distinct,
+        |    CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie18,
+        |    CAST(SUM(tg) AS BIGINT) AS n
+        |  FROM (SELECT event_type, y, COUNT(*) AS tg FROM series GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT p.event_type, t.n, t.n_distinct, p.s_stat,
+        |    t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 AS var18
+        |  FROM pairs p JOIN ties t USING (event_type))
+        |SELECT event_type, n AS n_days, n_distinct, s_stat, var18,
+        |  floor(($mkZSql) * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+        |  CASE WHEN ($mkZSql) > 1.96 THEN 'increasing'
+        |       WHEN ($mkZSql) < -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM j ORDER BY 1""".stripMargin,
     "x157_ses_forecast" ->
       s"""WITH RECURSIVE ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, fround}
 
 /** SURVEY.md §2.4 Q30 + north-star text-analysis operators (E21): quality
   * scoring, token counting, language-ID heuristic. All per-row expression
@@ -657,7 +657,114 @@ object TextQueries {
         graft.Tables.fround(col("lift_raw"), 6).as("lift"))
   }
 
+  /** x160 — token↔label χ² feature selection (E165): which tokens are
+    * most ASSOCIATED with a language label — the supervised-feature-
+    * selection verb next to x68's unsupervised tf-idf (x68 asks "is this
+    * token distinctive of this DOC"; x160 asks "is it predictive of this
+    * CLASS"), the screen a classifier-training or slice-discovery pass
+    * runs before fitting. Per (token, lang) the 2×2 presence table
+    * (A=docs with token∧lang, B=token∧¬lang, C=¬token∧lang, D=rest),
+    * χ² = N·(AD−BC)²/((A+B)(C+D)(A+C)(B+D)); per token the BEST lang by
+    * the x147 rounded-first total order (fround χ² DESC, lang ASC), then
+    * the global top [[chi2TopK]] by (fround χ² DESC, token ASC).
+    *
+    * Determinism: all four cell counts are exact integers; AD−BC is
+    * exact DECIMAL(38,0) (HUGEINT twin — at 100 TB A·D ~ N² overflows
+    * longs) rendered hi·1e9+lo to ONE double; χ² is then a fixed IEEE
+    * mult/div tree (no transcendental); orderings are rounded-first.
+    *
+    * 100 TB shape: text leaves the scan once (doc-distinct token
+    * explode), collapses map-side to the (token, lang) grid — bounded by
+    * vocab × |langs|, not docs; token totals are a grid re-agg, lang
+    * totals + N a broadcast ≤|langs|-row aggregate; the best-lang window
+    * and top-k run on the grid. One data-sized exchange total. */
+  private[graft] val chi2TopK = 25
+
+  val x160: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val tl = docs
+      .select(col("lang"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"), col("lang")).agg(count(lit(1)).as("a"))
+    val tokTot = tl.groupBy(col("token")).agg(sum(col("a")).as("n_t"))
+    val langTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val nTot = docs.agg(count(lit(1)).as("n")) // 1-row scalar broadcast
+    val cells = tl.join(tokTot, "token").join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("n_t") - col("a"))
+      .withColumn("c", col("n_l") - col("a"))
+      .withColumn("dd", col("n") - col("n_t") - col("n_l") + col("a"))
+      .withColumn("det",
+        col("a").cast("decimal(38,0)") * col("dd") -
+          col("b").cast("decimal(38,0)") * col("c"))
+    val detD = expr("det div 1000000000").cast("double") * lit(1e9) +
+      expr("det % 1000000000").cast("double")
+    def f(c: Column) = c.cast("double")
+    val chi2 = f(col("n")) * detD * detD /
+      (f(col("n_t")) * f(col("n") - col("n_t")) * f(col("n_l")) * f(col("n") - col("n_l")))
+    val scored = cells.withColumn("chi2_r", graft.Tables.fround(chi2, 6))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(desc("chi2_r"), col("lang"))))
+      .filter(col("rn") === 1)
+    best.orderBy(desc("chi2_r"), col("token")).limit(chi2TopK)
+      .select(col("token"), col("lang").as("best_lang"),
+        col("a").as("n_token_lang"), col("n_t").as("n_token"),
+        col("n_l").as("n_lang"), col("chi2_r").as("chi2"))
+  }
+
+  /** Zipf fit depth for x164 — the head of the rank-frequency curve. */
+  private[graft] val zipfTopR = 20
+
+  /** x164 — Zipf rank-frequency power-law audit (E169): fit
+    * log n ~ α·log rank over the top [[zipfTopR]] vocabulary ranks — the
+    * corpus-forensics verb next to x158's Benford screen (x158 audits a
+    * NUMERIC column's digit law; x164 audits the TEXT distribution
+    * itself: natural corpora sit near α≈1, template/synthetic floods
+    * flatten the curve, boilerplate floods steepen it — a cheap
+    * pre-training corpus health check).
+    *
+    * Determinism: ranks and counts are exact (the x37 (n DESC, token)
+    * total order); ln runs on both engines (the x34 BM25 precedent) but
+    * each per-row log is immediately FIX-POINTED (floor(ln·1e9+0.5) —
+    * nano-units) so the OLS sums are EXACT integers (squares/products as
+    * DECIMAL(38,0)/HUGEINT — X² ~ 7e20 overflows longs) with order-free
+    * merge; the closed-form slope/R² is then one fixed IEEE tree over
+    * hi·1e9+lo renders, fround 6 (the x146 trend-fit discipline).
+    *
+    * 100 TB shape: identical to x37 — ONE map-side-combined token count,
+    * TakeOrdered top-R, then the fit runs on the R-row local frame. */
+  val x164: Q = (s, d) => {
+    val counts = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(desc("n"), col("token")).limit(zipfTopR)
+      .withColumn("rank", row_number().over( // R-row local frame
+        Window.orderBy(desc("n"), col("token"))).cast("long"))
+    val fx = top.select(
+      floor(log(col("rank").cast("double")) * lit(1e9) + lit(0.5)).cast("long").as("x"),
+      floor(log(col("n").cast("double")) * lit(1e9) + lit(0.5)).cast("long").as("y"))
+    val agg = fx.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"),
+      sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+      sum((col("y").cast("decimal(38,0)") * col("y"))).as("syy"))
+    def hl(c: String) = expr(s"$c div 1000000000").cast("double") * lit(1e9) +
+      expr(s"$c % 1000000000").cast("double")
+    val (mD, sxD, syD) = (col("m").cast("double"),
+      col("sx").cast("double") / lit(1e9), col("sy").cast("double") / lit(1e9))
+    val (sxxD, sxyD, syyD) = (hl("sxx") / lit(1e18), hl("sxy") / lit(1e18), hl("syy") / lit(1e18))
+    val cxy = mD * sxyD - sxD * syD
+    val cxx = mD * sxxD - sxD * sxD
+    val cyy = mD * syyD - syD * syD
+    val slope = cxy / cxx
+    agg.select(col("m").as("n_ranks"),
+      fround(-slope, 6).as("alpha"),
+      fround((syD - slope * sxD) / mD, 6).as("intercept"),
+      fround(cxy * cxy / (cxx * cyy), 6).as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x160_chi2_features" -> x160,
+    "x164_zipf_audit" -> x164,
     "x112_phrase_search" -> x112,
     "x138_indexed_phrase" -> x138,
     "x114_collocations" -> x114,
@@ -763,7 +870,84 @@ object TextQueries {
        |FROM sh JOIN top ON sh.g = top.g
        |GROUP BY 1, 2 ORDER BY sh.doc_id""".stripMargin
 
+  /** GENERATED x160 twin: identical 2×2 integer cells (HUGEINT det where
+    * Spark holds DECIMAL), identical IEEE χ² tree, rounded-first orders. */
+  private def chi2FeaturesOracle: String = {
+    val detD = "(CAST(det // 1000000000 AS DOUBLE) * 1e9 + CAST(det % 1000000000 AS DOUBLE))"
+    s"""WITH tl AS (
+       |  SELECT token, lang, COUNT(*) AS a FROM (
+       |    SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS n_t FROM tl GROUP BY 1),
+       |lt AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS n FROM documents),
+       |cells AS (
+       |  SELECT tl.token, tl.lang, tl.a, tt.n_t, lt.n_l, nt.n,
+       |    CAST(tl.a AS HUGEINT) * (nt.n - tt.n_t - lt.n_l + tl.a)
+       |      - CAST(tt.n_t - tl.a AS HUGEINT) * (lt.n_l - tl.a) AS det
+       |  FROM tl JOIN tt USING (token) JOIN lt USING (lang), nt),
+       |scored AS (
+       |  SELECT token, lang, a, n_t, n_l,
+       |    floor(CAST(n AS DOUBLE) * $detD * $detD /
+       |      (CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE)
+       |       * CAST(n_l AS DOUBLE) * CAST(n - n_l AS DOUBLE)) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS chi2_r
+       |  FROM cells),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+       |    ORDER BY chi2_r DESC, lang) AS rn
+       |  FROM scored)
+       |SELECT token, lang AS best_lang, a AS n_token_lang, n_t AS n_token,
+       |  n_l AS n_lang, chi2_r AS chi2
+       |FROM best WHERE rn = 1
+       |ORDER BY chi2_r DESC, token LIMIT $chi2TopK""".stripMargin
+  }
+
+  /** GENERATED x164 twin: identical token counts + (n DESC, token) ranks,
+    * identical per-row ln fix-points (nano-units), HUGEINT sums where
+    * Spark holds DECIMAL, and the identical IEEE OLS render tree. */
+  private def zipfOracle: String = {
+    def hl(c: String) = s"(CAST($c // 1000000000 AS DOUBLE) * 1e9 + CAST($c % 1000000000 AS DOUBLE))"
+    s"""WITH tc AS (
+       |  SELECT token, COUNT(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token),
+       |top AS (
+       |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+       |  FROM tc ORDER BY n DESC, token LIMIT $zipfTopR),
+       |fx AS (
+       |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS y
+       |  FROM top),
+       |ag AS (
+       |  SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM fx),
+       |r AS (
+       |  SELECT CAST(m AS BIGINT) AS n_ranks, CAST(m AS DOUBLE) AS md,
+       |    CAST(sx AS DOUBLE) / 1e9 AS sxd, CAST(sy AS DOUBLE) / 1e9 AS syd,
+       |    ${hl("sxx")} / 1e18 AS sxxd, ${hl("sxy")} / 1e18 AS sxyd,
+       |    ${hl("syy")} / 1e18 AS syyd
+       |  FROM ag),
+       |c AS (
+       |  SELECT n_ranks, md, sxd, syd,
+       |    md * sxyd - sxd * syd AS cxy,
+       |    md * sxxd - sxd * sxd AS cxx,
+       |    md * syyd - syd * syd AS cyy
+       |  FROM r)
+       |SELECT n_ranks,
+       |  floor(-(cxy / cxx) * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+       |  floor((syd - (cxy / cxx) * sxd) / md * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+       |  floor(cxy * cxy / (cxx * cyy) * 1000000.0 + 0.5) / 1000000.0 AS r2
+       |FROM c""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x160_chi2_features" -> chi2FeaturesOracle,
+    "x164_zipf_audit" -> zipfOracle,
     "x112_phrase_search" -> phraseOracle,
     "x138_indexed_phrase" -> phraseOracle,
     "x114_collocations" ->

@@ -435,4 +435,37 @@ class AdvancedSpec extends SparkSpec {
     // the kNN graph at this sf must actually contain triangles, or the test is vacuous
     assert(got.map(_.getLong(2)).sum > 0, "corpus has no triangles — fixture too sparse")
   }
+
+  test("x163: LPA communities match a plain-Scala synchronous 4-round replay") {
+    val und = operators.AdvancedQueries.x26(spark, sfDir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(2)), math.max(r.getLong(0), r.getLong(2))))
+      .distinct
+    val nbrs = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    val nodes = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id")).as[Long].collect().toSeq
+    var lab = nodes.map(n => n -> n).toMap
+    var lastMoves = 0L
+    for (_ <- 1 to 4) {
+      val next = nodes.map { n =>
+        nbrs.get(n) match {
+          case Some(ns) =>
+            val cnt = ns.map(lab).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+            n -> cnt.toSeq.maxBy { case (l, c) => (c, -l) }._1 // majority, tie min label
+          case None => n -> n
+        }
+      }.toMap
+      lastMoves = nodes.count(n => next(n) != lab(n)).toLong
+      lab = next
+    }
+    val expected = lab.values.groupBy(identity).toSeq
+      .map { case (l, xs) => (l, xs.size.toLong) }
+      .sortBy { case (l, n) => (-n, l) }.take(20).zipWithIndex
+      .map { case ((l, n), i) => (i + 1L, l, n, lastMoves) }
+    val got = operators.AdvancedQueries.x163(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got ${got.take(3)} … expected ${expected.take(3)} …")
+    // communities must be non-trivial: strictly fewer labels than nodes
+    assert(lab.values.toSet.size < nodes.size, "LPA merged nothing — fixture too sparse")
+  }
 }

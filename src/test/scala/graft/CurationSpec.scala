@@ -288,4 +288,61 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("hits_term") == 2)
     assert(r.getAs[Long]("docs_flagged") == 4)
   }
+
+  test("x160 chi2 feature selection matches a naive 2x2-table replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").distinct))
+    val n = docs.length.toLong
+    val langTot = docs.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val tl = docs.flatMap { case (l, toks) => toks.map(tk => (tk, l)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val tokTot = tl.toSeq.groupBy(_._1._1).map { case (tk, xs) => tk -> xs.map(_._2).sum }
+    val scored = tl.toSeq.map { case ((tk, l), a) =>
+      val (nt, nl) = (tokTot(tk), langTot(l))
+      val det = (BigInt(a) * (n - nt - nl + a) - BigInt(nt - a) * (nl - a)).toDouble
+      val chi2 = n.toDouble * det * det /
+        (nt.toDouble * (n - nt).toDouble * nl.toDouble * (n - nl).toDouble)
+      (tk, l, a, nt, nl, fr6(chi2))
+    }
+    val best = scored.groupBy(_._1).map { case (_, xs) =>
+      xs.minBy { case (_, l, _, _, _, c) => (-c, l) } // chi2 desc, lang asc
+    }.toSeq
+    val expect = best.sortBy { case (tk, _, _, _, _, c) => (-c, tk) }
+      .take(operators.TextQueries.chi2TopK)
+      .map { case (tk, l, a, nt, nl, c) => (tk, l, a, nt, nl, c) }
+    val got = operators.TextQueries.x160(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"got ${got.take(2)} … expected ${expect.take(2)} …")
+  }
+
+  test("x164 Zipf audit matches a plain-Scala fix-point OLS replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+    val top = toks.groupBy(identity).toSeq
+      .map { case (tk, xs) => (tk, xs.length.toLong) }
+      .sortBy { case (tk, c) => (-c, tk) }.take(20)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e9 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 1e9 + 0.5).toLong)
+    }
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble / 1e9
+    val sy = pts.map(_._2).sum.toDouble / 1e9
+    def big(f: ((Long, Long)) => BigInt) = pts.map(f).sum.toDouble / 1e18
+    val sxx = big { case (x, _) => BigInt(x) * x }
+    val sxy = big { case (x, y) => BigInt(x) * y }
+    val syy = big { case (_, y) => BigInt(y) * y }
+    val (cxy, cxx, cyy) = (m * sxy - sx * sy, m * sxx - sx * sx, m * syy - sy * sy)
+    val r = operators.TextQueries.x164(spark, sfDir).collect().head
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(math.abs(r.getDouble(1) - fr6(-(cxy / cxx))) < 2e-6, "alpha")
+    assert(math.abs(r.getDouble(2) - fr6((sy - (cxy / cxx) * sx) / m)) < 2e-6, "intercept")
+    assert(math.abs(r.getDouble(3) - fr6(cxy * cxy / (cxx * cyy))) < 2e-6, "r2")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "R2 range")
+    assert(r.getDouble(1) > 0.0, "rank-frequency curve must fall (alpha > 0)")
+  }
 }

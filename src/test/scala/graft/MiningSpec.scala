@@ -222,4 +222,64 @@ class MiningSpec extends SparkSpec {
       assert(r.getLong(4) == bn && r.getDate(5).toString == dn, s"$et neg peak: $r vs ($bn,$dn)")
     }
   }
+
+  test("x165 conformal threshold + coverage match a naive quantile replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = operators.MiningQueries.x165(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val cal = rows.filter(_._3 % 2 == 0).map(_._2).sorted
+      val test = rows.filter(_._3 % 2 != 0).map(_._2)
+      val k = (9 * (cal.length + 1) + 9) / 10
+      val q = cal(k - 1) // k-th smallest, 1-indexed
+      val cov = test.count(_ <= q).toDouble / test.length
+      val r = out(et)
+      assert(r.getLong(1) == cal.length.toLong && r.getLong(2) == test.length.toLong)
+      assert(r.getLong(3) == k.toLong, s"$et rank k")
+      assert(r.getLong(4) == q, s"$et threshold: ${r.getLong(4)} vs $q")
+      assert(r.getDouble(5) == fr6(cov), s"$et coverage")
+      // The split-conformal guarantee (coverage ≥ 1−α) is marginal over
+      // exchangeable splits; a FIXED even/odd split realizes one binomial
+      // draw, so test within 3σ of the target for this test-half size —
+      // a deterministic band that can only fail if the operator is wrong
+      // by more than sampling noise, not because the fixture got unlucky.
+      val band = 0.9 - 3.0 * math.sqrt(0.9 * 0.1 / test.length) - 1.0 / test.length
+      assert(r.getDouble(5) >= band,
+        s"$et coverage ${r.getDouble(5)} below 3-sigma band $band (n_test=${test.length})")
+    }
+  }
+
+  test("x166 ABC classes match a naive sorted-cumulative-share replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * (1.0 - r.getDouble(2)) * 10000.0)))
+    val rev = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (pk, rv) => (-rv, pk) }
+    val tot = rev.map(x => BigInt(x._2)).sum
+    var cum = BigInt(0)
+    val classed = rev.map { case (_, rv) =>
+      cum += rv
+      if (cum * 5 <= tot * 4) "A" else if (cum * 20 <= tot * 19) "B" else "C"
+    }
+    val expect = classed.zip(rev.map(_._2)).groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(x => BigInt(x._2)).sum)).toMap
+    val out = operators.MiningQueries.x166(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == expect.keySet, s"classes: ${out.keySet} vs ${expect.keySet}")
+    // the flood-of-equal-revenue degenerate can merge classes; the fixture must not
+    assert(out.keySet == Set("A", "B", "C"), "fixture must produce all three classes")
+    def hilo(x: BigInt): Double = ((x / 1000000000).toDouble * 1e9) + (x % 1000000000).toDouble
+    expect.foreach { case (cls, (nCls, revCls)) =>
+      val r = out(cls)
+      assert(r.getLong(1) == nCls, s"$cls n_parts")
+      assert(r.getDouble(2) == fr6(nCls.toDouble / rev.length.toDouble), s"$cls part_share")
+      assert(r.getDouble(3) == fr6(hilo(revCls) / hilo(tot)), s"$cls rev_share")
+    }
+  }
 }

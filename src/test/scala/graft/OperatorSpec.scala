@@ -918,6 +918,67 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x167 ACF matches an exact BigInt replay over the dense daily series") {
+    val rows = operators.TemporalQueries.x167(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val cnts = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = evs.map(_._1).distinct
+    assert(rows.length == types.length * 7, "7 lags per type")
+    rows.foreach { r =>
+      val (et, k) = (r.getString(0), r.getLong(1).toInt)
+      val ys = days.map(dd => BigInt(cnts.getOrElse((et, dd), 0L)))
+      val (n, sTot) = (BigInt(ys.length), ys.sum)
+      // exact integer moments multiplied through by n² — the operator's form
+      val num = (0 until ys.length - k)
+        .map(t => (n * ys(t) - sTot) * (n * ys(t + k) - sTot)).sum
+      val den = ys.map(y => (n * y - sTot) * (n * y - sTot)).sum
+      def hilo(x: BigInt): Double = ((x / 1000000000).toDouble * 1e9) + (x % 1000000000).toDouble
+      val acf = (if (num < 0) -1.0 else 1.0) * hilo(num.abs) / hilo(den)
+      val band = 1.96 / math.sqrt((ys.length - k).toDouble)
+      assert(r.getLong(2) == ys.length.toLong, s"$et n_days")
+      assert(r.getDouble(3) == fr6(acf), s"$et lag $k acf: ${r.getDouble(3)} vs ${fr6(acf)}")
+      assert(r.getDouble(4) == fr6(band), s"$et lag $k band")
+      assert(r.getBoolean(5) == (math.abs(acf) > band), s"$et lag $k significance")
+    }
+  }
+
+  test("x168 Mann-Kendall matches a naive all-pairs sign count with tie correction") {
+    val rows = operators.TemporalQueries.x168(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val cnts = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.keySet == evs.map(_._1).toSet)
+    rows.foreach { case (et, r) =>
+      val ys = days.map(dd => cnts.getOrElse((et, dd), 0L))
+      val n = ys.length.toLong
+      val sStat = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      val tie18 = ys.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      val z =
+        if (sStat > 0) (sStat.toDouble - 1.0) / math.sqrt(var18.toDouble / 18.0)
+        else if (sStat < 0) (sStat.toDouble + 1.0) / math.sqrt(var18.toDouble / 18.0)
+        else 0.0
+      assert(r.getLong(1) == n && r.getLong(3) == sStat && r.getLong(4) == var18,
+        s"$et integers: $r vs ($n, $sStat, $var18)")
+      assert(r.getDouble(5) == fr6(z), s"$et z")
+      val trend = if (z > 1.96) "increasing" else if (z < -1.96) "decreasing" else "none"
+      assert(r.getString(6) == trend, s"$et trend")
+    }
+  }
+
   test("as-of join: every purchase appears exactly once, prev error is earlier") {
     val res = TemporalQueries.q33(spark, sfDir)
     val purchases = graft.Tables.t(spark, sfDir, "events")

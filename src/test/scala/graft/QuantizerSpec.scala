@@ -251,6 +251,38 @@ class QuantizerSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("x161 silhouette matches a plain-Scala replay over the trained centroids") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val cents = Quantizers.trainedCents(spark, sfDir)
+    val embs = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(v: Array[Float], c: Array[Double]): Double =
+      v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * c(i))
+    val per = embs.map { case (_, v) =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val scored = cents.map { case (cid, c) => (dot(v, c), cid) }
+      val best = scored.max
+      val second = scored.filter(_ != best).max
+      val a = 1.0 - best._1 / nrm
+      val b = 1.0 - second._1 / nrm
+      val sil = if (nrm > 0 && math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+      (best._2, math.floor((sil + 1.0) * 1e6 + 0.5).toLong)
+    }
+    val expect = per.groupBy(_._1).map { case (cid, xs) =>
+      cid -> (xs.length.toLong,
+        fr6(xs.map(_._2).sum.toDouble / 1e6 / xs.length.toDouble - 1.0))
+    }
+    val got = Quantizers.x161(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == embs.length.toLong, "every vector counted once")
+    got.foreach { r =>
+      val (n, m) = expect(r.getLong(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == m,
+        s"cid ${r.getLong(0)}: ($n, $m) vs $r")
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, "silhouette range")
+    }
+  }
+
   test("x83/x84 queries return the cached traces in round order") {
     val km = Quantizers.queries("x83_kmeans_ivf")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -124,4 +124,63 @@ class StatsSpec extends SparkSpec {
     // every observed digit appears exactly once, ascending
     assert(rows.map(_.getLong(0)).toSeq == byDigit.keys.toSeq.sorted)
   }
+
+  test("x159 KS statistic matches a plain-Scala exact ECDF replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val s1 = ev.filter(_._1 == "purchase").map(_._2)
+    val s2 = ev.filter(_._1 == "view").map(_._2)
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val grid = (s1 ++ s2).distinct.sorted
+    var (c1, c2) = (0L, 0L)
+    var best = (BigInt(-1), Long.MaxValue) // (dnum, c) — max dnum, tie min c
+    grid.foreach { c =>
+      c1 += s1.count(_ == c); c2 += s2.count(_ == c)
+      val dnum = (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+      if (dnum > best._1) best = (dnum, c)
+    }
+    val r = operators.StatsQueries.x159(spark, sfDir).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getLong(2) == best._2, s"argmax cents: ${r.getLong(2)} vs ${best._2}")
+    val d = best._1.toDouble / (n1.toDouble * n2.toDouble)
+    assert(r.getDouble(3) == fr6(d), s"ks_d: ${r.getDouble(3)} vs ${fr6(d)}")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    val crit = 1.358 * math.sqrt((n1.toDouble + n2.toDouble) / (n1.toDouble * n2.toDouble))
+    assert(r.getBoolean(5) == (d > crit), "significance call replays")
+  }
+
+  test("x162 snapshot reconciliation matches a plain-Scala two-state replay") {
+    val t1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .filter(_._2.before(t2))
+    val byKey = li.groupBy(_._1)
+    val classes = byKey.toSeq.map { case (_, rows) =>
+      val in1 = rows.filter(_._2.before(t1))
+      val cls = if (in1.isEmpty) "inserted"
+        else if (rows.length > in1.length) "updated" else "unchanged"
+      (cls, (rows.length - in1.length).toLong, rows.map(_._3).sum - in1.map(_._3).sum)
+    }
+    val expect = classes.groupBy(_._1).map { case (cls, xs) =>
+      cls -> (xs.length.toLong, xs.map(_._2).sum,
+        math.floor(xs.map(_._3).sum.toDouble / 100.0 * 100.0 + 0.5) / 100.0)
+    }
+    val got = operators.IvmQueries.x162(spark, sfDir).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nk, dr, dd) = expect(r.getString(0))
+      assert(r.getLong(1) == nk && r.getLong(2) == dr && r.getDouble(3) == dd,
+        s"class ${r.getString(0)}: ($nk, $dr, $dd) vs $r")
+    }
+    // unchanged keys contribute zero delta by construction
+    got.find(_.getString(0) == "unchanged").foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    }
+  }
 }
