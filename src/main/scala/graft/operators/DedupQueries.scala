@@ -511,8 +511,17 @@ object DedupQueries {
       .join(pref.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+    // The verify join carries the full hash arrays (~KB/row): under a
+    // duplicate FLOOD the candidate set is output-quadratic, and at 32
+    // concurrent sorts × bench partition counts the array-heavy SMJ sort
+    // buffers exhaust task memory before spilling kicks in (observed at
+    // sf10's 100-way flood). Widening the pair exchanges shrinks the
+    // per-task working set; explicit counts survive AQE (user-specified).
+    val wide = math.max(s.sparkContext.defaultParallelism * 8, 256)
     cand
+      .repartition(wide, col("a_id"))
       .join(ordered.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("m").as("ma")), Seq("a_id"))
+      .repartition(wide, col("b_id"))
       .join(ordered.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("m").as("mb")), Seq("b_id"))
       .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("u", col("ma") + col("mb") - col("i"))

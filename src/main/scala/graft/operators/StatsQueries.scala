@@ -689,8 +689,58 @@ object StatsQueries {
       (ksD > crit).as("significant"))
   }
 
+  /** x170 — equal-frequency decile binning / quantile discretizer (E176):
+    * bin `value` into deciles by count — the feature-prep verb (monotone
+    * binning before WOE/IV scoring, histogram-equalized features) and the
+    * fourth quantile leg: q35 exact per-group arrays, x64 approx sketches,
+    * x108 exact order statistics, x170 materializes the ASSIGNMENT —
+    * every row gets its bin, with the per-bin audit (count, bounds, mean)
+    * proving the edges round-trip.
+    *
+    * Determinism: edges by the x165 cumulative-histogram rule on the
+    * exact cents grid (edge_q = smallest cents cell whose cumulative
+    * count ≥ ⌈q·n/10⌉, all-integer rank arithmetic); a row's bin =
+    * 1 + #edges strictly below its cell — heavy ties can merge adjacent
+    * deciles (equal edges), identically on both engines. Per-bin mean an
+    * exact DECIMAL(38,0) cents sum, hi·1e9+lo render, fround 6.
+    *
+    * 100 TB shape: rows collapse to the range-bound cents grid in ONE
+    * map-side-combined count; edges, assignment (grid × 9-edge broadcast)
+    * and the bin report are all grid-bounded — the row-level bin column
+    * is a broadcast-join stamp at read time, never a row sort. */
+  val x170: Q = (s, d) => {
+    val grid = t(s, d, "events")
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("f"))
+    val tot = grid.agg(sum(col("f")).as("n"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0) // grid-bounded, not rows
+    val cum = grid.withColumn("cum", sum(col("f")).over(w))
+      .crossJoin(broadcast(tot))
+    val edges = cum
+      .withColumn("q", explode(typedLit((1 to 9).toArray)))
+      .withColumn("k", expr("(q * n + 9) div 10"))
+      .filter(col("cum") >= col("k") && col("cum") - col("f") < col("k"))
+      .select(col("q"), col("c").as("ec"))
+    val assign = grid.crossJoin(broadcast(edges))
+      .groupBy(col("c"), col("f"))
+      .agg(sum(when(col("ec") < col("c"), 1L).otherwise(0L)).as("b0"))
+    def hilo(c: String) =
+      expr(s"$c div 1000000000").cast("double") * lit(1e9) +
+        expr(s"$c % 1000000000").cast("double")
+    assign.groupBy((col("b0") + 1L).as("bin"))
+      .agg(sum(col("f")).as("n_rows"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"),
+        sum((col("c") * col("f")).cast("decimal(38,0)")).as("sc"))
+      .select(col("bin"), col("n_rows"), col("min_cents"), col("max_cents"),
+        fround(hilo("sc") / col("n_rows").cast("double") / lit(100.0), 6)
+          .as("mean_value"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x159_ks_test" -> x159,
+    "x170_decile_bins" -> x170,
     "x158_benford" -> x158,
     "x154_calibration" -> x154,
     "x100_zorder_audit" -> x100,
@@ -787,6 +837,29 @@ object StatsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x170_decile_bins" ->
+      """WITH grid AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c, COUNT(*) AS f
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM grid),
+        |cum AS (SELECT c, f, SUM(f) OVER (ORDER BY c) AS cum FROM grid),
+        |edges AS (
+        |  SELECT q, c AS ec FROM cum, tot,
+        |    (SELECT unnest(range(1, 10)) AS q) qs
+        |  WHERE cum >= (q * n + 9) // 10 AND cum - f < (q * n + 9) // 10),
+        |assign AS (
+        |  SELECT g.c, g.f,
+        |    CAST(SUM(CASE WHEN e.ec < g.c THEN 1 ELSE 0 END) AS BIGINT) AS b0
+        |  FROM grid g CROSS JOIN edges e GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT b0 + 1 AS bin, CAST(SUM(f) AS BIGINT) AS n_rows,
+        |    MIN(c) AS min_cents, MAX(c) AS max_cents,
+        |    SUM(CAST(c AS HUGEINT) * f) AS sc
+        |  FROM assign GROUP BY 1)
+        |SELECT bin, n_rows, min_cents, max_cents,
+        |  floor((CAST(sc // 1000000000 AS DOUBLE) * 1e9 + CAST(sc % 1000000000 AS DOUBLE))
+        |    / CAST(n_rows AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+        |FROM bins ORDER BY bin""".stripMargin,
     "x159_ks_test" ->
       """WITH ev AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS c,

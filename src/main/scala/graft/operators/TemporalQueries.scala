@@ -994,9 +994,67 @@ object TemporalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** x173 positivity shift: slopes are shifted by +2³¹ before the nano-unit
+    * fix-point division so the integer division runs on POSITIVE operands
+    * only — truncation and floor agree there, so Spark's `div` and
+    * DuckDB's `//` produce the same fix-point. Valid while daily counts
+    * stay below 2³¹ per (type, day) — ~2 billion events/day/type, an
+    * order above the 100 TB design point's ~2e8. */
+  private val tsShift = 2147483648L
+
+  /** x173 — Theil–Sen robust trend slope (E178): the median of all
+    * pairwise slopes (yⱼ−yᵢ)/(j−i) per type's dense daily series —
+    * completing the trend triptych: x146 fits OLS (efficient, outlier-
+    * dragged), x168 tests monotonicity (distribution-free, no magnitude),
+    * x173 ESTIMATES the magnitude robustly (up to 29% contamination
+    * cannot move it — the slope you act on when x168 says "trend" but
+    * one flood day owns the OLS fit).
+    *
+    * Determinism: a slope is a RATIONAL; ordering rationals cross-engine
+    * is done by fix-pointing each to nano-units FIRST (the x164
+    * discipline): fp = (num + shift·den)·1e9 div den − shift·1e9 — exact
+    * integer arithmetic (DECIMAL(38,0)/HUGEINT product), positive-operand
+    * division (see [[tsShift]]), so every engine holds the identical
+    * BIGINT multiset; the median picks by ROW POSITION among sorted
+    * values (equal values interchangeable — selection is tie-free), the
+    * even case averages two exact integers; one long→double conversion +
+    * IEEE divide at the very end, fround 6.
+    *
+    * 100 TB shape: pairs are GRID×GRID within a type (days², calendar-
+    * bound — the x168 posture) co-partitioned on event_type; the median
+    * is one window sort over the per-type pair set (4k rows on 90 days),
+    * never over data rows. */
+  val x173: Q = (s, d) => {
+    val series = dailySeries(s, d)
+    val wRn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sI = series.withColumn("i", row_number().over(wRn).cast("long"))
+    val b = sI.select(col("event_type").as("et_b"),
+      col("i").as("j"), col("y").as("y_j"))
+    val pairs = sI.join(b, col("event_type") === col("et_b") && col("j") > col("i"))
+      .withColumn("fp", expr(
+        s"CAST(y_j - y + ${tsShift}L * (j - i) AS DECIMAL(38,0)) * 1000000000" +
+          s" div (j - i) - ${tsShift}L * 1000000000"))
+    val wV = Window.partitionBy(col("event_type")).orderBy(col("fp"))
+    val wN = Window.partitionBy(col("event_type"))
+    val sel = pairs
+      .withColumn("rn", row_number().over(wV))
+      .withColumn("m", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("(m + 2) div 2"))
+      .groupBy(col("event_type")).agg(
+        max(col("m")).as("n_pairs"), count(lit(1)).as("n_mid"),
+        sum(col("fp")).as("sfp"))
+    val nDays = series.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    sel.join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        fround(col("sfp").cast("double") /
+          (col("n_mid").cast("double") * lit(1e9)), 6).as("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x167_acf" -> x167,
     "x168_mann_kendall" -> x168,
+    "x173_theil_sen" -> x173,
     "x157_ses_forecast" -> x157,
     "x156_kaplan_meier" -> x156,
     "x153_ohlc" -> x153,
@@ -1083,6 +1141,33 @@ object TemporalQueries {
       |     ELSE 0.0 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x173_theil_sen" ->
+      s"""$seriesCte,
+        |si AS (
+        |  SELECT event_type, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+        |  FROM series),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CAST((CAST(b.y - a.y + $tsShift * (b.i - a.i) AS HUGEINT) * 1000000000)
+        |      // (b.i - a.i) - CAST($tsShift AS HUGEINT) * 1000000000 AS BIGINT) AS fp
+        |  FROM si a JOIN si b ON b.event_type = a.event_type AND b.i > a.i),
+        |ranked AS (
+        |  SELECT event_type, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY fp) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM pairs),
+        |sel AS (
+        |  SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+        |    COUNT(*) AS n_mid, CAST(SUM(fp) AS BIGINT) AS sfp
+        |  FROM ranked
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, COUNT(*) AS n_days FROM series GROUP BY 1)
+        |SELECT s.event_type, n_days, n_pairs,
+        |  floor(CAST(sfp AS DOUBLE) / (CAST(n_mid AS DOUBLE) * 1e9) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ts_slope
+        |FROM sel s JOIN nd USING (event_type) ORDER BY 1""".stripMargin,
     "x167_acf" ->
       s"""$seriesCte,
         |mom AS (

@@ -108,7 +108,9 @@ object TextQueries {
     "de" -> Seq("en", "er", "ch", "de", "ei"),
     "zh" -> Seq("zh", "sh", "ng", "ia", "uo"))
 
-  val x32: Q = (s, d) => {
+  /** Per-doc (label, guess) of the x32 bigram-profile lang-ID — shared by
+    * x32 (confusion matrix) and x169 (chance-corrected agreement). */
+  private def langGuess(s: org.apache.spark.sql.SparkSession, d: String) = {
     def score(lang: String): Column =
       profiles(lang).map(bg =>
         (length(col("text")) - length(regexp_replace(col("text"), bg, ""))) / 2
@@ -122,12 +124,14 @@ object TextQueries {
     val best = array_max(array(langs.zipWithIndex.map { case (l, i) =>
       struct(col(s"s_$l").as("sc"), lit(-i).as("nidx"), lit(l).as("lg"))
     }: _*))
-    scored
-      .select(col("doc_id"), col("label"), best.getField("lg").as("guess"))
+    scored.select(col("doc_id"), col("label"), best.getField("lg").as("guess"))
+  }
+
+  val x32: Q = (s, d) =>
+    langGuess(s, d)
       .groupBy(col("label"), col("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("guess"))
-  }
 
   /** x33 — document fingerprinting: winnowing-style — min/max of rolling
     * 60-bit hashes over token 3-shingles. Hash is `Tables.h60` (md5-backed,
@@ -762,9 +766,135 @@ object TextQueries {
       fround(cxy * cxy / (cxx * cyy), 6).as("r2"))
   }
 
+  /** x171 burstiness report size: enough tokens to expose both natural
+    * and template-flood regimes, bounded regardless of vocabulary. */
+  private val burstTopN = 30
+
+  /** x169 — Cohen's kappa of the lang-ID heuristic (E174): chance-corrected
+    * agreement between x32's bigram-profile guess and the `lang` label —
+    * the labeler-QA verb: raw accuracy flatters any classifier on a skewed
+    * label mix (guessing the majority class scores high); kappa subtracts
+    * the agreement two independent raters with these marginals would reach
+    * by luck. κ = (N·diag − Σₖrₖcₖ)/(N² − Σₖrₖcₖ) — the multi-class form
+    * with EXACT integer numerator and denominator.
+    *
+    * Determinism: diag and marginals are integer counts; rₖ·cₖ and N² as
+    * DECIMAL(38,0)/HUGEINT (N² overflows longs at 100 TB); κ may be
+    * negative (worse than chance) so its sign is decided on the integer
+    * and only |num|, den render hi·1e9+lo; po/pe/κ final fround 6.
+    *
+    * 100 TB shape: one doc scan → the ≤langs² confusion grid map-side;
+    * marginal products and totals all run on that grid — every downstream
+    * frame is |langs|-bounded. */
+  val x169: Q = (s, d) => {
+    val conf = langGuess(s, d)
+      .groupBy(col("label"), col("guess")).agg(count(lit(1)).as("n"))
+    val tot = conf.agg(sum(col("n")).as("nn"),
+      sum(when(col("label") === col("guess"), col("n")).otherwise(0L)).as("diag"))
+    val marg = conf.groupBy(col("label")).agg(sum(col("n")).as("r"))
+      .join(conf.groupBy(col("guess")).agg(sum(col("n")).as("c")),
+        col("label") === col("guess"))
+      .agg(coalesce(sum((col("r") * col("c")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("rc"))
+    def hilo(c: String) =
+      expr(s"$c div 1000000000").cast("double") * lit(1e9) +
+        expr(s"$c % 1000000000").cast("double")
+    val nnDec = col("nn").cast("decimal(38,0)")
+    val out = tot.crossJoin(marg)
+      .withColumn("num", nnDec * col("diag") - col("rc"))
+      .withColumn("den", nnDec * col("nn") - col("rc"))
+      .withColumn("anum", abs(col("num")))
+    val sign = when(col("num") < 0, lit(-1.0)).otherwise(lit(1.0))
+    val nnD = col("nn").cast("double")
+    out.select(col("nn").as("n_docs"), col("diag").as("n_correct"),
+      fround(col("diag").cast("double") / nnD, 6).as("po"),
+      fround(hilo("rc") / (nnD * nnD), 6).as("pe"),
+      fround(sign * hilo("anum") / hilo("den"), 6).as("kappa"))
+  }
+
+  /** x171 — token burstiness / dispersion audit (E175): variance-to-mean
+    * ratio (Fano factor) of each top token's per-document count over ALL
+    * documents (absent = 0) — the per-token forensic next to x164's
+    * corpus-level Zipf: a natural content word is bursty (VMR > 1 — it
+    * clusters in the few docs about its topic), a template/boilerplate
+    * token is either Poisson-flat (VMR ≈ 1) or flood-concentrated
+    * (VMR ≫ 1 in near-dup stacks) — what x78 detects by df, this ranks by
+    * dispersion shape.
+    *
+    * Determinism: with mean = S/N rational, VMR = (N·Σc² − S²)/(N·S) —
+    * numerator EXACT DECIMAL(38,0)/HUGEINT (Σc² ~ N·c̄² overflows longs at
+    * 100 TB) and non-negative (population variance ≥ 0), denominator a
+    * long product; hi·1e9+lo renders, fround 6; top-N by the (total DESC,
+    * token) total order.
+    *
+    * 100 TB shape: one text scan → (doc, token) counts map-side → one
+    * token-keyed agg carrying S, Σc², df in the same partial; N rides a
+    * 1-row broadcast; the report is TakeOrdered-bounded. */
+  val x171: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val tc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val per = tc.groupBy(col("token")).agg(
+      count(lit(1)).as("df"), sum(col("c")).as("s"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("ss"))
+    def hilo(c: String) =
+      expr(s"$c div 1000000000").cast("double") * lit(1e9) +
+        expr(s"$c % 1000000000").cast("double")
+    val top = per.orderBy(desc("s"), col("token")).limit(burstTopN)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("num", col("nd").cast("decimal(38,0)") * col("ss") -
+        col("s").cast("decimal(38,0)") * col("s"))
+    val vmr = hilo("num") / (col("nd").cast("double") * col("s").cast("double"))
+    top.select(col("token"), col("df").as("n_docs_with"), col("s").as("total"),
+        fround(vmr, 6).as("vmr"))
+      .orderBy(desc("total"), col("token"))
+  }
+
+  /** x172 — readability audit (ARI) per source (E177): Automated
+    * Readability Index from pure counts — 4.71·(chars/words) +
+    * 0.5·(words/sentences) − 21.43 — the text-complexity screen next to
+    * x30's quality ratios (a source whose ARI sits far from prose norms
+    * is tables/code/boilerplate, not reading material; ARI is chosen over
+    * Flesch because it needs NO syllable heuristic — every input is an
+    * exact count). Computed on per-source SUMS (ratio-of-sums, the
+    * corpus-level index), never an average of per-doc ratios — averages
+    * of ratios weight short docs up and are a known readability-report
+    * bug.
+    *
+    * Determinism: chars (alphanumeric), words (the x37 whitespace-split
+    * convention), sentences ([.!?]+ runs) are exact integer counts from
+    * identical regexes on both engines; the index is one final IEEE tree,
+    * fround 6; sources with zero sentences emit NULL (guarded division).
+    *
+    * 100 TB shape: ONE text scan, three regex counts per row, map-side
+    * collapse to the ≤|sources| grid — nothing else moves. */
+  val x172: Q = (s, d) => {
+    val counted = t(s, d, "documents").select(col("source"),
+      length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long").as("ch"),
+      size(split(col("text"), " ")).cast("long").as("w"),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long").as("sn"))
+    val agg = counted.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("ch")).as("chars"),
+      sum(col("w")).as("words"), sum(col("sn")).as("sentences"))
+    val (cD, wD, sD) = (col("chars").cast("double"), col("words").cast("double"),
+      col("sentences").cast("double"))
+    val ari = lit(4.71) * cD / wD + lit(0.5) * wD / sD - lit(21.43)
+    agg.select(col("source"), col("n_docs"), col("chars"), col("words"),
+        col("sentences"),
+        when(col("sentences") === 0L, lit(null).cast("double"))
+          .otherwise(fround(ari, 6)).as("ari"),
+        when(col("sentences") === 0L, lit(null).cast("double"))
+          .otherwise(fround(wD / sD, 6)).as("words_per_sentence"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x160_chi2_features" -> x160,
     "x164_zipf_audit" -> x164,
+    "x169_kappa" -> x169,
+    "x171_burstiness" -> x171,
+    "x172_readability" -> x172,
     "x112_phrase_search" -> x112,
     "x138_indexed_phrase" -> x138,
     "x114_collocations" -> x114,
@@ -782,6 +912,31 @@ object TextQueries {
     "x47_repetition" -> x47,
     "x78_boilerplate" -> x78,
     "x68_tfidf_keywords" -> x68)
+
+  /** Shared per-doc (label, guess) CTE of the x32 bigram lang-ID — the SQL
+    * twin of [[langGuess]], used by both the x32 and x169 oracles. */
+  private lazy val langGuessCte: String = {
+    val langs = profiles.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      profiles(l).map(bg =>
+        s"(length(text) - length(regexp_replace(text, '$bg', '', 'g'))) / 2")
+        .mkString("CAST(", " + ", s" AS DOUBLE) AS s_$l")
+    }.mkString(",\n  ")
+    val guess = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("CASE ", " ", s"ELSE '${langs.last}' END")
+    s"""scored AS (
+       |  SELECT doc_id, lang AS label,
+       |  $scoreCols
+       |  FROM documents),
+       |lg AS (SELECT doc_id, label, $guess AS guess FROM scored)""".stripMargin
+  }
+
+  /** hi·1e9+lo render of a non-negative HUGEINT expression — x142 twin
+    * discipline. */
+  private def hiloOrc(e: String): String =
+    s"(CAST(($e) // 1000000000 AS DOUBLE) * 1e9 + CAST(($e) % 1000000000 AS DOUBLE))"
 
   /** GENERATED x78 oracle: shared shingle CTE + h60 gram hash, same df
     * threshold, floor-form division. */
@@ -1041,24 +1196,72 @@ object TextQueries {
     // sides cannot drift; `/` is true division in both dialects, and the
     // CASE chain in ascending-language order reproduces the Spark argmax's
     // earlier-language-wins tie-break
-    "x32_lang_id" -> {
-      val langs = profiles.keys.toSeq.sorted
-      val scoreCols = langs.map { l =>
-        profiles(l).map(bg =>
-          s"(length(text) - length(regexp_replace(text, '$bg', '', 'g'))) / 2")
-          .mkString("CAST(", " + ", s" AS DOUBLE) AS s_$l")
-      }.mkString(",\n  ")
-      val guess = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $rest THEN '$l'"
-      }.mkString("CASE ", " ", s"ELSE '${langs.last}' END")
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang AS label,
-         |  $scoreCols
-         |  FROM documents)
-         |SELECT label, $guess AS guess, COUNT(*) AS n
-         |FROM scored GROUP BY label, guess ORDER BY label, guess""".stripMargin
-    },
+    "x32_lang_id" ->
+      s"""WITH $langGuessCte
+         |SELECT label, guess, COUNT(*) AS n
+         |FROM lg GROUP BY label, guess ORDER BY label, guess""".stripMargin,
+    "x169_kappa" ->
+      s"""WITH $langGuessCte,
+         |conf AS (SELECT label, guess, COUNT(*) AS n FROM lg GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(CASE WHEN label = guess THEN n ELSE 0 END) AS BIGINT) AS diag
+         |  FROM conf),
+         |marg AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(r.r AS HUGEINT) * c.c) AS HUGEINT),
+         |    CAST(0 AS HUGEINT)) AS rc
+         |  FROM (SELECT label, CAST(SUM(n) AS BIGINT) AS r FROM conf GROUP BY 1) r
+         |  JOIN (SELECT guess, CAST(SUM(n) AS BIGINT) AS c FROM conf GROUP BY 1) c
+         |    ON r.label = c.guess),
+         |j AS (
+         |  SELECT nn, diag,
+         |    CAST(nn AS HUGEINT) * diag - rc AS num,
+         |    CAST(nn AS HUGEINT) * nn - rc AS den, rc
+         |  FROM tot, marg)
+         |SELECT nn AS n_docs, diag AS n_correct,
+         |  floor(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS po,
+         |  floor(${hiloOrc("rc")} / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pe,
+         |  floor((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+         |    * ${hiloOrc("abs(num)")} / ${hiloOrc("den")} * 1000000.0 + 0.5) / 1000000.0 AS kappa
+         |FROM j""".stripMargin,
+    "x172_readability" ->
+      """WITH counted AS (
+        |  SELECT source,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS ch,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sn
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ch) AS BIGINT) AS chars,
+        |    CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(sn) AS BIGINT) AS sentences
+        |  FROM counted GROUP BY 1)
+        |SELECT source, n_docs, chars, words, sentences,
+        |  CASE WHEN sentences = 0 THEN NULL
+        |       ELSE floor((4.71 * CAST(chars AS DOUBLE) / CAST(words AS DOUBLE)
+        |         + 0.5 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE) - 21.43)
+        |         * 1000000.0 + 0.5) / 1000000.0 END AS ari,
+        |  CASE WHEN sentences = 0 THEN NULL
+        |       ELSE floor(CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
+        |         * 1000000.0 + 0.5) / 1000000.0 END AS words_per_sentence
+        |FROM agg ORDER BY source""".stripMargin,
+    "x171_burstiness" ->
+      s"""WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+         |tc AS (
+         |  SELECT doc_id, token, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT token, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS s,
+         |    SUM(CAST(c AS HUGEINT) * c) AS ss
+         |  FROM tc GROUP BY 1),
+         |top AS (SELECT * FROM per ORDER BY s DESC, token LIMIT $burstTopN),
+         |j AS (
+         |  SELECT token, df, s,
+         |    CAST(nd AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS num, nd
+         |  FROM top, nd)
+         |SELECT token, df AS n_docs_with, s AS total,
+         |  floor(${hiloOrc("num")} / (CAST(nd AS DOUBLE) * CAST(s AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS vmr
+         |FROM j ORDER BY total DESC, token""".stripMargin,
     "x47_repetition" -> {
       val h60 = graft.Tables.h60Sql _
       s"""WITH sh AS (

@@ -345,4 +345,90 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "R2 range")
     assert(r.getDouble(1) > 0.0, "rank-frequency curve must fall (alpha > 0)")
   }
+
+  test("x169 kappa matches a naive confusion-matrix replay of the lang-ID") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val profiles = Map( // the x32 bigram profiles, mirrored
+      "en" -> Seq("th", "he", "in", "er", "an"),
+      "es" -> Seq("de", "en", "la", "el", "os"),
+      "fr" -> Seq("es", "le", "de", "en", "re"),
+      "de" -> Seq("en", "er", "ch", "de", "ei"),
+      "zh" -> Seq("zh", "sh", "ng", "ia", "uo"))
+    val langs = profiles.keys.toSeq.sorted
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // non-overlapping occurrence count via replaceAll — the regexp_replace
+    // semantics both engines use, NOT a sliding window (overlaps differ)
+    def score(text: String, l: String): Int =
+      profiles(l).map(bg => (text.length - text.replaceAll(bg, "").length) / 2).sum
+    val conf = docs.map { case (label, text) =>
+      val guess = langs.maxBy(l => (score(text, l), -langs.indexOf(l)))
+      (label, guess)
+    }
+    val n = BigInt(conf.length)
+    val diag = BigInt(conf.count { case (a, b) => a == b })
+    val rows = conf.groupBy(_._1).view.mapValues(g => BigInt(g.length)).toMap
+    val cols = conf.groupBy(_._2).view.mapValues(g => BigInt(g.length)).toMap
+    val rc = rows.map { case (k, r) => r * cols.getOrElse(k, BigInt(0)) }.sum
+    def hilo(x: BigInt): Double = ((x / 1000000000).toDouble * 1e9) + (x % 1000000000).toDouble
+    val (num, den) = (n * diag - rc, n * n - rc)
+    val kappa = (if (num < 0) -1.0 else 1.0) * hilo(num.abs) / hilo(den)
+    val r = operators.TextQueries.x169(spark, sfDir).collect().head
+    assert(r.getLong(0) == conf.length.toLong && r.getLong(1) == diag.toLong)
+    assert(r.getDouble(2) == fr6(diag.toDouble / conf.length.toDouble), "po")
+    assert(r.getDouble(3) == fr6(hilo(rc) / (conf.length.toDouble * conf.length.toDouble)), "pe")
+    assert(r.getDouble(4) == fr6(kappa), s"kappa ${r.getDouble(4)} vs ${fr6(kappa)}")
+  }
+
+  test("x171 burstiness matches a naive per-doc count replay with absent-as-zero") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val texts = Tables.t(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val nd = BigInt(texts.length)
+    val perDoc = texts.map(_.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    val totals = perDoc.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val top = totals.toSeq.sortBy { case (tok, s) => (-s, tok) }.take(30)
+    val out = operators.TextQueries.x171(spark, sfDir).collect()
+    assert(out.length == top.length)
+    def hilo(x: BigInt): Double = ((x / 1000000000).toDouble * 1e9) + (x % 1000000000).toDouble
+    out.zip(top).foreach { case (r, (tok, s)) =>
+      assert(r.getString(0) == tok, s"order: ${r.getString(0)} vs $tok")
+      val cs = perDoc.map(_.getOrElse(tok, 0L)).filter(_ > 0)
+      assert(r.getLong(1) == cs.size.toLong && r.getLong(2) == s, s"$tok counts")
+      val ss = cs.map(c => BigInt(c) * c).sum
+      val num = nd * ss - BigInt(s) * BigInt(s)
+      val vmr = hilo(num) / (nd.toDouble * s.toDouble)
+      assert(r.getDouble(3) == fr6(vmr), s"$tok vmr ${r.getDouble(3)} vs ${fr6(vmr)}")
+    }
+    // the corpus must actually exhibit burstiness or the audit is vacuous
+    assert(out.exists(_.getDouble(3) > 1.0), "at least one over-dispersed token")
+  }
+
+  test("x172 readability matches a naive per-source count replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).view.mapValues { g =>
+      val ch = g.map(d => d._2.replaceAll("[^A-Za-z0-9]", "").length.toLong).sum
+      val w = g.map(d => d._2.split(" ", -1).length.toLong).sum
+      val sn = g.map(d => "[.!?]+".r.findAllIn(d._2).length.toLong).sum
+      (g.length.toLong, ch, w, sn)
+    }.toMap
+    val out = operators.TextQueries.x172(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (src, (nd, ch, w, sn)) =>
+      val r = out(src)
+      assert(r.getLong(1) == nd && r.getLong(2) == ch && r.getLong(3) == w &&
+        r.getLong(4) == sn, s"$src counts: $r vs ($nd, $ch, $w, $sn)")
+      if (sn == 0L) assert(r.isNullAt(5) && r.isNullAt(6), s"$src zero-sentence NULLs")
+      else {
+        val ari = 4.71 * ch.toDouble / w.toDouble + 0.5 * w.toDouble / sn.toDouble - 21.43
+        assert(r.getDouble(5) == fr6(ari), s"$src ari")
+        assert(r.getDouble(6) == fr6(w.toDouble / sn.toDouble), s"$src wps")
+      }
+    }
+  }
 }

@@ -979,6 +979,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x173 Theil-Sen slope matches a naive fix-point pairwise-median replay") {
+    val rows = operators.TemporalQueries.x173(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", to_date($"ts").as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val cnts = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val shift = BigInt(2147483648L)
+    rows.foreach { case (et, r) =>
+      val ys = days.map(dd => BigInt(cnts.getOrElse((et, dd), 0L)))
+      val fps = (for {
+        i <- ys.indices; j <- i + 1 until ys.length
+      } yield {
+        val den = BigInt(j - i)
+        // positive-operand division: truncation == floor, both engines
+        ((ys(j) - ys(i) + shift * den) * BigInt(1000000000) / den -
+          shift * BigInt(1000000000)).toLong
+      }).sorted
+      val m = fps.length
+      val mid = Seq((m + 1) / 2, (m + 2) / 2).distinct.map(k => fps(k - 1))
+      val slope = mid.map(BigInt(_)).sum.toDouble / (mid.length.toDouble * 1e9)
+      assert(r.getLong(1) == ys.length.toLong, s"$et n_days")
+      assert(r.getLong(2) == m.toLong, s"$et n_pairs")
+      assert(r.getDouble(3) == fr6(slope), s"$et slope ${r.getDouble(3)} vs ${fr6(slope)}")
+    }
+  }
+
   test("as-of join: every purchase appears exactly once, prev error is earlier") {
     val res = TemporalQueries.q33(spark, sfDir)
     val purchases = graft.Tables.t(spark, sfDir, "events")

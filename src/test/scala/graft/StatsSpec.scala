@@ -183,4 +183,31 @@ class StatsSpec extends SparkSpec {
       assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
     }
   }
+
+  test("x170 decile bins match a naive sorted-edge replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val cs = Tables.t(spark, sfDir, "events")
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cs.length.toLong
+    // all 9 edge ROWS, duplicates kept: coincident quantile edges make the
+    // operator's bin numbering skip, and the replay must skip identically
+    val edges = (1 to 9).map(q => cs(((q * n + 9) / 10 - 1).toInt))
+    val binOf = (c: Long) => 1L + edges.count(_ < c)
+    val expect = cs.groupBy(binOf).view.mapValues { g =>
+      (g.length.toLong, g.min, g.max, g.map(BigInt(_)).sum)
+    }.toMap
+    val out = operators.StatsQueries.x170(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == expect.keySet, s"bins: ${out.keySet} vs ${expect.keySet}")
+    assert(out.size >= 8, "ties must not collapse the deciles to a handful of bins")
+    def hilo(x: BigInt): Double = ((x / 1000000000).toDouble * 1e9) + (x % 1000000000).toDouble
+    expect.foreach { case (b, (nr, mn, mx, sc)) =>
+      val r = out(b)
+      assert(r.getLong(1) == nr && r.getLong(2) == mn && r.getLong(3) == mx, s"bin $b")
+      assert(r.getDouble(4) == fr6(hilo(sc) / nr.toDouble / 100.0), s"bin $b mean")
+    }
+    // equal-frequency contract: every bin within ~1 cell of n/10 on this data
+    assert(expect.values.map(_._1).max <= 2 * n / 10 + 1, "no degenerate bin")
+  }
 }
