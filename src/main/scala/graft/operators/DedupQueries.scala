@@ -491,7 +491,18 @@ object DedupQueries {
     * equivalent of x82's dfCap); verification joins hash ARRAYS back by
     * doc id and compares integers. ⌈τ·m⌉ is computed as the integer
     * (4·m + 4) div 5 — no float touches the pipeline until the final
-    * jaccard render, fround 4. */
+    * jaccard render, fround 4.
+    *
+    * Exact-duplicate collapse (the x137 flood posture): identical hash
+    * SETS are grouped FIRST and the prefix join runs on one
+    * representative per set — under a k-way duplicate flood the naive
+    * pair join is k² in candidates, spills past any disk (observed: the
+    * sf10 100-way flood produced an unbounded spill at 48 GiB heap + 64
+    * partitions), while Jaccard depends only on the SET, so rep-level
+    * similarity expands loss-free: within-group pairs are J = 1 by
+    * identity, cross-group pairs inherit the rep pair's (i, u). Join
+    * work collapses from (k·n)² to n² + k²·|true pairs| — output-bound,
+    * the provable floor for an exact join. */
   val x151: Q = (s, d) => {
     val g = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -504,28 +515,40 @@ object DedupQueries {
       .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("os"))
       .select(col("doc_id"), expr("transform(os, x -> x.gh)").as("hs"),
         size(col("os")).cast("long").as("m"))
-    val pref = ordered.select(col("doc_id"),
+    // identical hash sets → one representative (arrays compared exactly —
+    // a hashed group key could merge distinct sets)
+    val groups = ordered.groupBy(col("hs"), col("m"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("rep", col("ids").getItem(0))
+    val reps = groups.select(col("rep"), col("hs"), col("m"))
+    val pref = reps.select(col("rep"),
         expr(s"slice(hs, 1, cast(m - (($ppNum * m + $ppNum) div $ppDen) + 1 as int))").as("p"))
-      .select(col("doc_id"), explode(col("p")).as("gh"))
-    val cand = pref.select(col("doc_id").as("a_id"), col("gh"))
-      .join(pref.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    // The verify join carries the full hash arrays (~KB/row): under a
-    // duplicate FLOOD the candidate set is output-quadratic, and at 32
-    // concurrent sorts × bench partition counts the array-heavy SMJ sort
-    // buffers exhaust task memory before spilling kicks in (observed at
-    // sf10's 100-way flood). Widening the pair exchanges shrinks the
-    // per-task working set; explicit counts survive AQE (user-specified).
-    val wide = math.max(s.sparkContext.defaultParallelism * 8, 256)
-    cand
-      .repartition(wide, col("a_id"))
-      .join(ordered.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("m").as("ma")), Seq("a_id"))
-      .repartition(wide, col("b_id"))
-      .join(ordered.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("m").as("mb")), Seq("b_id"))
+      .select(col("rep"), explode(col("p")).as("gh"))
+    val cand = pref.select(col("rep").as("ra"), col("gh"))
+      .join(pref.select(col("rep").as("rb"), col("gh")), Seq("gh"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb")).distinct()
+    val repPairs = cand
+      .join(reps.select(col("rep").as("ra"), col("hs").as("ha"), col("m").as("ma")), Seq("ra"))
+      .join(reps.select(col("rep").as("rb"), col("hs").as("hb"), col("m").as("mb")), Seq("rb"))
       .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("u", col("ma") + col("mb") - col("i"))
       .filter(lit(ppDen.toLong) * col("i") >= lit(ppNum.toLong) * col("u"))
+      .select(col("ra"), col("rb"), col("i"), col("u"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("ra"), col("ids").as("ia")), Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("ids").as("ib")), Seq("rb"))
+      .select(explode(col("ia")).as("x"), col("ib"), col("i"), col("u"))
+      .select(col("x"), explode(col("ib")).as("y"), col("i"), col("u"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("i"), col("u"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(col("m"), explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        col("m").as("i"), col("m").as("u"))
+    cross.unionAll(within)
       .select(col("a_id"), col("b_id"), col("i").as("n_common"), col("u").as("n_union"),
         fround(col("i").cast("double") / col("u").cast("double"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
