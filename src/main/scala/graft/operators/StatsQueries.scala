@@ -738,9 +738,70 @@ object StatsQueries {
       .orderBy(col("bin"))
   }
 
+  /** x175 — trimmed & winsorized mean per event type (E180): the robust
+    * LOCATION estimators completing the robust family — x104 scores
+    * anomalies (median/MAD), x173 fits slope (pairwise median), x175
+    * reports the center you quote when the tails are contaminated:
+    * 10%-trimmed (drop the bottom/top n÷10 observations) and winsorized
+    * (CLAMP them to the trim edges — keeps n constant, the estimator
+    * regulators ask for).
+    *
+    * Determinism: everything is rank arithmetic on the exact cents grid —
+    * the kept-rank window [lo+1, hi] intersects each cell's rank span
+    * [cum−f+1, cum] with an ALL-INTEGER overlap weight, the trim edges
+    * are picked cells (x108 rule), the winsorized sum adds lo·edge_lo +
+    * (n−hi)·edge_hi exactly; sums DECIMAL(38,0)/HUGEINT, hi·1e9+lo
+    * renders, fround 6.
+    *
+    * 100 TB shape: ONE map-side-combined count to the (type, cents)
+    * grid; the cumulative window, edge picks and weighted sum are all
+    * grid-bounded against a broadcast ≤|types| totals frame — no
+    * row-level sort (the same posture as x165/x170). */
+  val x175: Q = (s, d) => {
+    val grid = t(s, d, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("f"))
+    val tot = grid.groupBy(col("event_type")).agg(sum(col("f")).as("n"))
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", col("n") - col("lo"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0) // grid-bounded, not rows
+    val cum = grid.withColumn("cum", sum(col("f")).over(w))
+      .join(broadcast(tot), "event_type")
+    val core = cum
+      .withColumn("wt", greatest(lit(0L),
+        least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("f") + 1L, col("lo") + 1L) + 1L))
+      .groupBy(col("event_type")).agg(
+        sum((col("c") * col("wt")).cast("decimal(38,0)")).as("ts"))
+    val elo = cum.filter(col("cum") >= col("lo") + 1L &&
+        col("cum") - col("f") < col("lo") + 1L)
+      .select(col("event_type"), col("c").as("edge_lo"))
+    val ehi = cum.filter(col("cum") >= col("hi") && col("cum") - col("f") < col("hi"))
+      .select(col("event_type"), col("c").as("edge_hi"))
+    def sghl(c: String) =
+      (when(col(c) < 0, lit(-1.0)).otherwise(lit(1.0))) *
+        (expr(s"abs($c) div 1000000000").cast("double") * lit(1e9) +
+          expr(s"abs($c) % 1000000000").cast("double"))
+    val out = core.join(broadcast(tot), "event_type")
+      .join(broadcast(elo), "event_type").join(broadcast(ehi), "event_type")
+      .withColumn("ws", col("ts") +
+        (col("lo") * col("edge_lo")).cast("decimal(38,0)") +
+        ((col("n") - col("hi")) * col("edge_hi")).cast("decimal(38,0)"))
+    out.select(col("event_type"), col("n"),
+        (col("hi") - col("lo")).as("n_kept"),
+        col("edge_lo").as("lo_cents"), col("edge_hi").as("hi_cents"),
+        fround(sghl("ts") / (col("hi") - col("lo")).cast("double") / lit(100.0), 6)
+          .as("trimmed_mean"),
+        fround(sghl("ws") / col("n").cast("double") / lit(100.0), 6)
+          .as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x159_ks_test" -> x159,
     "x170_decile_bins" -> x170,
+    "x175_trimmed_mean" -> x175,
     "x158_benford" -> x158,
     "x154_calibration" -> x154,
     "x100_zorder_audit" -> x100,
@@ -837,6 +898,43 @@ object StatsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x175_trimmed_mean" ->
+      """WITH grid AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, COUNT(*) AS f
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(f) AS BIGINT) AS n,
+        |    CAST(SUM(f) AS BIGINT) // 10 AS lo,
+        |    CAST(SUM(f) AS BIGINT) - CAST(SUM(f) AS BIGINT) // 10 AS hi
+        |  FROM grid GROUP BY 1),
+        |cum AS (
+        |  SELECT g.event_type, c, f, n, lo, hi,
+        |    SUM(f) OVER (PARTITION BY g.event_type ORDER BY c) AS cum
+        |  FROM grid g JOIN tot USING (event_type)),
+        |core AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(c AS HUGEINT) * GREATEST(0,
+        |      LEAST(cum, hi) - GREATEST(cum - f + 1, lo + 1) + 1)) AS HUGEINT) AS ts
+        |  FROM cum GROUP BY 1),
+        |elo AS (
+        |  SELECT event_type, c AS edge_lo FROM cum
+        |  WHERE cum >= lo + 1 AND cum - f < lo + 1),
+        |ehi AS (
+        |  SELECT event_type, c AS edge_hi FROM cum
+        |  WHERE cum >= hi AND cum - f < hi),
+        |j AS (
+        |  SELECT t.event_type, n, lo, hi, edge_lo, edge_hi, ts,
+        |    ts + CAST(lo AS HUGEINT) * edge_lo + CAST(n - hi AS HUGEINT) * edge_hi AS ws
+        |  FROM tot t JOIN core USING (event_type)
+        |  JOIN elo USING (event_type) JOIN ehi USING (event_type))
+        |SELECT event_type, n, hi - lo AS n_kept, edge_lo AS lo_cents, edge_hi AS hi_cents,
+        |  floor((CASE WHEN ts < 0 THEN -1.0 ELSE 1.0 END)
+        |    * (CAST(abs(ts) // 1000000000 AS DOUBLE) * 1e9 + CAST(abs(ts) % 1000000000 AS DOUBLE))
+        |    / CAST(hi - lo AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS trimmed_mean,
+        |  floor((CASE WHEN ws < 0 THEN -1.0 ELSE 1.0 END)
+        |    * (CAST(abs(ws) // 1000000000 AS DOUBLE) * 1e9 + CAST(abs(ws) % 1000000000 AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS winsorized_mean
+        |FROM j ORDER BY event_type""".stripMargin,
     "x170_decile_bins" ->
       """WITH grid AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS c, COUNT(*) AS f

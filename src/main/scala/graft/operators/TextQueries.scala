@@ -889,12 +889,84 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** x174 vocabulary bound: JS runs over the top-V global tokens — the
+    * divergence of the HEAD distribution, the bounded-grid convention
+    * (x37/x164); tail tokens' mass is excluded identically on both
+    * engines. */
+  private val jsTopV = 200
+
+  /** x174 — pairwise Jensen–Shannon divergence between source token
+    * distributions (E179): which sources WRITE alike — the
+    * distributional complement of x38 (set overlap ignores frequency)
+    * and x160 (per-token discrimination, not a pair distance); JS is
+    * symmetric, bounded [0, ln 2], and defined when supports differ —
+    * exactly what corpus mixing weights (x121) want as input.
+    *
+    * Determinism: over the dense sources×top-V grid, each term's ratio
+    * 2·aᵢ·B/(aᵢ·B + bᵢ·A) is a rational of EXACT integers; its ln is
+    * IEEE'd once and immediately fix-pointed to nano-units (the x164
+    * discipline), so the weighted sums Σaᵢ·fᵢ are EXACT
+    * DECIMAL(38,0)/HUGEINT; per-term rounding can land a
+    * mathematically-zero KL half a hair negative, so the render is
+    * sign-split hi·1e9+lo (x167 discipline); JS and JS/ln2 final IEEE,
+    * fround 6.
+    *
+    * 100 TB shape: one text scan → (source, token) counts map-side; the
+    * top-V head is a TakeOrdered broadcast; everything after runs on the
+    * \|sources\|·V dense grid and its \|sources\|²·V pair frame —
+    * corpus-size-independent. */
+  val x174: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(jsTopV).select(col("token"))
+    val st = tok.join(broadcast(top), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val dense = t(s, d, "documents").select(col("source")).distinct()
+      .crossJoin(broadcast(top))
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val a = dense.select(col("source").as("sa"), col("token"), col("c").as("ca"))
+      .join(broadcast(totals.select(col("source").as("sa"), col("tot").as("ta"))), Seq("sa"))
+    val b = dense.select(col("source").as("sb"), col("token"), col("c").as("cb"))
+      .join(broadcast(totals.select(col("source").as("sb"), col("tot").as("tb"))), Seq("sb"))
+    val pairs = a.join(b, Seq("token")).filter(col("sa") < col("sb"))
+    def lnfix(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * lit(1e9) + lit(0.5)).cast("long")
+    val fa = when(col("ca") > 0L, lnfix(
+      lit(2L).cast("decimal(38,0)") * col("ca") * col("tb"),
+      col("ca").cast("decimal(38,0)") * col("tb") + col("cb").cast("decimal(38,0)") * col("ta")))
+      .otherwise(lit(0L))
+    val fb = when(col("cb") > 0L, lnfix(
+      lit(2L).cast("decimal(38,0)") * col("cb") * col("ta"),
+      col("ca").cast("decimal(38,0)") * col("tb") + col("cb").cast("decimal(38,0)") * col("ta")))
+      .otherwise(lit(0L))
+    val g = pairs
+      .withColumn("tca", (col("ca").cast("decimal(38,0)") * fa))
+      .withColumn("tcb", (col("cb").cast("decimal(38,0)") * fb))
+      .groupBy(col("sa"), col("sb")).agg(
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(col("tca")).as("la"), sum(col("tcb")).as("lb"))
+    def sghl(c: String) =
+      (when(col(c) < 0, lit(-1.0)).otherwise(lit(1.0))) *
+        (expr(s"abs($c) div 1000000000").cast("double") * lit(1e9) +
+          expr(s"abs($c) % 1000000000").cast("double"))
+    val js = (sghl("la") / (col("ta").cast("double") * lit(1e9)) +
+      sghl("lb") / (col("tb").cast("double") * lit(1e9))) / lit(2.0)
+    g.select(col("sa"), col("sb"), col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        fround(js, 6).as("js_nats"),
+        fround(js / lit(math.log(2.0)), 6).as("js_bits_norm"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x160_chi2_features" -> x160,
     "x164_zipf_audit" -> x164,
     "x169_kappa" -> x169,
     "x171_burstiness" -> x171,
     "x172_readability" -> x172,
+    "x174_js_divergence" -> x174,
     "x112_phrase_search" -> x112,
     "x138_indexed_phrase" -> x138,
     "x114_collocations" -> x114,
@@ -1224,6 +1296,55 @@ object TextQueries {
          |  floor((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
          |    * ${hiloOrc("abs(num)")} / ${hiloOrc("den")} * 1000000.0 + 0.5) / 1000000.0 AS kappa
          |FROM j""".stripMargin,
+    "x174_js_divergence" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         |top AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+         |    ORDER BY n DESC, token LIMIT $jsTopV)),
+         |st AS (
+         |  SELECT source, token, COUNT(*) AS c
+         |  FROM tok JOIN top USING (token) GROUP BY 1, 2),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |dense AS (
+         |  SELECT s.source, t.token, CAST(COALESCE(c, 0) AS BIGINT) AS c
+         |  FROM srcs s CROSS JOIN top t
+         |  LEFT JOIN st ON st.source = s.source AND st.token = t.token),
+         |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM dense GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS sa, b.source AS sb, a.c AS ca, b.c AS cb,
+         |    ta.tot AS ta, tb.tot AS tb
+         |  FROM dense a JOIN dense b ON a.token = b.token AND a.source < b.source
+         |  JOIN totals ta ON ta.source = a.source
+         |  JOIN totals tb ON tb.source = b.source),
+         |terms AS (
+         |  SELECT sa, sb, ta, tb, ca, cb,
+         |    CASE WHEN ca > 0 THEN CAST(floor(ln(
+         |      CAST(2 * CAST(ca AS HUGEINT) * tb AS DOUBLE)
+         |      / CAST(CAST(ca AS HUGEINT) * tb + CAST(cb AS HUGEINT) * ta AS DOUBLE))
+         |      * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS fa,
+         |    CASE WHEN cb > 0 THEN CAST(floor(ln(
+         |      CAST(2 * CAST(cb AS HUGEINT) * ta AS DOUBLE)
+         |      / CAST(CAST(ca AS HUGEINT) * tb + CAST(cb AS HUGEINT) * ta AS DOUBLE))
+         |      * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS fb
+         |  FROM pairs),
+         |g AS (
+         |  SELECT sa, sb, MAX(ta) AS ta, MAX(tb) AS tb,
+         |    CAST(SUM(CAST(ca AS HUGEINT) * fa) AS HUGEINT) AS la,
+         |    CAST(SUM(CAST(cb AS HUGEINT) * fb) AS HUGEINT) AS lb
+         |  FROM terms GROUP BY 1, 2),
+         |j AS (
+         |  SELECT sa, sb, ta, tb,
+         |    ((CASE WHEN la < 0 THEN -1.0 ELSE 1.0 END)
+         |      * ${hiloOrc("abs(la)")} / (CAST(ta AS DOUBLE) * 1e9)
+         |     + (CASE WHEN lb < 0 THEN -1.0 ELSE 1.0 END)
+         |      * ${hiloOrc("abs(lb)")} / (CAST(tb AS DOUBLE) * 1e9)) / 2.0 AS js
+         |  FROM g)
+         |SELECT sa, sb, ta AS n_tokens_a, tb AS n_tokens_b,
+         |  floor(js * 1000000.0 + 0.5) / 1000000.0 AS js_nats,
+         |  floor(js / ${math.log(2.0)} * 1000000.0 + 0.5) / 1000000.0 AS js_bits_norm
+         |FROM j ORDER BY sa, sb""".stripMargin,
     "x172_readability" ->
       """WITH counted AS (
         |  SELECT source,

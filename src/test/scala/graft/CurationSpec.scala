@@ -405,6 +405,45 @@ class CurationSpec extends SparkSpec {
     assert(out.exists(_.getDouble(3) > 1.0), "at least one over-dispersed token")
   }
 
+  test("x174 JS divergence matches a naive dense-grid replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (src, tx) => tx.split(" ", -1).map(src -> _) }
+    val top = toks.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(200).map(_._1)
+    val topSet = top.toSet
+    val byScT = toks.filter(t => topSet(t._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val srcs = docs.map(_._1).distinct.sorted
+    def cnt(src: String, tok: String) = byScT.getOrElse((src, tok), 0L)
+    val tots = srcs.map(s0 => s0 -> top.map(tk => cnt(s0, tk)).sum).toMap
+    def hilo(x: BigInt): Double = ((x / 1000000000).toDouble * 1e9) + (x % 1000000000).toDouble
+    def sghl(x: BigInt): Double = (if (x < 0) -1.0 else 1.0) * hilo(x.abs)
+    val out = operators.TextQueries.x174(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == srcs.length * (srcs.length - 1) / 2, "all source pairs")
+    for (i <- srcs.indices; j <- i + 1 until srcs.length) {
+      val (sa, sb) = (srcs(i), srcs(j))
+      val (ta, tb) = (BigInt(tots(sa)), BigInt(tots(sb)))
+      var (la, lb) = (BigInt(0), BigInt(0))
+      top.foreach { tk =>
+        val (ca, cb) = (BigInt(cnt(sa, tk)), BigInt(cnt(sb, tk)))
+        val den = ca * tb + cb * ta
+        if (ca > 0) la += ca * BigInt(math.floor(
+          math.log((BigInt(2) * ca * tb).toDouble / den.toDouble) * 1e9 + 0.5).toLong)
+        if (cb > 0) lb += cb * BigInt(math.floor(
+          math.log((BigInt(2) * cb * ta).toDouble / den.toDouble) * 1e9 + 0.5).toLong)
+      }
+      val js = (sghl(la) / (tots(sa).toDouble * 1e9) + sghl(lb) / (tots(sb).toDouble * 1e9)) / 2.0
+      val r = out((sa, sb))
+      assert(r.getLong(2) == tots(sa) && r.getLong(3) == tots(sb), s"($sa,$sb) totals")
+      assert(r.getDouble(4) == fr6(js), s"($sa,$sb) js ${r.getDouble(4)} vs ${fr6(js)}")
+      assert(r.getDouble(4) >= -1e-6 && r.getDouble(4) <= 0.6931472 + 1e-6, "JS in [0, ln2]")
+    }
+  }
+
   test("x172 readability matches a naive per-source count replay") {
     def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val docs = Tables.t(spark, sfDir, "documents")

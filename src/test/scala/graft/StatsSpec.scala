@@ -184,6 +184,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("x175 trimmed/winsorized means match a naive sorted replay") {
+    def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = operators.StatsQueries.x175(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (et, g) =>
+      val cs = g.map(_._2).sorted
+      val n = cs.length
+      val lo = n / 10
+      val hi = n - lo
+      val kept = cs.slice(lo, hi) // ranks lo+1..hi, 0-indexed
+      val (eLo, eHi) = (cs(lo), cs(hi - 1))
+      val ts = kept.map(BigInt(_)).sum
+      val ws = ts + BigInt(lo) * eLo + BigInt(n - hi) * eHi
+      val r = out(et)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == (hi - lo).toLong, s"$et ns")
+      assert(r.getLong(3) == eLo && r.getLong(4) == eHi, s"$et edges")
+      def hilo(x: BigInt): Double =
+        (if (x < 0) -1.0 else 1.0) *
+          (((x.abs / 1000000000).toDouble * 1e9) + (x.abs % 1000000000).toDouble)
+      assert(r.getDouble(5) == fr6(hilo(ts) / (hi - lo).toDouble / 100.0), s"$et tmean")
+      assert(r.getDouble(6) == fr6(hilo(ws) / n.toDouble / 100.0), s"$et wmean")
+      // winsorizing pulls toward the center no further than the raw mean spread
+      assert(r.getLong(3) <= r.getLong(4), s"$et edge order")
+    }
+  }
+
   test("x170 decile bins match a naive sorted-edge replay") {
     def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val cs = Tables.t(spark, sfDir, "events")
