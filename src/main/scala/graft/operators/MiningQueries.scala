@@ -230,11 +230,13 @@ object MiningQueries {
       .select(col("l_partkey"),
         expr("CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)").as("r"))
       .groupBy(col("l_partkey")).agg(sum(col("r")).as("rev"))
-    val tot = rev.agg(sum(col("rev")).cast("decimal(38,0)").as("tot"),
+    // decimal BEFORE the sums: the corpus-total and cumulative revenue
+    // overflow longs at 100 TB, and the twins sum in HUGEINT (cast-first)
+    val tot = rev.agg(sum(col("rev").cast("decimal(38,0)")).as("tot"),
       count(lit(1)).as("n_all"))
     val w = Window.orderBy(desc("rev"), col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, 0) // dim-grid-bounded
-    val cls = rev.withColumn("cum", sum(col("rev")).over(w).cast("decimal(38,0)"))
+    val cls = rev.withColumn("cum", sum(col("rev").cast("decimal(38,0)")).over(w))
       .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when(col("cum") * 5 <= col("tot") * 4, "A")
@@ -245,7 +247,7 @@ object MiningQueries {
         expr(s"$c % 1000000000").cast("double")
     cls.groupBy(col("abc_class")).agg(
         count(lit(1)).as("n_parts"),
-        sum(col("rev")).cast("decimal(38,0)").as("rev_cls"),
+        sum(col("rev").cast("decimal(38,0)")).as("rev_cls"),
         max(col("tot")).as("tot"), max(col("n_all")).as("n_all"))
       .select(col("abc_class"), col("n_parts"),
         fround(col("n_parts").cast("double") / col("n_all").cast("double"), 6)

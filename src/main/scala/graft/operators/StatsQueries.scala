@@ -705,9 +705,12 @@ object StatsQueries {
     * exact DECIMAL(38,0) cents sum, hi·1e9+lo render, fround 6.
     *
     * 100 TB shape: rows collapse to the range-bound cents grid in ONE
-    * map-side-combined count; edges, assignment (grid × 9-edge broadcast)
-    * and the bin report are all grid-bounded — the row-level bin column
-    * is a broadcast-join stamp at read time, never a row sort. */
+    * map-side-combined count; edges are a bounded MODEL DIMENSION (9
+    * rank picks — the x111 posture) collected to the driver and stamped
+    * onto the grid as literal codegen predicates, so the assignment is a
+    * pure map with NO join at all; the bin report is grid-bounded — the
+    * row-level bin column is a map-side stamp at read time, never a row
+    * sort. */
   val x170: Q = (s, d) => {
     val grid = t(s, d, "events")
       .select(round(col("value") * 100).cast("long").as("c"))
@@ -722,16 +725,21 @@ object StatsQueries {
       .withColumn("k", expr("(q * n + 9) div 10"))
       .filter(col("cum") >= col("k") && col("cum") - col("f") < col("k"))
       .select(col("q"), col("c").as("ec"))
-    val assign = grid.crossJoin(broadcast(edges))
-      .groupBy(col("c"), col("f"))
-      .agg(sum(when(col("ec") < col("c"), 1L).otherwise(0L)).as("b0"))
+    // 9 edge cells = the model dimension; literal predicates beat a
+    // broadcast NLJ (bounded driver collect, x111's LocalRelation rule)
+    val edgeVals = edges.orderBy(col("q")).collect().map(_.getLong(1)).toSeq
+    val b0 = edgeVals.map(e => when(lit(e) < col("c"), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val assign = grid.select(col("c"), col("f"), b0.as("b0"))
     def hilo(c: String) =
       expr(s"$c div 1000000000").cast("double") * lit(1e9) +
         expr(s"$c % 1000000000").cast("double")
     assign.groupBy((col("b0") + 1L).as("bin"))
       .agg(sum(col("f")).as("n_rows"),
         min(col("c")).as("min_cents"), max(col("c")).as("max_cents"),
-        sum((col("c") * col("f")).cast("decimal(38,0)")).as("sc"))
+        // decimal BEFORE the multiply: c·f overflows longs at 100 TB and
+        // non-ANSI long wrap would silently diverge from the HUGEINT twin
+        sum(col("c").cast("decimal(38,0)") * col("f")).as("sc"))
       .select(col("bin"), col("n_rows"), col("min_cents"), col("max_cents"),
         fround(hilo("sc") / col("n_rows").cast("double") / lit(100.0), 6)
           .as("mean_value"))
@@ -773,7 +781,8 @@ object StatsQueries {
         least(col("cum"), col("hi")) -
           greatest(col("cum") - col("f") + 1L, col("lo") + 1L) + 1L))
       .groupBy(col("event_type")).agg(
-        sum((col("c") * col("wt")).cast("decimal(38,0)")).as("ts"))
+        // decimal before the multiply (c·wt wraps longs at 100 TB)
+        sum(col("c").cast("decimal(38,0)") * col("wt")).as("ts"))
     val elo = cum.filter(col("cum") >= col("lo") + 1L &&
         col("cum") - col("f") < col("lo") + 1L)
       .select(col("event_type"), col("c").as("edge_lo"))
@@ -786,8 +795,8 @@ object StatsQueries {
     val out = core.join(broadcast(tot), "event_type")
       .join(broadcast(elo), "event_type").join(broadcast(ehi), "event_type")
       .withColumn("ws", col("ts") +
-        (col("lo") * col("edge_lo")).cast("decimal(38,0)") +
-        ((col("n") - col("hi")) * col("edge_hi")).cast("decimal(38,0)"))
+        col("lo").cast("decimal(38,0)") * col("edge_lo") +
+        (col("n") - col("hi")).cast("decimal(38,0)") * col("edge_hi"))
     out.select(col("event_type"), col("n"),
         (col("hi") - col("lo")).as("n_kept"),
         col("edge_lo").as("lo_cents"), col("edge_hi").as("hi_cents"),
