@@ -209,6 +209,80 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass counts of a fixed set of 2-char ASCII patterns over a string
+  * column (x32/x169 lang-ID hot loop): returns array<long>, counts(i) =
+  * non-overlapping left-to-right occurrences of patterns(i) — exactly
+  * `(length(s) − length(regexp_replace(s, p, ''))) / 2`, the form the
+  * DuckDB twins replay, but 25 regexp_replace string-building passes per
+  * row collapse to ONE byte scan with a 128×128 direct-index lookup
+  * (VERDICT r12: the one genuinely compressible hot loop, ~5×).
+  *
+  * Byte-level matching of ASCII-only patterns is exact on UTF-8: every
+  * non-ASCII code unit has the high bit set, so a 2-ASCII-byte window can
+  * never straddle or false-match a multi-byte character. Non-overlap is
+  * per-pattern greedy (match at i consumes i..i+1 FOR THAT PATTERN ONLY —
+  * patterns are distinct, at most one matches a window, but the skip
+  * state is still tracked per pattern for regex parity). */
+case class BigramCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty && patterns.forall(p =>
+    p.length == 2 && p.forall(c => c < 128)),
+    "BigramCounts: patterns must be 2-char ASCII")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bigram_counts"
+
+  // (b1<<7 | b2) -> 1-based pattern index; 0 = no pattern
+  @transient private lazy val table: Array[Int] = {
+    val t = new Array[Int](128 * 128)
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      t((p.charAt(0) << 7) | p.charAt(1)) = i + 1
+    }
+    t
+  }
+
+  private def count(bytes: Array[Byte]): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    val nextOk = new Array[Int](patterns.length)
+    val tab = table
+    var i = 0
+    val n = bytes.length - 1
+    while (i < n) {
+      val b1 = bytes(i); val b2 = bytes(i + 1)
+      if (b1 >= 0 && b2 >= 0) {
+        val idx = tab((b1 << 7) | b2)
+        if (idx > 0 && i >= nextOk(idx - 1)) {
+          counts(idx - 1) += 1L
+          nextOk(idx - 1) = i + 2
+        }
+      }
+      i += 1
+    }
+    counts
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayData.toArrayData(count(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val self = ctx.addReferenceObj("bigramCounts", this, classOf[BigramCounts].getName)
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.genCount($x);
+       """.stripMargin
+    })
+
+  /** codegen entry: the scan itself is a tight JVM loop already — the win
+    * is eliminating the 25 regex passes, not inlining the scan into janino. */
+  def genCount(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    ArrayData.toArrayData(count(s.getBytes))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The MinHash permutation family shared by the Spark expression and the
   * GENERATED DuckDB oracle twin (the x32/x34 trick: both sides derive from
   * the same constants, so they cannot drift).
@@ -359,4 +433,7 @@ object VectorExprs {
   def h60(c: Column): Column = GraftExprBridge.toColumn(H60(GraftExprBridge.toExpression(c)))
   /** Element-wise h60 over an array<string> column. */
   def h60Array(c: Column): Column = GraftExprBridge.toColumn(H60Array(GraftExprBridge.toExpression(c)))
+  /** One-pass non-overlapping counts of 2-char ASCII patterns (array<long>). */
+  def bigramCounts(c: Column, patterns: Seq[String]): Column =
+    GraftExprBridge.toColumn(BigramCounts(GraftExprBridge.toExpression(c), patterns))
 }

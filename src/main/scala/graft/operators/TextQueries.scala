@@ -111,12 +111,18 @@ object TextQueries {
   /** Per-doc (label, guess) of the x32 bigram-profile lang-ID — shared by
     * x32 (confusion matrix) and x169 (chance-corrected agreement). */
   private def langGuess(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // ONE byte scan per row via the codegen'd BigramCounts (25
+    // regexp_replace passes collapsed — r12 VERDICT's hot loop); count
+    // semantics are regex-identical (non-overlapping left-to-right), so
+    // the regexp_replace-based DuckDB twin is unchanged
+    val allBgs = profiles.values.flatten.toSeq.distinct.sorted
     def score(lang: String): Column =
-      profiles(lang).map(bg =>
-        (length(col("text")) - length(regexp_replace(col("text"), bg, ""))) / 2
-      ).reduce(_ + _).cast("double").as(s"s_$lang")
-    val scored = graft.Tables.spread(t(s, d, "documents")) // 25 regex passes/row
-      .select(col("doc_id") +: col("lang").as("label") +: profiles.keys.toSeq.sorted.map(score): _*)
+      profiles(lang).map(bg => col("bc").getItem(allBgs.indexOf(bg)))
+        .reduce(_ + _).cast("double").as(s"s_$lang")
+    val scored = graft.Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), col("lang").as("label"),
+        graft.functions.VectorExprs.bigramCounts(col("text"), allBgs).as("bc"))
+      .select(col("doc_id") +: col("label") +: profiles.keys.toSeq.sorted.map(score): _*)
     val langs = profiles.keys.toSeq.sorted
     // argmax via array_max on (score, -index, lang) structs: linear tree,
     // earlier language wins ties (the when-reduce form doubles the tree per
@@ -794,7 +800,7 @@ object TextQueries {
     val marg = conf.groupBy(col("label")).agg(sum(col("n")).as("r"))
       .join(conf.groupBy(col("guess")).agg(sum(col("n")).as("c")),
         col("label") === col("guess"))
-      .agg(coalesce(sum((col("r") * col("c")).cast("decimal(38,0)")),
+      .agg(coalesce(sum(col("r").cast("decimal(38,0)") * col("c")),
         lit(0).cast("decimal(38,0)")).as("rc"))
     def hilo(c: String) =
       expr(s"$c div 1000000000").cast("double") * lit(1e9) +
@@ -912,8 +918,10 @@ object TextQueries {
     * fround 6.
     *
     * 100 TB shape: one text scan → (source, token) counts map-side; the
-    * top-V head is a TakeOrdered broadcast; everything after runs on the
-    * \|sources\|·V dense grid and its \|sources\|²·V pair frame —
+    * top-V head is a TakeOrdered broadcast and the source list a bounded
+    * driver collect (model dimension, x111 rule) exploded as a literal —
+    * so densification is a map, not a cross join; everything after runs
+    * on the \|sources\|·V dense grid and its \|sources\|²·V pair frame —
     * corpus-size-independent. */
   val x174: Q = (s, d) => {
     val tok = t(s, d, "documents")
@@ -922,8 +930,13 @@ object TextQueries {
       .orderBy(desc("n"), col("token")).limit(jsTopV).select(col("token"))
     val st = tok.join(broadcast(top), Seq("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
-    val dense = t(s, d, "documents").select(col("source")).distinct()
-      .crossJoin(broadcast(top))
+    // source list = the MODEL dimension (|S| names, x111's bounded-collect
+    // rule): densifying by exploding a literal array over the top-V frame
+    // is a pure map — no NLJ/cartesian reaches the plan
+    val srcList = t(s, d, "documents").select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    val dense = top
+      .select(explode(typedLit(srcList)).as("source"), col("token"))
       .join(st, Seq("source", "token"), "left")
       .select(col("source"), col("token"), coalesce(col("c"), lit(0L)).as("c"))
     val totals = dense.groupBy(col("source")).agg(sum(col("c")).as("tot"))
