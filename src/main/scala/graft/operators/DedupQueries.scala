@@ -95,29 +95,56 @@ object DedupQueries {
   val x41: Q = (s, d) => {
     // NOT persisted: a lazily-returned DataFrame can't unpersist safely, and
     // leaked cache entries accumulate in long-lived sessions (Verify runs 54
-    // queries in one). The three consumers each recompute the projection —
+    // queries in one). The consumers each recompute the projection —
     // one cheap scan of the 500-doc table apiece; multi-references within a
     // consumer still evaluate once (materialized columns, CollapseProject
     // spares multi-referenced non-cheap exprs).
-    val docs = graft.Tables.spread(t(s, d, "documents"))
+    //
+    // Exact-duplicate collapse (the x151 flood posture, commit b761ebe):
+    // identical shingle SETS are grouped FIRST — minhash signatures, band
+    // keys and Jaccard are all functions of the SET, so one representative
+    // per set carries the whole group through the band join. Under a k-way
+    // duplicate flood the naive band join is k² in candidates; rep-level
+    // candidates expand loss-free afterwards (within-group pairs are J = 1
+    // by identity, cross-group pairs inherit the rep pair's Jaccard).
+    val docs0 = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_distinct(shingles3(col("toks"))).as("sh"))
-      .select(col("doc_id"), col("sh"),
+    // canonical set key = sorted array (array_distinct preserves first-seen
+    // order, so permuted duplicates still collapse); min-hash is order-blind
+    val groups = docs0.groupBy(sort_array(col("sh")).as("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("rep", col("ids").getItem(0))
+    val reps = groups
+      .select(col("rep"), col("sh"),
         graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
-    val banded = docs
-      .select(col("doc_id"), explode(bandsFromSigs(col("sigs"), 8, 4)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-    val a = banded.select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("b_id"), col("band_id"), col("band_hash"))
+    val banded = reps
+      .select(col("rep"), explode(bandsFromSigs(col("sigs"), 8, 4)).as("b"))
+      .select(col("rep"), col("b.band_id"), col("b.band_hash"))
+    val a = banded.select(col("rep").as("ra"), col("band_id"), col("band_hash"))
+    val b = banded.select(col("rep").as("rb"), col("band_id"), col("band_hash"))
     val candidates = a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    candidates.join(sa, "a_id").join(sb, "b_id")
-      .select(col("a_id"), col("b_id"),
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb")).distinct()
+    val sa = reps.select(col("rep").as("ra"), col("sh").as("sh_a"))
+    val sb = reps.select(col("rep").as("rb"), col("sh").as("sh_b"))
+    val repPairs = candidates.join(sa, "ra").join(sb, "rb")
+      .select(col("ra"), col("rb"),
         fround(size(array_intersect(col("sh_a"), col("sh_b")))
           / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("ra"), col("ids").as("ia")), Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("ids").as("ib")), Seq("rb"))
+      .select(explode(col("ia")).as("x"), col("ib"), col("jaccard"))
+      .select(col("x"), explode(col("ib")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), lit(1.0).as("jaccard"))
+    cross.unionAll(within)
       .orderBy(desc("jaccard"), col("a_id"), col("b_id"))
       .limit(100)
   }
@@ -133,22 +160,44 @@ object DedupQueries {
     * the DuckDB twin recomputes the identical simhash bit-by-bit → full
     * oracle hash-match. */
   val x42: Q = (s, d) => {
+    // Exact-duplicate collapse (x151 posture): block keys and hamming are
+    // functions of the 64-bit simhash VALUE alone, so identical values
+    // collapse to one representative before the 4-way block join — a k-way
+    // duplicate flood costs n²+output instead of (kn)² candidate work.
+    // Within-group pairs are hamming 0 by identity; cross-group pairs
+    // inherit the rep pair's distance.
     val sh = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"),
         graft.functions.VectorExprs.h60Array(split(col("text"), " ")).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("sim"))
-    val blocked = sh.select(col("doc_id"), col("sim"),
+    val groups = sh.groupBy(col("sim"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("rep", col("ids").getItem(0))
+    val blocked = groups.select(col("rep"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("blk"), shiftright(col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
-      .select(col("doc_id"), col("sim"), col("b.blk"), col("b.key"))
-    val a = blocked.select(col("doc_id").as("a_id"), col("sim").as("sim_a"), col("blk"), col("key"))
-    val b = blocked.select(col("doc_id").as("b_id"), col("sim").as("sim_b"), col("blk"), col("key"))
-    a.join(b, Seq("blk", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("rep"), col("sim"), col("b.blk"), col("b.key"))
+    val a = blocked.select(col("rep").as("ra"), col("sim").as("sim_a"), col("blk"), col("key"))
+    val b = blocked.select(col("rep").as("rb"), col("sim").as("sim_b"), col("blk"), col("key"))
+    val repPairs = a.join(b, Seq("blk", "key"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 16)
+    val cross = repPairs
+      .join(groups.select(col("rep").as("ra"), col("ids").as("ia")), Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("ids").as("ib")), Seq("rb"))
+      .select(explode(col("ia")).as("x"), col("ib"), col("hamming"))
+      .select(col("x"), explode(col("ib")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), lit(0L).as("hamming"))
+    cross.unionAll(within)
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
       .limit(100)
   }

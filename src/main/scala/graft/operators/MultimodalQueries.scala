@@ -223,15 +223,42 @@ object MultimodalQueries {
       when(col(s"c$j") > col(s"c${j + 1}"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val hashed = cells.select(col("doc_id"), hash.as("ph"))
-    val variants = hashed.select(col("doc_id").as("a_id"), col("ph").as("pa"),
+    // Exact-duplicate collapse (x151's flood posture, commit b761ebe):
+    // hamming depends only on the dHash VALUE, so identical hashes — the
+    // duplicate-flood shape: identical payloads ⇒ identical dHash —
+    // collapse to one representative per value BEFORE the 137-way variant
+    // expansion. Join work drops from (k·n)² to n² + output under a k-way
+    // flood (sf10's 100-way copies measured 164× pre-collapse). Pairs
+    // expand loss-free: within-group pairs are hamming 0 by identity,
+    // cross-group pairs inherit the rep pair's distance; the zero mask now
+    // only self-matches (same group) and is dropped by ra < rb, its pairs
+    // re-emitted exactly by the within-group expansion.
+    val groups = hashed.groupBy(col("ph"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("rep", col("ids").getItem(0))
+    val reps = groups.select(col("rep"), col("ph"))
+    val variants = reps.select(col("rep").as("ra"), col("ph").as("pa"),
       explode(typedLit(phMasks)).as("m"))
-      .select(col("a_id"), col("pa"), col("pa").bitwiseXOR(col("m")).as("vh"))
-    variants
-      .join(hashed.select(col("doc_id").as("b_id"), col("ph").as("pb")),
+      .select(col("ra"), col("pa"), col("pa").bitwiseXOR(col("m")).as("vh"))
+    val repPairs = variants
+      .join(reps.select(col("rep").as("rb"), col("ph").as("pb")),
         col("vh") === col("pb"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"),
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("ra"), col("ids").as("ia")), Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("ids").as("ib")), Seq("rb"))
+      .select(explode(col("ia")).as("x"), col("ib"), col("hamming"))
+      .select(col("x"), explode(col("ib")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), lit(0L).as("hamming"))
+    cross.unionAll(within)
       .orderBy(col("a_id"), col("b_id"))
   }
 
