@@ -29,23 +29,44 @@ object AdvancedQueries {
         element_at(col("vals"), greatest(lit(1), ceil(col("n") * 0.9)).cast("int")).as("p90"))
       .orderBy(col("event_type"))
 
-  /** x64 — the 100 TB percentile path q35's docstring points at:
-    * approx_percentile (Greenwald-Khanna quantile summary — mergeable, fixed
-    * memory per group regardless of group size, so the skewed group that
-    * would OOM q35's collect_list costs the same as any other). Rows-only
-    * (summary estimates aren't hash-stable across engines); AdvancedSpec
-    * bounds the rank error vs the exact q35 answer at the sketch's declared
-    * accuracy. */
-  val x64: Q = (s, d) =>
+  /** x64 sample size: rank error of a k-sample quantile is
+    * O(n·√(q(1−q)/k)) — ~1.6% of n at k=1024/p50, group-size-independent. */
+  private val bkK = 1024
+
+  /** x64 — the 100 TB percentile path q35's docstring points at: a
+    * MERGEABLE bounded-memory quantile summary per group (fixed k slots
+    * regardless of group size, so the skewed group that would OOM q35's
+    * collect_list costs the same as any other; only k rows per group cross
+    * the shuffle). The summary is a DETERMINISTIC bottom-k-by-hash sample
+    * ([[UdfQueries.BottomK]]): membership is h60(event_id) rank — a fixed
+    * SET, not an arrival-order accident like GK/KLL compaction — and the
+    * estimate is the PICKED order statistic of the sample at rank
+    * ⌈q·m⌉. That choice upgrades this from rows-only (round 1–12: GK
+    * internals aren't hash-stable across engines) to full oracle
+    * hash-match: the twin replays the identical hash ranks and picks in
+    * SQL. AdvancedSpec still bounds the rank error vs exact q35.
+    *
+    * 100 TB shape: one map-side-combined agg (O(1) reject per non-sample
+    * row); no window, no per-group sort of the data — the only sort is
+    * the in-struct array_sort of k sampled elements. */
+  val x64: Q = (s, d) => {
+    val bk = udaf(new UdfQueries.BottomK(bkK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Double)]())
     t(s, d, "events")
+      .select(col("event_type"), graft.Tables.h60(col("event_id")).as("h"),
+        col("event_id"), col("value"))
       .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000)).as("ps"))
+      .agg(count(lit(1)).as("n"),
+        bk(col("h"), col("event_id"), col("value")).as("smp"))
+      // sample order statistics: sort the k-struct array by (value, id),
+      // pick ranks ⌈0.5·m⌉ / ⌈0.9·m⌉ — bit-identical picked elements
+      .withColumn("sv", expr("array_sort(transform(smp, x -> struct(x._3 AS v, x._2 AS id)))"))
+      .withColumn("m", size(col("sv")))
       .select(col("event_type"), col("n"),
-        element_at(col("ps"), 1).as("p50"),
-        element_at(col("ps"), 2).as("p90"))
+        expr("element_at(sv, cast(greatest(1, ceil(0.5 * m)) AS int)).v").as("p50"),
+        expr("element_at(sv, cast(greatest(1, ceil(0.9 * m)) AS int)).v").as("p90"))
       .orderBy(col("event_type"))
+  }
 
   /** x108 — exact distributed quantiles by rank selection (E104): the
     * third leg of the quantile triptych. q35 is exact but materializes a
@@ -1734,6 +1755,34 @@ object AdvancedQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // GENERATED x64 twin: identical bottom-k-by-h60(event_id) sample
+    // membership (window rank replays the Aggregator's sorted-set
+    // semantics), identical ⌈q·m⌉ order-statistic picks — full hash-match
+    // for a quantile SKETCH because the sample is a deterministic set.
+    "x64_approx_percentiles" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, value,
+         |    ${graft.Tables.h60Sql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |s AS (
+         |  SELECT event_type, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rh
+         |  FROM e),
+         |kk AS (SELECT event_type, event_id, value FROM s WHERE rh <= $bkK),
+         |r AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rv,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS m
+         |  FROM kk),
+         |n AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+         |SELECT n.event_type, n.n,
+         |  MAX(CASE WHEN r.rv = GREATEST(1, CAST(CEIL(0.5 * r.m) AS BIGINT))
+         |      THEN r.value END) AS p50,
+         |  MAX(CASE WHEN r.rv = GREATEST(1, CAST(CEIL(0.9 * r.m) AS BIGINT))
+         |      THEN r.value END) AS p90
+         |FROM r JOIN n USING (event_type)
+         |GROUP BY n.event_type, n.n
+         |ORDER BY n.event_type""".stripMargin,
     "x22_ann_ivf" -> ivfOracle,
     "x57_ivfpq_search" -> ivfPqOracle,
     "x80_indexed_ivfpq" -> ivfPqOracle, // identical contract: index == fresh

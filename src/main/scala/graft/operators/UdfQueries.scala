@@ -94,6 +94,64 @@ object UdfQueries {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Bottom-k sample buffer (x64): three parallel fixed-width primitive
+    * arrays + fill count, sorted by (hash asc, id asc) — the same
+    * Tungsten-friendly PRODUCT shape as [[TopKBuf]]. */
+  case class BKBuf(hs: Array[Long], ids: Array[Long], vs: Array[Double], n: Int)
+
+  /** Bounded bottom-k-by-hash sample aggregator (x64): keeps the k rows
+    * with the SMALLEST (h60(id), id) key per group, carrying each row's
+    * value. Because membership is decided by a deterministic hash of the
+    * row identity — never by arrival order — the sample is a fixed SET:
+    * mergeable (two-pointer merge of sorted arrays, O(k)), replay-stable
+    * under AQE/retries, and exactly reproducible by any engine that ranks
+    * by the same hash — which is what lets the quantile ESTIMATE hash-match
+    * a DuckDB twin where GK/KLL sketch internals never could. Same cost
+    * envelope as [[TopK]]: O(1) reject for non-members, k rows per group
+    * cross the shuffle. */
+  class BottomK(k: Int) extends Aggregator[(Long, Long, Double), BKBuf, Seq[(Long, Long, Double)]] {
+    @inline private def beats(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && i1 < i2)
+    override def zero: BKBuf = BKBuf(new Array[Long](k), new Array[Long](k), new Array[Double](k), 0)
+    override def reduce(buf: BKBuf, row: (Long, Long, Double)): BKBuf = {
+      val (h, id, v) = row
+      if (buf.n == k && !beats(h, id, buf.hs(k - 1), buf.ids(k - 1))) buf
+      else {
+        var i = 0
+        while (i < buf.n && !beats(h, id, buf.hs(i), buf.ids(i))) i += 1
+        var j = math.min(buf.n, k - 1)
+        while (j > i) {
+          buf.hs(j) = buf.hs(j - 1); buf.ids(j) = buf.ids(j - 1); buf.vs(j) = buf.vs(j - 1)
+          j -= 1
+        }
+        buf.hs(i) = h; buf.ids(i) = id; buf.vs(i) = v
+        if (buf.n < k) buf.copy(n = buf.n + 1) else buf
+      }
+    }
+    override def merge(a: BKBuf, b: BKBuf): BKBuf = {
+      if (b.n == 0) a
+      else if (a.n == 0) b
+      else {
+        val oh = new Array[Long](k); val oi = new Array[Long](k); val ov = new Array[Double](k)
+        var i = 0; var j = 0; var m = 0
+        while (m < k && (i < a.n || j < b.n)) {
+          val takeA = j >= b.n ||
+            (i < a.n && !beats(b.hs(j), b.ids(j), a.hs(i), a.ids(i)))
+          if (takeA) { oh(m) = a.hs(i); oi(m) = a.ids(i); ov(m) = a.vs(i); i += 1 }
+          else { oh(m) = b.hs(j); oi(m) = b.ids(j); ov(m) = b.vs(j); j += 1 }
+          m += 1
+        }
+        BKBuf(oh, oi, ov, m)
+      }
+    }
+    override def finish(buf: BKBuf): Seq[(Long, Long, Double)] =
+      (0 until buf.n).map(i => (buf.hs(i), buf.ids(i), buf.vs(i)))
+    override def bufferEncoder: Encoder[BKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[BKBuf]()
+    override def outputEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Double)]]()
+  }
+
   /** x61 — UDAF top-3 orders per market segment via the bounded Aggregator;
     * result shape matches the ROW_NUMBER oracle. */
   val x61: Q = (s, d) => {

@@ -31,10 +31,11 @@ class AdvancedSpec extends SparkSpec {
   }
 
   test("x64 approx percentiles: rank error bounded vs exact q35") {
-    // At accuracy=10000 the GK summary guarantees rank error <= n/10000;
-    // assert the picked values sit within a generous value-epsilon of the
-    // exact order statistics from q35 (events.value is dense enough at
-    // sf0.001 that rank error ~ value error).
+    // The deterministic bottom-k(=1024)-by-hash sample estimates quantiles
+    // with rank error O(n·√(q(1−q)/k)) ≈ 1.6%·n at p50; assert the picked
+    // values sit within a generous value-epsilon of the exact order
+    // statistics from q35 (events.value is dense enough at sf0.001 that
+    // rank error ~ value error).
     val exact = AdvancedQueries.q35(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     val approx = AdvancedQueries.x64(spark, sfDir).collect()
