@@ -127,8 +127,14 @@ object Bench {
     // "[success] Total time" lines). Headline q-keys get priority; x-keys
     // fill the remainder; "q_omitted" says how many didn't fit.
     val tailBudget = 1600
+    // `failed` must be size-bounded here: the fixed prefix sits OUTSIDE the
+    // budget accounting, so a many-failure run would inflate the line past
+    // the driver's 2000-char tail window (the null-parse failure this
+    // compact line exists to prevent). Count always; first 5 names only.
+    val failedCompact = failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val base = s"""{"metric":"total","value":${s4(tot(hot))},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${names.size},"failed":$failedJson,""" +
+      s""""sf":"$sfDir","n_queries":${names.size},""" +
+      s""""n_failed":${failed.size},"failed":$failedCompact,""" +
       s""""total_nocache":${s4(tot(nocache))},"total_cold":${s4(tot(cold))},""" +
       s""""load":$loadJson,"full":"BENCH_SELF.json","""
     val prioritized = hot.filter(_._1.startsWith("q")) ++ hot.filterNot(_._1.startsWith("q"))

@@ -79,7 +79,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = tablePath(ident) match {
     case Some(path) =>
-      new GraftDataTable(path, GraftDataSource.unionSchema(GraftDataSource.resolveFiles(path)))
+      // resolve ONCE and pass both the pinned files and the schema derived
+      // from them — a snapshot commit between two resolves would desync them
+      val files = GraftDataSource.resolveFiles(path)
+      new GraftDataTable(path, GraftDataSource.unionSchema(files), Some(files))
     case None => throw new NoSuchTableException(ident)
   }
 

@@ -156,7 +156,11 @@ object GraftDataSource {
       val (fb, fr) = fileStats.computeIfAbsent(f, { path =>
         val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
         val rd = ParquetFileReader.open(in)
-        try (new java.io.File(path).length, rd.getRecordCount) finally rd.close()
+        // length from the SAME Hadoop layer that reads the footer:
+        // java.io.File.length returns 0 for any non-local filesystem,
+        // which would report sizeInBytes=0 and mis-mark huge tables as
+        // broadcast-able (driver OOM at scale)
+        try (in.getLength, rd.getRecordCount) finally rd.close()
       })
       (b + fb, r + fr)
     }
@@ -279,7 +283,8 @@ object GraftDataSource {
   }
 }
 
-class GraftDataTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+class GraftDataTable(path: String, tableSchema: StructType,
+    resolvedFiles: Option[Seq[String]] = None) extends Table with SupportsRead {
   require(path != null, "graft: .load(<path>) path is required")
   // Snapshot isolation: the visible file list is resolved ONCE, when the
   // relation is created, and threaded immutably to every scan. A
@@ -287,7 +292,12 @@ class GraftDataTable(path: String, tableSchema: StructType) extends Table with S
   // must not change what that DataFrame reads (or desync the files from
   // the already-resolved schema) — re-resolving per planInputPartitions
   // did exactly that. A NEW spark.read...load() picks up new snapshots.
-  private val files: Seq[String] = GraftDataSource.resolveFiles(path)
+  // Callers that derived `tableSchema` from a file list they already
+  // resolved MUST pass that list (GraftCatalog.loadTable does) — a second
+  // resolve here could see a commit that landed in between and desync the
+  // pinned files from the schema.
+  private val files: Seq[String] =
+    resolvedFiles.getOrElse(GraftDataSource.resolveFiles(path))
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
