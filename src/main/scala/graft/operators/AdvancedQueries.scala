@@ -137,14 +137,17 @@ object AdvancedQueries {
     * assignment argmax + probe ranking mirror it, so DuckDB reproduces the
     * identical bucketing and the full ANN output hash-matches. Recall vs
     * q29 asserted in the spec. */
-  private def nlist = Quantizers.nlist
+  // nprobe is the serving-side recall/cost POLICY knob (FAISS convention:
+  // tuned per recall target); it stays fixed while nlist derives from
+  // corpus size — so the probed fraction nprobe/nlist FALLS as the corpus
+  // grows and per-query candidate counts hold constant
   private val nprobe = 6
 
   /** The UNTRAINED seed centroids (the pre-E73 convention: the nlist lowest
     * vec_ids, raw). Spec-only — the recall-improvement assertion in
     * QuantizerSpec compares trained vs this. */
   private[graft] def seedCentroids(e: DataFrame): Array[(Long, Array[Double])] =
-    e.filter(col("vec_id") < nlist)
+    e.filter(col("vec_id") < Quantizers.nlistFor(e.count()))
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))

@@ -45,8 +45,25 @@ import graft.functions.VectorExprs
 object Quantizers {
   import CoreQueries.Q
 
-  /** IVF coarse-quantizer geometry (shared with AdvancedQueries). */
-  private[operators] val nlist = 16
+  /** IVF coarse-quantizer geometry (shared with AdvancedQueries): nlist
+    * DERIVES from corpus size so per-cluster candidate counts hold
+    * roughly constant as N grows (SCALING.md's rule, code since round
+    * 13) — the smallest power of two with N/nlist ≤ 128, clamped to
+    * [16, 65536]. Validation scales: 500/2 k vectors → 16 (gate hashes
+    * unchanged), sf1 20 k → 256, sf10 200 k → 2048. The floor keeps the
+    * seed convention (vec_id < nlist) inside every corpus copy-0; the cap
+    * bounds the centroid model at 65536·64 doubles ≈ 34 MB — still a
+    * driver/broadcast-sized model. Twins derive the identical value in
+    * SQL (integer-only power-of-two scan over COUNT(*) — see the nlq CTE
+    * in [[kmTrainCtes]]), so the oracle carries at every scale. */
+  private[operators] val nlistFloor = 16
+  private[operators] val nlistCap = 65536
+  private[operators] val nlistTarget = 128L
+  private[operators] def nlistFor(n: Long): Int = {
+    var p = nlistFloor
+    while (p.toLong * nlistTarget < n && p < nlistCap) p <<= 1
+    p
+  }
   /** Embedding dimensionality (the testdata contract, like lshDim). */
   private[operators] val kmDim = 64
   /** Lloyd's rounds: trace rounds 0..kmRounds-1, serve cents after round
@@ -100,7 +117,10 @@ object Quantizers {
     * and keeps the result private to the rebuilt index. */
   private[graft] def trainKmOn(e: DataFrame): KmModel = {
     {
-      val seeds = e.filter(col("vec_id") < nlist)
+      // nlist from THIS corpus's size (one bounded count job — training
+      // already runs kmRounds aggregate jobs); E78's rebuild corpus and
+      // the source table each get their own derivation
+      val seeds = e.filter(col("vec_id") < nlistFor(e.count()))
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       var cents: Array[(Long, Array[Double])] = seeds.map { case (cid, v) =>
@@ -532,13 +552,24 @@ object Quantizers {
   private[operators] def kmTrainCtes: String = {
     val b = Seq.newBuilder[String]
     b += s"kdim AS (SELECT unnest(range(1, ${kmDim + 1})) AS ord)"
+    // nlist derived from COUNT(*) with the identical integer-only
+    // power-of-two scan as [[nlistFor]]: smallest p in [floor, cap] with
+    // p·target ≥ N (the `p = cap` disjunct realizes the cap when none
+    // qualifies) — no floats, no log2 boundary drift
+    b += s"""nlq AS (
+       |  SELECT MIN(p) AS nl FROM (
+       |    SELECT (CAST(1 AS BIGINT) << i) AS p
+       |    FROM range(${java.lang.Integer.numberOfTrailingZeros(nlistFloor)},
+       |               ${java.lang.Integer.numberOfTrailingZeros(nlistCap) + 1}) t(i)) pp
+       |  WHERE p * $nlistTarget >= (SELECT COUNT(*) FROM embeddings)
+       |     OR p = $nlistCap)""".stripMargin
     b += s"""kcents0 AS (
        |  SELECT vec_id AS cid,
        |    CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
        |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")}))
        |    END AS cemb
-       |  FROM embeddings WHERE vec_id < $nlist)""".stripMargin
+       |  FROM embeddings WHERE vec_id < (SELECT nl FROM nlq))""".stripMargin
     for (r <- 0 until kmRounds) {
       b += s"""ksc$r AS (
          |  SELECT e.vec_id, e.embedding, c.cid, ${dotSql("e.embedding", "c.cemb")} AS sc
