@@ -48,9 +48,14 @@ object Bench {
     // cross-round comparison): numbers from a loaded machine are upper
     // bounds, not measurements — flag it loudly in stderr AND the JSON so a
     // contended run is never shipped as the round artifact unlabeled.
-    val contended = loadStart > Runtime.getRuntime.availableProcessors / 4.0
+    // Threshold cores/8 (was cores/4): round 13 shipped a load-7.12 run on
+    // 32 cores as `contended:false` and every per-query time carried a
+    // uniform ~1.35× inflation — cores/4 lets a third of the machine be
+    // busy before flagging, which is far past where sub-second queries
+    // start absorbing scheduler noise.
+    val contended = loadStart > Runtime.getRuntime.availableProcessors / 8.0
     if (contended) System.err.println(
-      f"[bench] WARNING: start load $loadStart%.1f exceeds cores/4 — " +
+      f"[bench] WARNING: start load $loadStart%.1f exceeds cores/8 — " +
         "re-run on an idle machine before treating this artifact as a measurement")
     // Latency profile on top of the engine defaults: at bench SF every
     // shuffle is <10 MB, so AQE's per-stage re-planning jobs cost more than
@@ -127,14 +132,17 @@ object Bench {
     // "[success] Total time" lines). Headline q-keys get priority; x-keys
     // fill the remainder; "q_omitted" says how many didn't fit.
     val tailBudget = 1600
-    // `failed` must be size-bounded here: the fixed prefix sits OUTSIDE the
-    // budget accounting, so a many-failure run would inflate the line past
-    // the driver's 2000-char tail window (the null-parse failure this
-    // compact line exists to prevent). Count always; first 5 names only.
+    // The failed list must be size-bounded here: the fixed prefix sits
+    // OUTSIDE the budget accounting, so a many-failure run would inflate
+    // the line past the driver's 2000-char tail window (the null-parse
+    // failure this compact line exists to prevent). Named `failed_sample`
+    // (first 5 names only) so no consumer mistakes it for the complete
+    // list — `n_failed` is the authoritative count and BENCH_SELF.json's
+    // `failed` carries every name.
     val failedCompact = failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val base = s"""{"metric":"total","value":${s4(tot(hot))},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${names.size},""" +
-      s""""n_failed":${failed.size},"failed":$failedCompact,""" +
+      s""""n_failed":${failed.size},"failed_sample":$failedCompact,""" +
       s""""total_nocache":${s4(tot(nocache))},"total_cold":${s4(tot(cold))},""" +
       s""""load":$loadJson,"full":"BENCH_SELF.json","""
     val prioritized = hot.filter(_._1.startsWith("q")) ++ hot.filterNot(_._1.startsWith("q"))

@@ -228,6 +228,10 @@ case class BigramCounts(child: Expression, patterns: Seq[String])
   require(patterns.nonEmpty && patterns.forall(p =>
     p.length == 2 && p.forall(c => c < 128)),
     "BigramCounts: patterns must be 2-char ASCII")
+  // duplicates would silently overwrite the lookup slot and leave the
+  // earlier index counting 0 forever — fail construction instead
+  require(patterns.distinct.size == patterns.size,
+    "BigramCounts: patterns must be distinct")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true

@@ -758,7 +758,9 @@ object AdvancedQueries {
     appendLocks.computeIfAbsent((s, d), _ => new Object).synchronized {
       val old = ivfIndex(s, d)
       val grown = s.read.parquet(old.dir).select(col("vec_id"), col("embedding"))
-      val km = Quantizers.trainKmOn(grown)
+      // twin-less rebuild path: nlist legitimately derives from the GROWN
+      // corpus (the whole point of retraining after append drift)
+      val km = Quantizers.trainKmOn(grown, Quantizers.nlistFor(grown.count()))
       val pq = Quantizers.trainPqOn(grown)
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       encodeRows(graft.Tables.spread(grown), km.cents, pq.cbs)

@@ -108,19 +108,26 @@ object Quantizers {
     * k-means optimizes over unit centroids). */
   private[graft] def trainedKm(s: SparkSession, d: String): KmModel = {
     evictStopped(kmCache)
-    kmCache.computeIfAbsent((s, d), { _ => trainKmOn(t(s, d, "embeddings")) })
+    kmCache.computeIfAbsent((s, d), { _ =>
+      val e = t(s, d, "embeddings") // canonical source — matches the twin's nlq CTE
+      trainKmOn(e, nlistFor(e.count()))
+    })
   }
 
   /** The k-means training loop over an arbitrary corpus frame (same seed
     * convention: vec_id < nlist). Uncached — the (session, dir) cache wraps
     * the source-table call; E78's rebuild trains on the GROWN index corpus
     * and keeps the result private to the rebuilt index. */
-  private[graft] def trainKmOn(e: DataFrame): KmModel = {
+  /** @param nlist the centroid count — callers must state it explicitly
+    *   (ADVICE r13): every ORACLE-backed path must pass
+    *   `nlistFor(<base embeddings table>.count())`, the value the twin's
+    *   `nlq` CTE computes from `COUNT(*) FROM embeddings` — deriving it
+    *   silently from a filtered/derived corpus would desync the two
+    *   engines across a power-of-two boundary. Twin-less paths (E78's
+    *   rebuild on the grown index corpus) derive from their own corpus. */
+  private[graft] def trainKmOn(e: DataFrame, nlist: Int): KmModel = {
     {
-      // nlist from THIS corpus's size (one bounded count job — training
-      // already runs kmRounds aggregate jobs); E78's rebuild corpus and
-      // the source table each get their own derivation
-      val seeds = e.filter(col("vec_id") < nlistFor(e.count()))
+      val seeds = e.filter(col("vec_id") < nlist)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
       var cents: Array[(Long, Array[Double])] = seeds.map { case (cid, v) =>

@@ -117,13 +117,20 @@ object UdfQueries {
       val (h, id, v) = row
       if (buf.n == k && !beats(h, id, buf.hs(k - 1), buf.ids(k - 1))) buf
       else {
-        var i = 0
-        while (i < buf.n && !beats(h, id, buf.hs(i), buf.ids(i))) i += 1
-        var j = math.min(buf.n, k - 1)
-        while (j > i) {
-          buf.hs(j) = buf.hs(j - 1); buf.ids(j) = buf.ids(j - 1); buf.vs(j) = buf.vs(j - 1)
-          j -= 1
+        // binary-search the insertion point: a linear probe is O(k) per
+        // ACCEPTED row, and an upstream sorted ascending by (h, id) — e.g.
+        // a reuse after a shuffle on h — accepts every row at the tail,
+        // degrading the whole group to O(n·k) (ADVICE r13)
+        var lo = 0; var hi = buf.n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (beats(h, id, buf.hs(mid), buf.ids(mid))) hi = mid else lo = mid + 1
         }
+        val i = lo
+        val last = math.min(buf.n, k - 1)
+        System.arraycopy(buf.hs, i, buf.hs, i + 1, last - i)
+        System.arraycopy(buf.ids, i, buf.ids, i + 1, last - i)
+        System.arraycopy(buf.vs, i, buf.vs, i + 1, last - i)
         buf.hs(i) = h; buf.ids(i) = id; buf.vs(i) = v
         if (buf.n < k) buf.copy(n = buf.n + 1) else buf
       }
