@@ -413,6 +413,14 @@ object StatsQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
     val bRow = li.agg(min(col("ok")), max(col("ok")), min(col("pk")),
       max(col("pk")), min(col("sk")), max(col("sk"))).collect()(0)
+    // empty table ⇒ null bounds: degrade to an empty audit frame (the
+    // pre-collect crossJoin formulation's behavior) instead of an NPE
+    if (bRow.isNullAt(0)) {
+      import s.implicits._
+      Seq.empty[(String, Long, Long, Long, Double, Double)]
+        .toDF("layout", "n_files", "min_file_rows", "max_file_rows",
+          "avg_scan_part", "avg_scan_supp")
+    } else {
     val (mnOk, mxOk, mnPk, mxPk, mnSk, mxSk) =
       (bRow.getLong(0), bRow.getLong(1), bRow.getLong(2), bRow.getLong(3),
         bRow.getLong(4), bRow.getLong(5))
@@ -462,6 +470,7 @@ object StatsQueries {
         fround(col("avg_scan_pk"), 6).as("avg_scan_part"),
         fround(col("avg_scan_sk"), 6).as("avg_scan_supp"))
       .orderBy(col("layout"))
+    }
   }
 
   /** x122 sampling rate: keep h60-buckets < 100 of 10,000 (1%). */

@@ -289,6 +289,68 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("docs_flagged") == 4)
   }
 
+  test("PiiScrubScan differentially matches the java.util.regex chain") {
+    import java.util.regex.Pattern
+    val pats = operators.CurationQueries.piiPatterns
+    val compiled = pats.map { case (n, p, r) => (n, Pattern.compile(p), r) }
+    // the reference semantics the scanner must replay: regexp_count =
+    // non-overlapping find() loop on RAW text; regexp_replace chain =
+    // sequential replaceAll in declaration order (replacements contain no
+    // $ or \, so Matcher.replaceAll is verbatim — same as Spark's)
+    def ref(text: String): (Seq[Long], String) = {
+      val counts = compiled.map { case (_, p, _) =>
+        val m = p.matcher(text); var c = 0L
+        while (m.find()) c += 1
+        c
+      }
+      val scrub = compiled.foldLeft(text) { case (t, (_, p, r)) =>
+        p.matcher(t).replaceAll(r)
+      }
+      (counts, scrub)
+    }
+    val adversarial = Seq(
+      // email greedy/backtrack shapes
+      "a@b.co", "a@b.c", "a@b.comm5", "a@b.co-customer", "a@b.co9customer",
+      "..ab@c.de fg", "x@y..co", "a@b.c-d.co", "%+-@x.ab", "@x.ab", "a@b",
+      "a.b@c", "abc@def.GHI", "a@b.co.", "user@sub.domain.co.uk extra",
+      "a@b.cocustomer", "a@b.co_customer", "123-45-6789@x.ab tail",
+      // phone optional-plus / separators / digit-run edges
+      "+555-123-4567", "555.123.4567", "555 123 45678", "1555-123-4567",
+      "+a555-123-4567", "+1 555 987 6543", "555-123-456", "++555-123-4567",
+      // id vs phone disambiguation, overlap advance
+      "123-45-6789", "9123-45-67890", "123-456-7890", "123-45-6789-12-3456",
+      // term word boundaries incl. non-ASCII neighbors
+      "customer", "customers", "a customer.", "vector_x", "VECTOR",
+      "my,vector!", "customervector", "customer customer", "é customer",
+      "naïve vector café", "0customer", "customer0", "_vector_",
+      // mixed & degenerate
+      "email a1@b2.cd phone 555-123-4567 ssn 123-45-6789 customer vector",
+      "", " ", "@", "+", ".", "a", "....", "+++", "---")
+    // deterministic fuzz over a pattern-char-dense alphabet
+    val alphabet = "abc@.-_ 0159+%customer vectoré\n"
+    var seed = 0x9e3779b97f4a7c15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val fuzz = (0 until 300).map { _ =>
+      val len = nextInt(60)
+      (0 until len).map(_ => alphabet(nextInt(alphabet.length))).mkString
+    }
+    val texts = adversarial ++ fuzz
+    import spark.implicits._
+    val got = texts.toDF("text")
+      .select(col("text"), functions.PiiExprs.piiScrubScan(col("text")).as("pii"))
+      .select(col("text"), col("pii.*")).collect()
+    got.foreach { r =>
+      val text = r.getString(0)
+      val (cs, scrub) = ref(text)
+      val gotCs = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(gotCs == cs, s"counts for <$text>: got $gotCs want $cs")
+      assert(r.getString(5) == scrub, s"scrub for <$text>: got <${r.getString(5)}> want <$scrub>")
+    }
+  }
+
   test("x160 chi2 feature selection matches a naive 2x2-table replay") {
     def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val docs = Tables.t(spark, sfDir, "documents")
