@@ -771,11 +771,17 @@ class OperatorSpec extends SparkSpec {
     assert(li.unionAll(li).count() == 2 * li.count())
   }
 
-  test("E30: approx_count_distinct within 5% of exact") {
-    val r = UdfQueries.x63(spark, sfDir).collect().head
-    val approx = r.getAs[Long]("approx_custs").toDouble
-    val exact = r.getAs[Long]("exact_custs").toDouble
+  test("E30: approx_count_distinct within 5% of exact; x63 verdict holds") {
+    // the tighter bound on the raw estimate (the sketch value itself stays
+    // out of x63's oracle-hashed output — engine-specific)
+    val b = graft.Tables.t(spark, sfDir, "orders").agg(
+      approx_count_distinct($"o_custkey").as("approx"),
+      countDistinct($"o_custkey").as("exact")).collect().head
+    val (approx, exact) = (b.getAs[Long]("approx").toDouble, b.getAs[Long]("exact").toDouble)
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    val r = UdfQueries.x63(spark, sfDir).collect().head
+    assert(r.getAs[Boolean]("within_10pct"), r.toString)
+    assert(r.getAs[Long]("exact_custs").toDouble == exact)
   }
 
   test("E29: UDAF bounded top-k equals the window-function top-k") {
