@@ -56,6 +56,57 @@ final case class FileTopic(dir: String, numPartitions: Option[Int] = None)
   }
 }
 
+/** The real-Kafka impl of the topic seam, written ENTIRELY against Spark's
+  * public string-format reader/writer surface — no Kafka import exists, so
+  * this compiles in the jar-less zero-egress build; at runtime it fails
+  * fast with the swap instruction unless `spark-sql-kafka-0-10` is on the
+  * classpath ([[graft.sources.ConnectorSeam.kafkaAvailable]]). Output
+  * shape matches [[FileTopic]] exactly: (key, value) strings — Kafka's
+  * binary columns cast, the reference's produce envelope
+  * (`redpanda/producer.py:99-100`). Partition placement (D5) is the
+  * key-partitioner's job on the broker side; `publish` ships key bytes and
+  * lets the default partitioner hash them — same key→co-location contract
+  * FileTopic mimics with its repartition. */
+final case class KafkaTopic(bootstrap: String, topic: String)
+    extends TopicSource with TopicSink {
+  private def requireJar(): Unit =
+    require(graft.sources.ConnectorSeam.kafkaAvailable,
+      "spark-sql-kafka-0-10 is not on the classpath; use FileTopic (the " +
+        "declared stand-in) or add the connector jar — no code changes needed")
+
+  override def readStream(spark: SparkSession): DataFrame = {
+    requireJar()
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+  }
+
+  override def readBatch(spark: SparkSession): DataFrame = {
+    requireJar()
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+  }
+
+  override def publish(df: DataFrame): Unit = {
+    requireJar()
+    df.select(col("key").cast("string"), col("value").cast("string"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+  }
+}
+
 object Topics {
   /** Serialize rows to the topic envelope: key = keyCol, value = JSON of all
     * other columns — the reference's dict→JSON produce path

@@ -246,4 +246,58 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("read-only") ||
       Option(e2.getCause).exists(_.getMessage.contains("read-only")), e2.getMessage)
   }
+
+  // ----- optional-jar connector seams (VERDICT r12 #8 / r13 #5) -----
+  // Both branches of each seam are exercised: on this zero-egress build the
+  // jars are absent, so the absent branch runs and the present branch is a
+  // no-op; dropping the connector jars onto the classpath flips the same
+  // assertions to the real-connector branch with no code change.
+
+  test("kafka seam: detection via the format registry; KafkaTopic binds or fails fast") {
+    val kt = streaming.KafkaTopic("localhost:9092", "trades")
+    if (sources.ConnectorSeam.kafkaAvailable) {
+      // jar present: the relation must RESOLVE through format("kafka") —
+      // schema is static (no broker contact before an action), and the
+      // seam's (key, value)-string projection must typecheck against it
+      val df = kt.readBatch(spark)
+      assert(df.schema.fieldNames.toSeq == Seq("key", "value"))
+      assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    } else {
+      // jar absent: our registry probe and Spark's own resolution must
+      // AGREE the source is missing, and the seam must fail fast with the
+      // swap instruction instead of a deep classloading stack
+      val e = intercept[IllegalArgumentException](kt.readBatch(spark))
+      assert(e.getMessage.contains("FileTopic"), e.getMessage)
+      val sparkErr = intercept[Exception](
+        spark.read.format("kafka").option("subscribe", "t").load())
+      assert(sparkErr.getMessage.toLowerCase.contains("kafka"), sparkErr.getMessage)
+    }
+    // the graft source itself must be visible through the SAME registry the
+    // probe uses — proves the probe mechanism, not just the kafka answer
+    assert(sources.ConnectorSeam.formatAvailable("graft"))
+    assert(sources.ConnectorSeam.formatAvailable("graft-commits"))
+    assert(!sources.ConnectorSeam.formatAvailable("no-such-source-xyz"))
+  }
+
+  test("iceberg seam: catalog swap config is complete; stand-in enforced when absent") {
+    if (sources.ConnectorSeam.icebergAvailable) {
+      val conf = sources.ConnectorSeam.icebergRestCatalogConf(
+        "graft", "http://polaris:8181/api/catalog", "graft_wh", Some("id:secret"))
+      // same catalog NAME as the GraftCatalog registration ⇒ every
+      // three-part-name query is unchanged; the config must name the DSv2
+      // catalog class and the REST + warehouse + credential options the
+      // reference's attach flow passes (duckdb/init.sql:22-32)
+      assert(conf("spark.sql.catalog.graft") == "org.apache.iceberg.spark.SparkCatalog")
+      assert(conf.keys.exists(_.endsWith(".uri")) && conf.keys.exists(_.endsWith(".warehouse")))
+      assert(conf.keys.exists(_.endsWith(".credential")))
+    } else {
+      val e = intercept[IllegalArgumentException](
+        sources.ConnectorSeam.icebergRestCatalogConf("graft", "http://x", "wh"))
+      assert(e.getMessage.contains("GraftCatalog"), e.getMessage)
+    }
+    // the stand-in the seam names must itself load + register — the swap is
+    // catalog-impl-for-catalog-impl, both sides DSv2 TableCatalog
+    val cls = Class.forName("graft.sources.GraftCatalog")
+    assert(classOf[org.apache.spark.sql.connector.catalog.TableCatalog].isAssignableFrom(cls))
+  }
 }
