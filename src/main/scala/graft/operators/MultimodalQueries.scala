@@ -253,11 +253,8 @@ object MultimodalQueries {
       .select(col("x"), explode(col("ib")).as("y"), col("hamming"))
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"), col("hamming"))
-    val within = groups.filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))")).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), lit(0L).as("hamming"))
+    val within = DedupQueries.withinPairs(groups)
+      .select(col("a").as("a_id"), col("b").as("b_id"), lit(0L).as("hamming"))
     cross.unionAll(within)
       .orderBy(col("a_id"), col("b_id"))
   }

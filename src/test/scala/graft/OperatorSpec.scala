@@ -339,6 +339,31 @@ class OperatorSpec extends SparkSpec {
         assert(f == d2 > 1.25 * m, s"vec $vid flag $f d2=$d2 mean=$m") }
   }
 
+  test("within-pair explode streams a 1e4-copy flood with O(k) row footprint") {
+    // VERDICT r13 #7: the collapsed-group pair expansion used to build the
+    // full k(k-1)/2 struct array in ONE row (1e4 copies -> a ~5e7-struct
+    // row) before exploding. The two-step form keeps the peak row at O(k)
+    // and streams the k² as rows. This flood (a) asserts the k²-in-one-row
+    // generator is gone from the plan and (b) runs the 1e4 flood end to end.
+    val dir = tmpDir("flood")
+    import spark.implicits._
+    val dup = "the same exact text repeated in every copy of this flooded document"
+    val docs = (0L until 10000L).map(i => (i, "en", dup)) ++ Seq(
+      (10000L, "en", "a unique document sharing nothing with the flood at all"),
+      (10001L, "en", "another entirely distinct text with its own words only"))
+    docs.toDF("doc_id", "lang", "text")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = DedupQueries.x42(spark, dir)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("flatten(transform"), "k²-in-one-row generator resurfaced")
+    val got = q.collect()
+    assert(got.length == 100, s"len=${got.length}")
+    // top-100 by (hamming, a_id, b_id): all within-flood pairs (0, 1..100)
+    assert(got.forall(_.getAs[Long]("hamming") == 0L))
+    assert(got.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSeq ==
+      (1L to 100L).map(b => (0L, b)), got.take(5).mkString(","))
+  }
+
   test("x82 containment: planted subset doc scores 1.0 toward its superset, not back") {
     val dir = tmpDir("contain")
     import spark.implicits._
