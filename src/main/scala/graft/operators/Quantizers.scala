@@ -144,11 +144,21 @@ object Quantizers {
         val st = assignStruct(cents, col("embedding"))
         // ONE aggregation per round: (cid, dim) → cluster size, fix-point
         // coordinate sum, fix-point score sum (score repeats per dim; the
-        // ord=1 slice is the per-cluster objective — no second pass)
+        // ord=1 slice is the per-cluster objective — no second pass).
+        //
+        // The assignment MUST be its own select below the posexplode: the
+        // analyzer puts non-generator select items in a Project ABOVE the
+        // Generate, so a one-select form evaluates the nlist×dim dot sweep
+        // once per EXPLODED row — a dim× (64×) amplification that the sf1
+        // sweep caught as a 160× blowup when nlistFor first crossed a
+        // power-of-two boundary (16→256) at that scale (round 15). As two
+        // selects the dots stay in the Generate's child (explain-verified;
+        // exploded rows reference the computed cid/scf columns only).
         val rows = base
           .select(st.getField("cid").as("cid"),
             floor(st.getField("sc") * lit(1e6) + lit(0.5)).as("scf"),
-            posexplode(col("embedding")))
+            col("embedding"))
+          .select(col("cid"), col("scf"), posexplode(col("embedding")))
           .groupBy(col("cid"), (col("pos") + 1).as("ord"))
           .agg(count(lit(1)).as("n"),
             sum(floor(col("col").cast("double") * lit(1e6) + lit(0.5))).as("sf"),
@@ -513,11 +523,16 @@ object Quantizers {
     val arr = array(cents.map { case (cid, c) =>
       struct(cdot(col("embedding"), c).as("sc"), lit(cid).as("cid"))
     }: _*)
+    // `arr` materialized as a column: best and second both reference it, and
+    // inlining would run the nlist×dim dot sweep twice per row (at sf1's
+    // nlist=256 that is the dominant cost). CollapseProject keeps
+    // multi-referenced non-cheap exprs materialized.
     val per = graft.Tables.spread(t(s, d, "embeddings"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(VectorExprs.floatDot(col("embedding"), col("embedding"))))
-      .withColumn("best", array_max(arr))
-      .withColumn("second", array_max(filter(arr, e => !(e === col("best")))))
+      .withColumn("arr", arr)
+      .withColumn("best", array_max(col("arr")))
+      .withColumn("second", array_max(filter(col("arr"), e => !(e === col("best")))))
     val aCol = lit(1.0) - col("best.sc") / col("nrm")
     val bCol = lit(1.0) - col("second.sc") / col("nrm")
     val sil = when(col("nrm") > 0 && greatest(aCol, bCol) > 0,
