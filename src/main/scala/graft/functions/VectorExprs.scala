@@ -419,6 +419,103 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Argmax-dot nearest-centroid assignment as ONE expression: the whole
+  * nlist-wide sweep — dot the float vector against every trained double
+  * centroid, keep the lexicographic max of (score, cid) — in a single tight
+  * generated loop over a REFERENCED centroid matrix.
+  *
+  * Replaces the `array_max(array(struct(dot, cid) × nlist))` formulation,
+  * which scales catastrophically in nlist: at nlist=2048 (the sf10
+  * `nlistFor` value) that plan carries 2048 expression subtrees — the
+  * generated class splits into 500+ methods (no JIT inlining), every task
+  * binary is ~6 MB, and every ROW allocates a 2048-element struct array
+  * before array_max scans it. Measured on the round-15 sf10 sweep: the x26
+  * kNN chain dropped 83 s → 23 s warm from this swap alone; at bench SF
+  * (nlist=16) the two forms are within noise.
+  *
+  * Semantics are IDENTICAL to the old form, bit for bit:
+  *  - each dot is [[FloatDoubleDot]]'s exact left-to-right
+  *    `sum += (double) a[i] * c[i]` accumulation (the twins' list_zip CAST
+  *    convention);
+  *  - the argmax is Spark's struct ordering: `java.lang.Double.compare` on
+  *    the score (NaN greatest, -0.0 < 0.0 — the exact TypeUtils ordering
+  *    array_max used), ties broken to the GREATER cid.
+  * The centroid matrix and cid vector ride the expression as constructor
+  * state (they are planner-side trained-model constants, exactly like the
+  * literal arrays they replace) and reach generated code via
+  * `ctx.addReferenceObj` — one shared reference per task instead of nlist
+  * embedded literals. */
+case class CentroidArgmax(child: Expression,
+                          cids: Array[Long],
+                          cents: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty && cids.length == cents.length,
+    s"centroid_argmax: ${cids.length} cids vs ${cents.length} centroids")
+  override def dataType: DataType = StructType(Seq(
+    StructField("sc", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_argmax"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MinValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(dim, c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * c(i); i += 1 }
+      val cmp = java.lang.Double.compare(s, best)
+      if (cmp > 0 || (cmp == 0 && cids(j) > bestCid)) { best = s; bestCid = cids(j) }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestCid))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("centMatrix", cents, "double[][]")
+      val ids = ctx.addReferenceObj("centCids", cids, "long[]")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val dim = ctx.freshName("dim")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bestCid = Long.MIN_VALUE;
+         |int $dim = $x.numElements();
+         |for (int $j = 0; $j < $m.length; $j++) {
+         |  double[] $c = $m[$j];
+         |  int $n = java.lang.Math.min($dim, $c.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.getFloat($i) * $c[$i];
+         |  }
+         |  int $cmp = java.lang.Double.compare($s, $best);
+         |  if ($cmp > 0 || ($cmp == 0 && $ids[$j] > $bestCid)) {
+         |    $best = $s;
+         |    $bestCid = $ids[$j];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Double.valueOf($best), java.lang.Long.valueOf($bestCid) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExprs {
   /** Double-precision dot product of two float-array columns (codegen'd). */
   def floatDot(a: Column, b: Column): Column = GraftExprBridge.toColumn(FloatDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
@@ -440,4 +537,9 @@ object VectorExprs {
   /** One-pass non-overlapping counts of 2-char ASCII patterns (array<long>). */
   def bigramCounts(c: Column, patterns: Seq[String]): Column =
     GraftExprBridge.toColumn(BigramCounts(GraftExprBridge.toExpression(c), patterns))
+  /** Whole-sweep nearest-centroid assignment → struct(sc, cid); see
+    * [[CentroidArgmax]]. `cents` = (cid, centroid) in any order. */
+  def centroidArgmax(emb: Column, cents: Array[(Long, Array[Double])]): Column =
+    GraftExprBridge.toColumn(CentroidArgmax(GraftExprBridge.toExpression(emb),
+      cents.map(_._1), cents.map(_._2)))
 }

@@ -162,14 +162,13 @@ object AdvancedQueries {
   private def cdot(a: Column, c: Array[Double]): Column =
     graft.functions.VectorExprs.floatDoubleDot(a, centCol(c))
 
-  /** Nearest-centroid assignment: array_max over (score, cid) structs —
-    * lexicographic struct ordering IS the argmax, with a linear expression
-    * tree (a when().otherwise() reduce duplicates the accumulated subtree
-    * each step: 2^16 copies for 16 centroids). */
+  /** Nearest-centroid assignment: one codegen'd whole-sweep argmax over a
+    * referenced centroid matrix (lexicographic (score, cid) max — identical
+    * to the old array_max-over-structs form bit for bit, without its
+    * nlist-proportional codegen blowup; see
+    * [[graft.functions.CentroidArgmax]]). */
   private[graft] def assign(cents: Array[(Long, Array[Double])], emb: Column): Column =
-    array_max(array(cents.map { case (cid, c) =>
-      struct(cdot(emb, c).as("sc"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    graft.functions.VectorExprs.centroidArgmax(emb, cents).getField("cid")
 
   val x22: Q = (s, d) => {
     val e = t(s, d, "embeddings")
@@ -323,9 +322,16 @@ object AdvancedQueries {
     *
     * 100 TB shape: edges are E·16 bytes (E = 3N), scores N·16 — both
     * hash-partition on node id and the join is co-partitioned after the
-    * first round; the final top-20 is a bounded TakeOrdered. */
+    * first round; the final top-20 is a bounded TakeOrdered. The edge set
+    * is materialized ONCE with an eager localCheckpoint before the loop:
+    * each round's plan embeds `esrc` and the final unrolled plan would
+    * otherwise evaluate the whole kNN-graph chain (k-means assignment +
+    * within-cluster top-k) once per round — invisible at bench SF where
+    * the chain costs 0.4 s, an 11× recompute at sf10 where it costs ~60 s
+    * (the round-15 sf10 sweep measured 655 s hot; ~60 s after the cut). */
   val x139: Q = (s, d) => {
     val edges = x26(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .localCheckpoint(true)
     val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val esrc = edges.join(outd, "src")
@@ -364,9 +370,13 @@ object AdvancedQueries {
     * 2T/(deg·(deg−1)) is a final-render double, fround(6); degree<2 emits
     * NULL. Every join key is a node id — co-partitionable at any scale. */
   val x148: Q = (s, d) => {
+    // The undirected edge set feeds the triangle join THREE times plus the
+    // degree union — five references; checkpoint-materialize once or the
+    // plan evaluates the kNN chain five times (249 s → ~60 s at sf10).
     val e = x26(s, d).select(
       least(col("vec_id"), col("nbr_id")).as("u"),
       greatest(col("vec_id"), col("nbr_id")).as("v")).distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     val tri = e.select(col("u").as("a"), col("v").as("b"))
@@ -422,8 +432,8 @@ object AdvancedQueries {
     * previous edge set five times (degree union + the two semi-join
     * probes), so leaving the lineage lazy would nest 5^rounds copies of
     * the kNN chain into one plan; the checkpoint is the standard Spark
-    * iterative-algorithm lineage cut (x139's loop gets away without one
-    * only because each round references its predecessor once). */
+    * iterative-algorithm lineage cut (x139/x148 now cut the kNN lineage
+    * the same way — see their headers for the sf10 numbers). */
   val x155: Q = (s, d) => {
     var edges = x26(s, d).select(
       least(col("vec_id"), col("nbr_id")).as("u"),
@@ -1399,10 +1409,16 @@ object AdvancedQueries {
        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
   /** GENERATED x139 twin: the full kNN chain + `prIters` UNROLLED
-    * iteration CTEs replaying the identical integer arithmetic. */
+    * iteration CTEs replaying the identical integer arithmetic.
+    * MATERIALIZED on edges/outd and every round (the x163/x155 twin
+    * convention): each pr round references edges + its predecessor, so
+    * inlining would nest ~2^rounds copies of the kNN training chain —
+    * the sf1 run of the un-hinted form spilled >77 GB of DuckDB temp
+    * (the twin-side mirror of the recompute x139's Spark plan cuts with
+    * localCheckpoint). */
   private def pageRankOracle: String = {
     val its = (1 to prIters).map { i =>
-      s"""pr$i AS (
+      s"""pr$i AS MATERIALIZED (
          |  SELECT n.id, CAST(150000 + (85 * COALESCE(SUM(x.c), 0)) // 100 AS BIGINT) AS pr
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst, p.pr // o.od AS c
@@ -1411,8 +1427,8 @@ object AdvancedQueries {
          |  GROUP BY n.id)""".stripMargin
     }.mkString(",\n")
     s"""$knnCtes,
-       |edges AS (SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rn <= 3),
-       |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |edges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rn <= 3),
+       |outd AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
        |nodes AS (SELECT vec_id AS id FROM embeddings),
        |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
        |$its,
@@ -1464,10 +1480,13 @@ object AdvancedQueries {
   }
 
   /** GENERATED x148 twin: the kNN chain + identical undirected-pair /
-    * two-join triangle enumeration and corner counting. */
+    * two-join triangle enumeration and corner counting. MATERIALIZED on
+    * und (referenced three times by the triangle join + twice by deg —
+    * inlining replays the kNN training chain five times; the un-hinted
+    * form spilled >77 GB at sf1, same class as the x139 twin). */
   private def trianglesOracle: String =
     s"""$knnCtes,
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u, GREATEST(vec_id, nbr_id) AS v
        |  FROM ranked WHERE rn <= 3),
        |deg AS (

@@ -97,11 +97,12 @@ object Quantizers {
     VectorExprs.floatDoubleDot(a, typedLit(c)) // one array Literal, not 64 nodes
 
   /** Argmax-dot assignment as a (sc, cid) struct — the family's `assign`
-    * with the score kept (struct-max = max score, tie → max cid). */
+    * with the score kept (struct-max = max score, tie → max cid). ONE
+    * codegen'd sweep over a referenced centroid matrix — see
+    * [[graft.functions.CentroidArgmax]] for why the old
+    * array_max(array(struct × nlist)) form dies at sf10's nlist=2048. */
   private def assignStruct(cents: Array[(Long, Array[Double])], emb: Column): Column =
-    array_max(array(cents.map { case (cid, c) =>
-      struct(cdot(emb, c).as("sc"), lit(cid).as("cid"))
-    }: _*))
+    VectorExprs.centroidArgmax(emb, cents)
 
   /** Trained IVF centroids (cached). Seeds = the family's existing
     * convention (vec_id < nlist), normalized to unit length (spherical
