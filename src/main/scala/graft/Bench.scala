@@ -43,7 +43,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg
     // Contention guard (VERDICT r8: a load-9.3 artifact cost a round a clean
     // cross-round comparison): numbers from a loaded machine are upper
     // bounds, not measurements — flag it loudly in stderr AND the JSON so a
@@ -53,10 +52,30 @@ object Bench {
     // uniform ~1.35× inflation — cores/4 lets a third of the machine be
     // busy before flagging, which is far past where sub-second queries
     // start absorbing scheduler noise.
-    val contended = loadStart > Runtime.getRuntime.availableProcessors / 8.0
+    // r16 (VERDICT r15 #6): don't just LABEL contention — WAIT it out.
+    // Three driver rounds in a row shipped contended artifacts because the
+    // driver schedules Bench next to other work; a bounded spin (up to
+    // 10 min, re-checked each minute) lets the co-tenant drain so the
+    // shipped artifact is a measurement, not an upper bound. Backstopped:
+    // after the budget we run anyway, labeled contended as before.
+    val threshold = Runtime.getRuntime.availableProcessors / 8.0
+    var waited = 0
+    // SPARK_GRAFT_NO_WAIT=1 skips the drain (local tooling only — the
+    // driver never sets it; a deliberately-contended local run still gets
+    // the contended:true label below).
+    if (sys.env.contains("SPARK_GRAFT_NO_WAIT")) waited = 10
+    while (loadAvg > threshold && waited < 10) {
+      System.err.println(f"[bench] start load $loadAvg%.1f > $threshold%.1f — " +
+        f"waiting 60 s for the machine to drain (${waited + 1}/10)")
+      Thread.sleep(60000)
+      waited += 1
+    }
+    val loadStart = loadAvg
+    val contended = loadStart > threshold
     if (contended) System.err.println(
-      f"[bench] WARNING: start load $loadStart%.1f exceeds cores/8 — " +
-        "re-run on an idle machine before treating this artifact as a measurement")
+      f"[bench] WARNING: start load $loadStart%.1f exceeds cores/8 after " +
+        "a 10-min drain wait — re-run on an idle machine before treating " +
+        "this artifact as a measurement")
     // Latency profile on top of the engine defaults: at bench SF every
     // shuffle is <10 MB, so AQE's per-stage re-planning jobs cost more than
     // they save (engine default keeps AQE on for the 100 TB posture —

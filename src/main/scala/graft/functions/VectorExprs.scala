@@ -437,9 +437,14 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   *  - each dot is [[FloatDoubleDot]]'s exact left-to-right
   *    `sum += (double) a[i] * c[i]` accumulation (the twins' list_zip CAST
   *    convention);
-  *  - the argmax is Spark's struct ordering: `java.lang.Double.compare` on
-  *    the score (NaN greatest, -0.0 < 0.0 — the exact TypeUtils ordering
-  *    array_max used), ties broken to the GREATER cid.
+  *  - the argmax is Spark's struct ordering (SQLOrderingUtil.compareDoubles:
+  *    `==` short-circuit first, so -0.0 ties +0.0; NaN greatest), ties
+  *    broken to the GREATER cid — exactly what array_max computed.
+  *  - a NULL embedding row yields NULL (nullIntolerant), unlike the old
+  *    array_max form, whose null-scored structs fell through to the max
+  *    cid. Intentional divergence: an unscoreable vector must not be
+  *    silently assigned; training/serving inputs are non-null by schema
+  *    (the generator writes REQUIRED lists), so twins are unaffected.
   * The centroid matrix and cid vector ride the expression as constructor
   * state (they are planner-side trained-model constants, exactly like the
   * literal arrays they replace) and reach generated code via
@@ -470,7 +475,8 @@ case class CentroidArgmax(child: Expression,
       var s = 0.0
       var i = 0
       while (i < n) { s += x.getFloat(i).toDouble * c(i); i += 1 }
-      val cmp = java.lang.Double.compare(s, best)
+      // SQLOrderingUtil.compareDoubles mirror: == first (-0.0 ties +0.0)
+      val cmp = if (s == best) 0 else java.lang.Double.compare(s, best)
       if (cmp > 0 || (cmp == 0 && cids(j) > bestCid)) { best = s; bestCid = cids(j) }
       j += 1
     }
@@ -502,7 +508,7 @@ case class CentroidArgmax(child: Expression,
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += (double) $x.getFloat($i) * $c[$i];
          |  }
-         |  int $cmp = java.lang.Double.compare($s, $best);
+         |  int $cmp = ($s == $best) ? 0 : java.lang.Double.compare($s, $best);
          |  if ($cmp > 0 || ($cmp == 0 && $ids[$j] > $bestCid)) {
          |    $best = $s;
          |    $bestCid = $ids[$j];
@@ -514,6 +520,21 @@ case class CentroidArgmax(child: Expression,
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  // Content-based equality (case-class default hashes the arrays by
+  // identity, defeating CSE/plan-cache matching when two instances are
+  // built from separate-but-identical trained models). Compares the model
+  // by value; the expression is otherwise state-free.
+  override def equals(that: Any): Boolean = that match {
+    case o: CentroidArgmax =>
+      child == o.child && java.util.Arrays.equals(cids, o.cids) &&
+        cents.length == o.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), o.cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.hashCode(cids)) +
+      cents.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
 }
 
 object VectorExprs {

@@ -57,11 +57,34 @@ object IvmQueries {
     * re-scan). IvmSpec proves the defining contract: maintained view ≡
     * full recompute over the mutated base, bit-exact. */
   val x109: Q = (s, d) => {
+    val Seq(baseDeltas, chg, ins) = ivmDeltaBatches(s, d)
+    val view0 = baseDeltas.groupBy(col("g"))
+      .agg(sum(col("dn")).as("n0"), sum(col("ds")).as("s0"))
+    val deltas = chg.unionAll(ins)
+      .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    view0.join(broadcast(deltas), Seq("g"), "full_outer")
+      .select(col("g").as("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sc"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_orderpriority"), col("n_orders"),
+        fround(col("sc") / 100.0, 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The x109 change set as THREE signed-delta micro-batches — the E117
+    * streaming-IVM arrival order the x179 replay twin folds: batch 0 seeds
+    * the view with the base table's (+1, +cents) deltas (after which the
+    * base is never re-scanned, the x109 contract), batch 1 carries the
+    * delete/update deltas, batch 2 the synthetic inserts. x109 consumes
+    * the same frames in its one-shot form, so replay and batch IVM share
+    * the derivation bit-for-bit. */
+  private[graft] def ivmDeltaBatches(s: SparkSession, d: String)
+      : Seq[org.apache.spark.sql.DataFrame] = {
     val base = t(s, d, "orders").select(
       col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
       cents(col("o_totalprice")).as("c"))
-    val view0 = base.groupBy(col("g"))
-      .agg(count(lit(1)).as("n0"), sum(col("c")).as("s0"))
+    val baseDeltas = base.select(col("g"), lit(1L).as("dn"), col("c").as("ds"))
     val del = base.filter(col("k") % 13 === 1)
       .select(col("g"), lit(-1L).as("dn"), (-col("c")).as("ds"))
     val updOld = base.filter(col("k") % 13 === 2)
@@ -73,16 +96,7 @@ object IvmQueries {
     val ins = s.range(1, 21).toDF("i")
       .select(element_at(prArr, (col("i") % 5 + 1).cast("int")).as("g"),
         lit(1L).as("dn"), (col("i") * 12345L).as("ds"))
-    val deltas = del.unionAll(updOld).unionAll(updNew).unionAll(ins)
-      .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
-    view0.join(broadcast(deltas), Seq("g"), "full_outer")
-      .select(col("g").as("o_orderpriority"),
-        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
-        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sc"))
-      .filter(col("n_orders") > 0)
-      .select(col("o_orderpriority"), col("n_orders"),
-        fround(col("sc") / 100.0, 2).as("sum_price"))
-      .orderBy(col("o_orderpriority"))
+    Seq(baseDeltas, del.unionAll(updOld).unionAll(updNew), ins)
   }
 
   /** The drifted-snapshot pair for x116, shared with the twin: snapshot A

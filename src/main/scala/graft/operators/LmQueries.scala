@@ -298,6 +298,23 @@ object LmQueries {
   /** GENERATED x59 twin: identical bucketing, totals, smoothing, and
     * fix-point mean. */
   private def dsirOracle: String =
+    s"""$dsirCoreSql
+       |SELECT doc_id, source, n_toks,
+       |  floor(CAST(fs AS DOUBLE) / 100000000.0 / n_toks * 1000000 + 0.5) / 1000000 AS imp_weight
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** x177 twin (E70's stream-static replay): the SAME fitted model + score
+    * chain, emitted per micro-batch (batch = doc_id % nBatches) — scoring
+    * is per-doc, so each trigger's emission is exactly its docs' x59 rows. */
+  private[operators] def dsirReplayOracle(nBatches: Int): String =
+    s"""$dsirCoreSql
+       |SELECT CAST(doc_id % $nBatches AS BIGINT) AS batch_id, doc_id, source, n_toks,
+       |  floor(CAST(fs AS DOUBLE) / 100000000.0 / n_toks * 1000000 + 0.5) / 1000000 AS imp_weight
+       |FROM sc ORDER BY batch_id, doc_id""".stripMargin
+
+  /** Shared WITH-chain of the x59 / x177 twins: fit (bucket ratios over the
+    * full corpus — the STATIC side) + per-doc fix-point score. */
+  private def dsirCoreSql: String =
     s"""WITH tk AS (
        |  SELECT doc_id, source, ${h60Sql("tok")} % $dsirBuckets AS bk
        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
@@ -317,10 +334,7 @@ object LmQueries {
        |  SELECT tk.doc_id, tk.source, COUNT(*) AS n_toks,
        |    CAST(SUM(CAST(floor(rt.r * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS fs
        |  FROM tk JOIN rt ON tk.bk = rt.bk
-       |  GROUP BY tk.doc_id, tk.source)
-       |SELECT doc_id, source, n_toks,
-       |  floor(CAST(fs AS DOUBLE) / 100000000.0 / n_toks * 1000000 + 0.5) / 1000000 AS imp_weight
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |  GROUP BY tk.doc_id, tk.source)""".stripMargin
 
   /** GENERATED x67 twin: the same K merge rounds as chained CTE pairs —
     * p_k picks the top pair from v_{k-1}, v_k applies the identical double

@@ -74,9 +74,179 @@ object StreamReplayQueries {
       .orderBy(col("batch_id"), desc("n_occ"), col("tok"))
   }
 
+  /** x176 — E68's decomposition (streaming curation stage): the map-only
+    * gate + PII scrub half runs VERBATIM ([[graft.streaming.StreamOps
+    * .curateGateScrub]] — per-row expressions, so per-batch ≡ whole-frame),
+    * and the E27c canonical dedup's first-arrival-wins state is made
+    * explicit: under the deterministic arrival order (batch_id, doc_id),
+    * the kept copy per canon key is exactly `row_number() over (partition
+    * by canon_h order by batch_id, doc_id) = 1` — what
+    * dropDuplicatesWithinWatermark emits trigger by trigger (StreamingSpec
+    * pins the cross-batch keep behavior; this key hash-checks the full
+    * gate → scrub → canon-key chain per emitted doc). */
+  val x176: Q = (s, d) =>
+    curateReplay(t(s, d, "documents"), nReplayBatches)
+      .orderBy(col("batch_id"), col("doc_id"))
+
+  /** The E68 replay chain over any docs frame (doc_id, lang, text) —
+    * shared with StreamReplaySpec, which drives PLANTED cross-batch
+    * canonical variants through both this decomposition and the real
+    * streamed [[graft.streaming.StreamOps.curateDocs]] and asserts the
+    * per-trigger emissions match. */
+  private[graft] def curateReplay(docs: DataFrame, nBatches: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batched = docs
+      .withColumn("batch_id", pmod(col("doc_id"), lit(nBatches.toLong)))
+    val gated = graft.streaming.StreamOps.curateGateScrub(batched)
+      .withColumn("canon_h", graft.streaming.StreamOps.canonKey(col("text")))
+    val w = Window.partitionBy(col("canon_h")).orderBy(col("batch_id"), col("doc_id"))
+    gated.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("batch_id"), col("doc_id"), col("lang"), col("n_chars"),
+        col("canon_h"))
+  }
+
+  /** x177 — E70's decomposition (stream-static DSIR enrichment): fit the
+    * 256-row bucket-ratio model ONCE over the corpus (the static side a
+    * production stream broadcasts per trigger), then run the scoring chain
+    * per micro-batch through [[graft.streaming.StreamOps.scoreDocsDsir]].
+    * Scoring is per-doc (explode → broadcast join → per-doc agg), so each
+    * trigger's emission is exactly its docs' x59 rows — which is the
+    * stream-equals-batch property StreamingSpec asserts and this key
+    * hash-checks against the twin's refit. */
+  val x177: Q = (s, d) => {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+    val ratio = LmQueries.dsirRatio(docs)
+    (0 until nReplayBatches).map { b =>
+      graft.streaming.StreamOps.scoreDocsDsir(
+          docs.filter(pmod(col("doc_id"), lit(nReplayBatches.toLong)) === b), ratio)
+        .select(lit(b.toLong).as("batch_id"), col("doc_id"), col("source"),
+          col("n_toks"), col("imp_weight"))
+    }.reduce(_ unionAll _).orderBy(col("batch_id"), col("doc_id"))
+  }
+
+  /** The x178 CDC universe: orders keys ≡0 (mod 10) as (key, price-cents).
+    * Cents are the exact fix-point both engines floor identically. */
+  private def cdcUniverse(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+
+  /** x178 — E102's decomposition (streaming CDC apply): three deterministic
+    * change batches derived from the orders snapshot (key-mod classes, the
+    * x106/x109 convention) fold sequentially through the trigger body's own
+    * [[graft.streaming.StreamOps.cdcLatestWins]] (latest-wins per key by
+    * the event-seq column, upsert/tombstone split), then the mergeIntoMor
+    * visible-state algebra `upserts ∪ (state ⟕anti touched-keys)` — the
+    * file-layer equivalence MaintenanceSpec asserts. Emits the FULL visible
+    * table state after every trigger, so the twin (global argmax over
+    * (batch, seq) per key, op ≠ D) hash-checks in-batch latest-wins,
+    * upsert-over-upsert, tombstone, and delete-then-recreate all at once.
+    *
+    * The change set exercises every CDC shape: batch 1 updates (k≡0 mod
+    * 30), DOUBLE-updates the same key in-batch (k≡10, seq 1 then 2 — the
+    * latest must win), inserts 20 beyond-max keys; batch 2 deletes the
+    * batch-1-updated keys, updates k≡20, tombstones the odd inserts;
+    * batch 3 re-updates half the batch-2 updates (k≡20 mod 60), RECREATES
+    * deleted keys (k≡0 mod 90), and deletes the in-batch-winner keys.
+    *
+    * Scale note: the replay's per-trigger state dump recomputes the fold
+    * lineage (an oracle artifact); the streaming op itself pays O(|batch|)
+    * per trigger — MOR appends + equality deletes, never a state rescan. */
+  val x178: Q = (s, d) => {
+    import graft.streaming.StreamOps
+    val u = cdcUniverse(s, d)
+    def chg(pred: org.apache.spark.sql.Column, cExpr: org.apache.spark.sql.Column,
+        op: String, seq: Int): DataFrame =
+      u.filter(pred).select(col("k"), cExpr.as("c"), lit(op).as("op"),
+        lit(seq.toLong).as("seq"))
+    val insKeys = broadcast(u.agg(max(col("k")).as("mx")))
+      .select(explode(sequence(lit(1L), lit(20L))).as("i"), col("mx"))
+      .select((col("mx") + col("i")).as("k"), col("i"))
+    val b1 = chg(col("k") % 30 === 0, col("c") + 1000L, "U", 1)
+      .unionAll(chg(col("k") % 30 === 10, col("c") + 100L, "U", 1))
+      .unionAll(chg(col("k") % 30 === 10, col("c") + 200L, "U", 2))
+      .unionAll(insKeys.select(col("k"), (col("i") * 777L).as("c"),
+        lit("I").as("op"), lit(1L).as("seq")))
+    val b2 = chg(col("k") % 30 === 0, lit(0L), "D", 1)
+      .unionAll(chg(col("k") % 30 === 20, col("c") + 3000L, "U", 1))
+      .unionAll(insKeys.filter(col("i") % 2 === 1).select(col("k"),
+        lit(0L).as("c"), lit("D").as("op"), lit(1L).as("seq")))
+    val b3 = chg(col("k") % 60 === 20, col("c") + 4000L, "U", 1)
+      .unionAll(chg(col("k") % 90 === 0, col("c") + 9000L, "U", 1))
+      .unionAll(chg(col("k") % 30 === 10, lit(0L), "D", 1))
+    var state = u
+    val outs = Seq(b1, b2, b3).zipWithIndex.map { case (bdf, i) =>
+      val (ups, tombs) = StreamOps.cdcLatestWins(bdf, "k", "seq", "op")
+      val touched = ups.select(col("k")).unionAll(tombs).distinct()
+      // localCheckpoint per trigger (the x155 unrolled-rounds convention):
+      // each emitted state would otherwise recompute the whole fold prefix
+      // (out_3 re-runs triggers 1 and 2) — 2.9× measured at sf1. State is
+      // universe-bounded (|keys| rows), so the materialization is cheap.
+      state = ups.select(col("k"), col("c"))
+        .unionAll(state.join(touched, Seq("k"), "left_anti"))
+        .localCheckpoint(true)
+      state.select(lit((i + 1).toLong).as("batch_id"), col("k"), col("c"))
+    }
+    outs.reduce(_ unionAll _).orderBy(col("batch_id"), col("k"))
+  }
+
+  /** x179 — E117's decomposition (streaming view maintenance): the x109
+    * delta batches ([[IvmQueries.ivmDeltaBatches]] — base-as-deltas seed,
+    * change deltas, inserts) fold through the streaming agg
+    * [[graft.streaming.StreamOps.maintainAggView]]; complete-mode output
+    * after trigger b equals the agg over the delta PREFIX (sum's merge is
+    * associative-commutative — the same reason the state-store fold is
+    * deterministic), which is what the twin states per prefix. Consumers
+    * filter n > 0 (a group deleted to zero vanishes, the x109 contract). */
+  val x179: Q = (s, d) => {
+    val batches = IvmQueries.ivmDeltaBatches(s, d)
+    (0 until batches.size).map { b =>
+      graft.streaming.StreamOps.maintainAggView(
+          batches.take(b + 1).reduce(_ unionAll _))
+        .filter(col("n_orders") > 0)
+        .select(lit(b.toLong).as("batch_id"), col("g").as("o_orderpriority"),
+          col("n_orders"), graft.Tables.fround(col("sc") / 100.0, 2).as("sum_price"))
+    }.reduce(_ unionAll _).orderBy(col("batch_id"), col("o_orderpriority"))
+  }
+
+  /** x180 — E118's decomposition (streaming drift monitor): the baseline
+    * histogram (full-table l_quantity over 8 bins — "yesterday's
+    * persisted x102 audit row") is static; each micro-batch (l_orderkey
+    * mod 3; batch 2 additionally hit by x116's drifted-snapshot predicate,
+    * which guts the upper quantity bins, so the monitor must FLAG it)
+    * runs VERBATIM through
+    * [[graft.streaming.StreamOps.driftTvd]]. The bounds collect is 2
+    * doubles (model-bounded, the centroidSeeds precedent). */
+  val x180: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val nBins = 8
+    val b = li.agg(min(col("l_quantity")), max(col("l_quantity"))).head
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val binc = least(floor((col("l_quantity") - mn) * nBins / (mx - mn)),
+      lit(nBins - 1L))
+    val h = li.where(col("l_quantity").isNotNull)
+      .select(binc.as("bin")).groupBy(col("bin")).agg(count(lit(1)).as("na"))
+    val baseline = s.range(0, nBins).toDF("bin")
+      .join(h, Seq("bin"), "left")
+      .crossJoin(broadcast(h.agg(sum(col("na")).as("ta")))) // 1-row global agg
+      .select(col("bin"), (coalesce(col("na"), lit(0L)) / col("ta")).as("pb"))
+    (0 until nReplayBatches).map { i =>
+      val batch = li.filter(col("l_orderkey") % nReplayBatches === i &&
+        (if (i == nReplayBatches - 1) expr(IvmQueries.driftPred) else lit(true)))
+      graft.streaming.StreamOps.driftTvd(
+          batch.select(col("l_quantity").as("v")), baseline, mn, mx, nBins)
+        .select(lit(i.toLong).as("batch_id"), col("n"), col("tvd"), col("drifted"))
+    }.reduce(_ unionAll _).orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x135_stream_neardup_replay" -> x135,
-    "x136_stream_hh_replay" -> x136)
+    "x136_stream_hh_replay" -> x136,
+    "x176_stream_curate_replay" -> x176,
+    "x177_stream_dsir_replay" -> x177,
+    "x178_stream_cdc_replay" -> x178,
+    "x179_stream_ivm_replay" -> x179,
+    "x180_stream_drift_replay" -> x180)
 
   val oracles: Map[String, String] = Map(
     // GENERATED twin of the E84 chain: the x41 minhash/band SQL with the
@@ -126,5 +296,128 @@ object StreamReplayQueries {
          |  FROM documents)
          |$prefixes
          |ORDER BY batch_id, n_occ DESC, tok""".stripMargin
-    })
+    },
+    // GENERATED twin of the E68 chain: x30's gate predicate, x46's scrub
+    // regexes (declaration order, global), x36's canonical form hashed with
+    // h60 — then first-arrival-wins dedup stated as a window over the
+    // deterministic (batch, doc) arrival order.
+    "x176_stream_curate_replay" -> {
+      val h60 = graft.Tables.h60Sql _
+      val stopList = TextQueries.stopList
+      val toks = "string_split(text, ' ')"
+      val scrub = CurationQueries.piiPatterns.foldLeft("text") {
+        case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      val canon = s"list_filter(string_split(regexp_replace(lower(text), " +
+        s"'[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '' AND t NOT IN ($stopList))"
+      s"""WITH g AS (
+         |  SELECT doc_id % $nReplayBatches AS batch_id, doc_id, lang, $scrub AS text
+         |  FROM documents
+         |  WHERE len($toks) >= 10
+         |    AND CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+         |      / len($toks) >= 0.05),
+         |ck AS (
+         |  SELECT batch_id, doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+         |    ${h60(s"array_to_string($canon, ' ')")} AS canon_h
+         |  FROM g),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_h
+         |    ORDER BY batch_id, doc_id) AS rn
+         |  FROM ck)
+         |SELECT batch_id, doc_id, lang, n_chars, canon_h FROM r WHERE rn = 1
+         |ORDER BY batch_id, doc_id""".stripMargin
+    },
+    // GENERATED twin of the E70 chain: the x59 fit+score SQL with a
+    // batch_id projection (LmQueries.dsirReplayOracle shares the x59 CTEs).
+    "x177_stream_dsir_replay" -> LmQueries.dsirReplayOracle(nReplayBatches),
+    // Declarative twin of the E102 fold: visible state after trigger b =
+    // per-key argmax over (bid, seq) among changes with bid ≤ b (seed rows
+    // are bid-0 'I'), kept iff the winning op ≠ 'D' — the closed form the
+    // sequential latest-wins/merge fold computes by induction.
+    "x178_stream_cdc_replay" ->
+      s"""WITH u AS (
+         |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderkey % 10 = 0),
+         |mxq AS (SELECT MAX(k) AS mx FROM u),
+         |ik AS (SELECT mx + i AS k, i FROM mxq, (SELECT unnest(range(1, 21)) AS i)),
+         |chg AS (
+         |  SELECT 0 AS bid, 0 AS seq, k, c, 'I' AS op FROM u
+         |  UNION ALL SELECT 1, 1, k, c + 1000, 'U' FROM u WHERE k % 30 = 0
+         |  UNION ALL SELECT 1, 1, k, c + 100, 'U' FROM u WHERE k % 30 = 10
+         |  UNION ALL SELECT 1, 2, k, c + 200, 'U' FROM u WHERE k % 30 = 10
+         |  UNION ALL SELECT 1, 1, k, i * 777, 'I' FROM ik
+         |  UNION ALL SELECT 2, 1, k, 0, 'D' FROM u WHERE k % 30 = 0
+         |  UNION ALL SELECT 2, 1, k, c + 3000, 'U' FROM u WHERE k % 30 = 20
+         |  UNION ALL SELECT 2, 1, k, 0, 'D' FROM ik WHERE i % 2 = 1
+         |  UNION ALL SELECT 3, 1, k, c + 4000, 'U' FROM u WHERE k % 60 = 20
+         |  UNION ALL SELECT 3, 1, k, c + 9000, 'U' FROM u WHERE k % 90 = 0
+         |  UNION ALL SELECT 3, 1, k, 0, 'D' FROM u WHERE k % 30 = 10),
+         |st AS (
+         |  SELECT b.b AS batch_id, k, c, op,
+         |    ROW_NUMBER() OVER (PARTITION BY b.b, k ORDER BY bid DESC, seq DESC) AS rn
+         |  FROM chg, (SELECT unnest(range(1, ${nReplayBatches + 1})) AS b) b
+         |  WHERE bid <= b.b)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id, k, c
+         |FROM st WHERE rn = 1 AND op <> 'D'
+         |ORDER BY batch_id, k""".stripMargin,
+    // Per-prefix sums over the x109 delta batches (sum's merge is
+    // order-free, so the prefix agg IS the complete-mode emission).
+    "x179_stream_ivm_replay" -> {
+      val prList = IvmQueries.priorities.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_orderpriority AS g,
+         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+         |  FROM orders),
+         |dlt AS (
+         |  SELECT 0 AS bid, g, 1 AS dn, c AS ds FROM base
+         |  UNION ALL SELECT 1, g, -1, -c FROM base WHERE k % 13 = 1
+         |  UNION ALL SELECT 1, g, -1, -c FROM base WHERE k % 13 = 2
+         |  UNION ALL SELECT 1, '${IvmQueries.priorities.head}', 1, c + 1000
+         |    FROM base WHERE k % 13 = 2
+         |  UNION ALL SELECT 2, ($prList)[CAST(i % 5 + 1 AS INT)], 1, i * 12345
+         |    FROM (SELECT unnest(range(1, 21)) AS i)),
+         |pf AS (
+         |  SELECT b.b AS batch_id, g,
+         |    CAST(SUM(dn) AS BIGINT) AS n_orders, CAST(SUM(ds) AS BIGINT) AS sc
+         |  FROM dlt, (SELECT unnest(range(0, $nReplayBatches)) AS b) b
+         |  WHERE bid <= b.b GROUP BY 1, 2)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id, g AS o_orderpriority, n_orders,
+         |  floor(sc / 100.0 * 100.0 + 0.5) / 100.0 AS sum_price
+         |FROM pf WHERE n_orders > 0
+         |ORDER BY batch_id, o_orderpriority""".stripMargin
+    },
+    // GENERATED twin of the E118 chain: static full-table baseline masses,
+    // per-batch clamped bin masses, TVD per trigger (x116's arithmetic).
+    "x180_stream_drift_replay" ->
+      s"""WITH bo AS (
+         |  SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem),
+         |bh AS (
+         |  SELECT LEAST(CAST(floor((l_quantity - bo.mn) * 8 / (bo.mx - bo.mn))
+         |    AS BIGINT), 7) AS bin, COUNT(*) AS na
+         |  FROM lineitem, bo WHERE l_quantity IS NOT NULL GROUP BY 1),
+         |bl AS (
+         |  SELECT g.bin, CAST(COALESCE(bh.na, 0) AS DOUBLE) / t.ta AS pb
+         |  FROM (SELECT unnest(range(0, 8)) AS bin) g
+         |  LEFT JOIN bh ON bh.bin = g.bin
+         |  CROSS JOIN (SELECT CAST(SUM(na) AS BIGINT) AS ta FROM bh) t),
+         |bt AS (
+         |  SELECT b.b AS batch_id,
+         |    GREATEST(CAST(0 AS BIGINT),
+         |      LEAST(CAST(floor((l_quantity - bo.mn) * 8 / (bo.mx - bo.mn))
+         |        AS BIGINT), 7)) AS bin,
+         |    COUNT(*) AS nb
+         |  FROM lineitem, bo, (SELECT unnest(range(0, $nReplayBatches)) AS b) b
+         |  WHERE l_quantity IS NOT NULL AND l_orderkey % $nReplayBatches = b.b
+         |    AND (b.b < ${nReplayBatches - 1} OR ${IvmQueries.driftPred})
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT batch_id, CAST(SUM(nb) AS BIGINT) AS n FROM bt GROUP BY 1),
+         |tv AS (
+         |  SELECT x.batch_id, x.n,
+         |    SUM(abs(x.pb - CAST(COALESCE(bt.nb, 0) AS DOUBLE) / x.n)) / 2 AS tvd
+         |  FROM (SELECT tt.batch_id, tt.n, bl.bin, bl.pb FROM tt, bl) x
+         |  LEFT JOIN bt ON bt.batch_id = x.batch_id AND bt.bin = x.bin
+         |  GROUP BY 1, 2)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id, n,
+         |  floor(tvd * 1000000.0 + 0.5) / 1000000.0 AS tvd, tvd > 0.1 AS drifted
+         |FROM tv ORDER BY batch_id""".stripMargin)
 }

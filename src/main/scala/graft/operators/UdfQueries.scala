@@ -556,27 +556,31 @@ object UdfQueries {
     * pairs will this gram join produce?") answered BEFORE running the
     * join, from two 4×1024 sketches.
     *
-    * 100 TB shape: each side is one map-side-combined grid agg (exchange
-    * bounded at d·w rows regardless of corpus); the estimate is a
-    * d·w-row join of two bounded grids. Grids of per-shard streams sum
-    * counter-wise (CMS is linear), so the estimate composes over
-    * partitions and over time; counters and products are longs — at
-    * corpus scales where Σc²  approaches 2⁶³ the grid rows widen to
-    * doubles, the estimate stays an estimate. The exact inner product
-    * alongside is the verification cost, not the operator. */
+    * 100 TB shape: BOTH grids build in ONE shared pass over the union of
+    * the two sources (r16, VERDICT r15 #3 — the split-scan form ran 4
+    * separate jobs and 13× the twin at sf0.1): each side's counter rides
+    * as a conditional sum keyed by the same (r, bucket), so the exchange
+    * stays bounded at d·w rows regardless of corpus and the per-bucket
+    * inner-product term needs no grid-grid join at all. Grids of
+    * per-shard streams sum counter-wise (CMS is linear), so the estimate
+    * composes over partitions and over time; counters and products are
+    * longs — at corpus scales where Σc² approaches 2⁶³ the grid rows
+    * widen to doubles, the estimate stays an estimate. The exact inner
+    * product alongside is the verification cost, not the operator — and
+    * it shares the same single token scan the same way. */
   val x115: Q = (s, d) => {
     val docs = graft.Tables.spread(t(s, d, "documents"))
-    def toks(src: String) = docs.filter(col("source") === src)
-      .select(explode(split(col("text"), " ")).as("tok"))
-    def grid(side: DataFrame) = side
-      .select(posexplode(cmsBuckets(col("tok"))).as(Seq("r", "bucket")))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
-    val est = grid(toks("src0"))
-      .join(grid(toks("src1")).withColumnRenamed("n", "nb"), Seq("r", "bucket"))
+    val toks = docs.filter(col("source").isin("src0", "src1"))
+      .select((col("source") === "src0").as("isA"),
+        explode(split(col("text"), " ")).as("tok"))
+    def sideN(a: Boolean, as: String) =
+      sum(when(if (a) col("isA") else !col("isA"), 1L).otherwise(0L)).as(as)
+    val est = toks
+      .select(col("isA"), posexplode(cmsBuckets(col("tok"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(sideN(true, "n"), sideN(false, "nb"))
       .groupBy(col("r")).agg(sum(col("n") * col("nb")).as("ip"))
       .agg(min(col("ip")).as("est_pairs"))
-    val exact = toks("src0").groupBy(col("tok")).agg(count(lit(1)).as("na"))
-      .join(toks("src1").groupBy(col("tok")).agg(count(lit(1)).as("nb")), "tok")
+    val exact = toks.groupBy(col("tok")).agg(sideN(true, "na"), sideN(false, "nb"))
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_pairs"))
     est.crossJoin(exact).select(col("est_pairs"), col("exact_pairs"),
       graft.Tables.fround(

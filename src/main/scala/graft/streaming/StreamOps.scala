@@ -117,10 +117,16 @@ object StreamOps {
   def dedupDocsCanonical(docs: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("canon_h", graft.Tables.h60(
-        array_join(graft.operators.TextQueries.canonToks(col("text")), " ")))
+      .withColumn("canon_h", canonKey(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_h")
+
+  /** The E27c dedup key — h60 of the x36 canonical form. Shared with the
+    * x176 batch-replay twin so the replayed dedup hashes the byte-identical
+    * key the state store would have held. */
+  def canonKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.Tables.h60(
+      array_join(graft.operators.TextQueries.canonToks(text), " "))
 
   /** E68 — streaming curation stage: the map-only curation chain as ONE
     * ingest-time transform — quality floor (x30's stop-ratio/token-count
@@ -137,17 +143,25 @@ object StreamOps {
     * scrub produce byte-identical rows to CurationDemo's stages 2+5 —
     * asserted in StreamingSpec. */
   def curateDocs(docs: DataFrame, minStopRatio: Double = 0.05,
-      minTokens: Long = 10, watermark: String = "10 minutes"): DataFrame = {
+      minTokens: Long = 10, watermark: String = "10 minutes"): DataFrame =
+    dedupDocsCanonical(curateGateScrub(docs, minStopRatio, minTokens), watermark)
+
+  /** The map-only half of [[curateDocs]] — quality gate on the RAW text,
+    * then PII scrub (text column replaced, n_chars recomputed). Extracted
+    * so the x176 batch-replay twin runs the byte-identical expressions the
+    * streaming stage ships; the dedup half is replayed separately (its
+    * first-arrival-wins semantics need the batch order made explicit). */
+  def curateGateScrub(docs: DataFrame, minStopRatio: Double = 0.05,
+      minTokens: Long = 10): DataFrame = {
     import graft.operators.{CurationQueries, TextQueries}
     val scrubExpr = CurationQueries.piiPatterns.foldLeft(col("text")) {
       case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
     }
-    val gated = docs
+    docs
       .filter(TextQueries.tokenCountCol(col("text")) >= minTokens &&
         TextQueries.stopRatioCol(col("text")) >= minStopRatio)
       .withColumn("text", scrubExpr)
       .withColumn("n_chars", length(col("text")).cast("long"))
-    dedupDocsCanonical(gated, watermark)
   }
 
   /** E70 — stream-static enrichment: score an incoming doc stream against
@@ -360,15 +374,27 @@ object StreamOps {
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(desc(tsCol))
-        val latest = batch
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-        val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
-        val tombstones = latest.filter(col(opCol) === "D").select(col(key))
+        val (upserts, tombstones) = cdcLatestWins(batch, key, tsCol, opCol)
         Maintenance.mergeIntoMor(spark, tableDir, upserts, key, tsCol,
           tombstoneKeys = Some(tombstones))
       }
       ()
     }
+
+  /** Step (1)+(2) of the [[cdcApply]] trigger body — latest-wins per key
+    * by the event-time column, then split into (upsert rows, tombstone
+    * keys). Extracted so the x178 batch-replay twin folds the IDENTICAL
+    * per-batch net effect; step (3)'s `mergeIntoMor` visible-state algebra
+    * (new rows land, touched keys' earlier rows retire via the equality
+    * delete) is exactly `upserts ∪ (state ⟕anti touched-keys)`, the
+    * equivalence MaintenanceSpec asserts at the file layer. */
+  def cdcLatestWins(batch: DataFrame, key: String, tsCol: String,
+      opCol: String = "op"): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(desc(tsCol))
+    val latest = batch
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    (latest.filter(col(opCol) =!= "D").drop(opCol),
+      latest.filter(col(opCol) === "D").select(col(key)))
+  }
 }
