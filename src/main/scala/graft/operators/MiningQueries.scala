@@ -221,10 +221,18 @@ object MiningQueries {
     * (hi·1e9+lo, fround 6).
     *
     * 100 TB shape: the fact collapses to the PART dimension in ONE
-    * map-side-combined agg; the cumulative window runs on (key, rev)
-    * pairs of the dim grid — fact-row-independent — and the totals ride
-    * a 1-row broadcast. The concentration curve is inherently a global
-    * order; ordering the DIM, not the fact, is what makes it scale. */
+    * map-side-combined agg. The concentration curve is inherently a
+    * global order, but the cumulative sum is NOT computed in one window
+    * partition (r16 — the single-partition form serialized the whole dim
+    * through one task and one BigDecimal accumulator: 15.2 s at sf10,
+    * where the 2M-part dim had outgrown "dim-grid-bounded"): it is the
+    * classic two-phase distributed prefix sum — range-repartition on the
+    * total order, per-range local cumulative windows in parallel, then a
+    * partition-count-bounded exclusive-prefix window over the per-range
+    * totals broadcast back as offsets. The split boundaries are sampled
+    * (nondeterministic), but cum per row is split-independent — a prefix
+    * sum is well-defined given the total order, so both engines agree
+    * bit-for-bit whatever the partitioning. */
   val x166: Q = (s, d) => {
     val rev = t(s, d, "lineitem")
       .select(col("l_partkey"),
@@ -234,9 +242,26 @@ object MiningQueries {
     // overflow longs at 100 TB, and the twins sum in HUGEINT (cast-first)
     val tot = rev.agg(sum(col("rev").cast("decimal(38,0)")).as("tot"),
       count(lit(1)).as("n_all"))
-    val w = Window.orderBy(desc("rev"), col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, 0) // dim-grid-bounded
-    val cls = rev.withColumn("cum", sum(col("rev").cast("decimal(38,0)")).over(w))
+    // phase 1: range-split the total order (rev DESC, key), local prefix
+    // sums per range — each range windows in parallel
+    val ranged = rev.repartitionByRange(desc("rev"), col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(desc("rev"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("lcum",
+      sum(col("rev").cast("decimal(38,0)")).over(wLocal))
+    // phase 2: exclusive prefix of the per-range totals (≤ shuffle-
+    // partition-count rows — THIS window is the bounded one), broadcast
+    // back; global cum = range offset + local cum
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid"))
+      .agg(sum(col("rev").cast("decimal(38,0)")).as("ptot"))
+      .select(col("pid"), coalesce(sum(col("ptot")).over(wOff),
+        lit(0).cast("decimal(38,0)")).as("off"))
+    val cls = local.join(broadcast(offs), "pid")
+      .withColumn("cum", col("lcum") + col("off"))
       .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when(col("cum") * 5 <= col("tot") * 4, "A")

@@ -153,14 +153,15 @@ object StreamOps {
     * first-arrival-wins semantics need the batch order made explicit). */
   def curateGateScrub(docs: DataFrame, minStopRatio: Double = 0.05,
       minTokens: Long = 10): DataFrame = {
-    import graft.operators.{CurationQueries, TextQueries}
-    val scrubExpr = CurationQueries.piiPatterns.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    import graft.operators.TextQueries
     docs
       .filter(TextQueries.tokenCountCol(col("text")) >= minTokens &&
         TextQueries.stopRatioCol(col("text")) >= minStopRatio)
-      .withColumn("text", scrubExpr)
+      // x46's ONE-PASS codegen scanner (r16 — the serial 4-regex chain
+      // cost 18 s of x176's sf10 replay; the scanner is contract-identical
+      // to the piiPatterns regex fold, differentially spec'd in CurationSpec)
+      .withColumn("text",
+        graft.functions.PiiExprs.piiScrubScan(col("text")).getField("scrubbed"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
