@@ -71,9 +71,20 @@ object CurationDemo {
     println(s"[curation] raw docs: $raw, langs: ${profile.getLong(1)}, " +
       s"avg chars: ${profile.getDouble(7)}")
 
-    val scored = TextQueries.qualityScores(spark, sfDir)
+    // Stage products are EAGERLY localCheckpoint'd (r16, found by the
+    // sf100 rehearsal): each stage's survivor set is a narrow (doc_id)
+    // frame — MBs even at 5M docs — but every later count/write action
+    // otherwise RE-RUNS the whole upstream chain (stage 7's count was
+    // observed re-hashing stage 6's 13-grams; the 10-action pipeline
+    // recomputed the gates ~10×). Checkpointing the ids makes each stage
+    // compute exactly once — the iterative-pipeline discipline every
+    // 100 TB curation run needs (at cluster scale these become persisted
+    // stage manifests, which is also what makes the run RESUMABLE).
+    def stage(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+
+    val scored = stage(TextQueries.qualityScores(spark, sfDir)
       .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
-      .select(col("doc_id"))
+      .select(col("doc_id")))
     val nScored = scored.count()
 
     // boilerplate gate (x78): density of corpus-common 3-grams, the
@@ -82,7 +93,7 @@ object CurationDemo {
     val boiler = TextQueries.boilerplateStats(spark, sfDir)
       .filter(col("common_frac") >= boilerplateTau)
       .select(col("doc_id"))
-    val kept = scored.join(boiler, Seq("doc_id"), "left_anti")
+    val kept = stage(scored.join(boiler, Seq("doc_id"), "left_anti"))
     val nKept = kept.count()
 
     // LM gate (x58): model-based fluency filter — the CCNet stage that
@@ -91,30 +102,31 @@ object CurationDemo {
     val lmPass = operators.LmQueries.x58(spark, sfDir)
       .filter(col("avg_p") >= lmMinAvgP && col("oov_rate") <= lmMaxOov)
       .select(col("doc_id"))
-    val lmKept = kept.join(lmPass, Seq("doc_id"), "left_semi")
+    val lmKept = stage(kept.join(lmPass, Seq("doc_id"), "left_semi"))
     val nLm = lmKept.count()
 
     // decontamination: drop train docs leaking held-out test content (the
     // gate runs on raw text — scrubbing replaces PII spans but must not
-    // hide eval overlap, so decon sees the pre-scrub grams)
-    val contaminated = CurationQueries.decontamination(spark, sfDir)
-      .select(col("doc_id"))
-    val cleanIds = lmKept.join(contaminated, Seq("doc_id"), "left_anti")
+    // hide eval overlap, so decon sees the pre-scrub grams). Flag-only
+    // pair-free form (r16): the x45 REPORT's n_eval_docs pair join is
+    // quadratic under duplicate floods; the pipeline only needs WHICH docs
+    val contaminated = CurationQueries.contaminatedIds(spark, sfDir)
+    val cleanIds = stage(lmKept.join(contaminated, Seq("doc_id"), "left_anti"))
     val nClean = cleanIds.count()
 
     // dedup keep-best: drop every cluster member that is not the keeper
     val nonKeepers = DedupQueries.clusterMembers(spark, sfDir)
       .filter(!col("is_keeper")).select(col("doc_id"))
-    val survivors = cleanIds.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val survivors = stage(cleanIds.join(nonKeepers, Seq("doc_id"), "left_anti"))
     val nSurv = survivors.count()
 
     // quality-weighted mixing over the RAW text (the published x30 score
     // x75's weight derives from is a raw-text statistic; scrubbing below
     // only rewrites the shipped text, never the sampling decision)
-    val sampled = graft.Tables.t(spark, sfDir, "documents")
+    val sampled = stage(graft.Tables.t(spark, sfDir, "documents")
       .join(survivors, Seq("doc_id"), "left_semi")
       .filter(SamplingQueries.qualityWeightedKeep)
-      .select(col("doc_id"))
+      .select(col("doc_id")))
     val nSampled = sampled.count()
 
     // output text is the SCRUBBED text (x46's replace chain); n_chars is
@@ -127,6 +139,10 @@ object CurationDemo {
       .withColumn("text", col("scrubbed")).drop("scrubbed")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
+      // six consumers below (3 split writes + card + shards + tokenizer):
+      // persist the shipped frame once instead of re-running the scrub
+      // join per consumer (r16 — the sf100 rehearsal's other recompute)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Seq("train", "val", "test").foreach { s =>
       out.filter(col("split") === s).drop("split")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$s")
@@ -144,6 +160,7 @@ object CurationDemo {
     // derived after scrub/decon/dedup/sampling, not from the raw table
     LmQueries.bpeMerges(out.filter(col("split") === "train"), 6)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/tokenizer")
+    out.unpersist()
     (raw, nScored, nKept, nLm, nClean, nSurv, nSampled)
   }
 }

@@ -64,6 +64,24 @@ object CurationQueries {
   val x45: Q = (s, d) =>
     decontamination(s, d).orderBy(desc("n_shared"), col("doc_id"))
 
+  /** Flag-only decontamination (CurationDemo's stage-6 need — r16, found
+    * by the sf100 rehearsal): the SET of train doc_ids sharing ≥1 gram
+    * with the test split, pair-free. A LEFT SEMI join of the train gram
+    * stream against the DISTINCT eval gram set (benchmark-sized →
+    * broadcast) never materializes (t_id, e_id) pairs, so a duplicate-
+    * flooded corpus (sf100: 1000-way copies put every shared gram in
+    * ~800 train × ~100 test docs — the x45 report's n_eval_docs pair
+    * join goes quadratic there by definition) stays one linear map-side
+    * pass. Exactly x45's flagged id set (CurationSpec asserts). */
+  def contaminatedIds(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+      .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
+    val train = grams(docs.filter(col("split") === "train"), "t_id")
+    val ev = grams(docs.filter(col("split") === "test"), "e_id")
+    train.join(broadcast(ev.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .select(col("t_id").as("doc_id")).distinct()
+  }
+
   /** x88 Bloom size: FIXED 8M bits (1 MB) rather than sized from a count
     * pass — ~3% fpp up to ~1.2M eval grams (eval sets are benchmark-sized,
     * MBs–GBs of text), and EXACTNESS never depends on sizing: a saturated

@@ -151,6 +151,15 @@ class CurationSpec extends SparkSpec {
     assert(kept.size <= 3 + 50, s"bloom passed ${kept.size} of 1000")
   }
 
+  test("contaminatedIds (pair-free flag form) equals x45's flagged id set") {
+    val flagged = operators.CurationQueries.decontamination(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val semi = operators.CurationQueries.contaminatedIds(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(semi == flagged,
+      s"semi-join flag set must equal the x45 report's ids: $semi vs $flagged")
+  }
+
   test("x47 separates planted boilerplate from planted unique text") {
     val rows = Seq(
       // 10 tokens, all one repeated word -> 9 identical 2-grams
