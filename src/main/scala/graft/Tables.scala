@@ -62,24 +62,34 @@ object Tables {
       // mid-session must not serve DataFrames resolved through the OTHER
       // source out of the cache.
       val source = spark.conf.get("spark.graft.tableSource", "parquet")
-      dfCache.getOrElseUpdate((spark, s"$mode/$source", dir, name), {
-        val df = load(spark, dir, name)
-        // memory mode caps what it pins (r16, measured at sf10): columnar-
-        // caching a text-heavy or fact-scale table made compute-dense
-        // queries SLOWER than parquet re-reads — x151 ran 135 s against the
-        // cached 55 MB documents table vs 20.5 s against parquet (same join
-        // tree; InMemoryTableScan string batches decode slower than the
-        // dictionary-encoded vectorized parquet scan, and GB-scale caches
-        // spill). The 100 TB rule this encodes: pin dimensions and small hot
-        // tables, let the columnar format serve big/wide payloads. Default
-        // 32 MiB keeps every sf0.1 bench table cached (whole dataset
-        // ~100 MB) and auto-excludes the sf10 text/fact tables.
+      // memory mode caps what it pins (r16, measured at sf10): columnar-
+      // caching a text-heavy or fact-scale table made compute-dense
+      // queries SLOWER than parquet re-reads — x151 ran 135 s against the
+      // cached 55 MB documents table vs 20.5 s against parquet (same join
+      // tree; InMemoryTableScan string batches decode slower than the
+      // dictionary-encoded vectorized parquet scan, and GB-scale caches
+      // spill). The 100 TB rule this encodes: pin dimensions and small hot
+      // tables, let the columnar format serve big/wide payloads. Default
+      // 32 MiB keeps every sf0.1 bench table cached (whole dataset
+      // ~100 MB) and auto-excludes the sf10 text/fact tables.
+      // The file stat + cap resolution happen OUTSIDE getOrElseUpdate and
+      // the resolved pin DECISION is part of the cache key (r17, ADVICE):
+      // changing spark.graft.cacheMaxBytes mid-session must build a fresh
+      // entry, not silently serve one pinned under the old cap; and meta
+      // mode must not pay a directory listing it never uses.
+      val pin = mode == "memory" && {
         val maxBytes = spark.conf.get("spark.graft.cacheMaxBytes",
           (32L << 20).toString).toLong
         val f = new java.io.File(s"$dir/$name.parquet")
         val bytes = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
-        if (mode != "memory" || bytes > maxBytes) df
+        bytes <= maxBytes
+      }
+      dfCache.getOrElseUpdate((spark, s"$mode/$source/$pin", dir, name), {
+        val df = load(spark, dir, name)
+        if (!pin) df
         else {
+          val f = new java.io.File(s"$dir/$name.parquet")
+          val bytes = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
           val parts = math.max(1L, math.min(
             spark.sparkContext.defaultParallelism.toLong, bytes / (2L << 20))).toInt
           val r = if (parts > 1) df.repartition(parts) else df

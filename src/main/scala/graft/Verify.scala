@@ -68,7 +68,11 @@ object Verify {
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally
+          // query-exit hygiene (r17): release this query's eager
+          // localCheckpoint blocks — a 207-query session otherwise
+          // accumulates them in the storage pool (see Engine scaladoc)
+          Engine.reapLocalCheckpoints(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

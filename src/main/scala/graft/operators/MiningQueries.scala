@@ -249,8 +249,15 @@ object MiningQueries {
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(desc("rev"), col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Materialized ONCE (eager localCheckpoint, the x178 convention):
+    // `local` is consumed twice below (per-range offsets AND the join
+    // probe side). Without pinning, identical pids on both sides depend
+    // on the range exchange being planner-reused — if reuse is disabled
+    // or planning splits the subtrees, each side re-SAMPLES its own range
+    // boundaries and the offset join silently corrupts the prefix sum.
     val local = ranged.withColumn("lcum",
       sum(col("rev").cast("decimal(38,0)")).over(wLocal))
+      .localCheckpoint(true)
     // phase 2: exclusive prefix of the per-range totals (≤ shuffle-
     // partition-count rows — THIS window is the bounded one), broadcast
     // back; global cum = range offset + local cum

@@ -200,6 +200,12 @@ object StreamReplayQueries {
     * filter n > 0 (a group deleted to zero vanishes, the x109 contract). */
   val x179: Q = (s, d) => {
     val batches = IvmQueries.ivmDeltaBatches(s, d)
+    // Fail LOUDLY if the delta-batch count ever drifts from the constant
+    // the DuckDB twin's range() is built on (r17, ADVICE): adding a batch
+    // to ivmDeltaBatches without this assert would surface as a confusing
+    // hash mismatch instead of a clear contract error.
+    require(batches.size == nReplayBatches,
+      s"x179 replay/oracle desync: ivmDeltaBatches=${batches.size} != nReplayBatches=$nReplayBatches")
     (0 until batches.size).map { b =>
       graft.streaming.StreamOps.maintainAggView(
           batches.take(b + 1).reduce(_ unionAll _))

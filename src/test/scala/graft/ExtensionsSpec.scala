@@ -52,4 +52,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
     assert(r.getLong(2) == r.getLong(3))
   }
+
+  test("reapLocalCheckpoints releases checkpoint blocks but spares the table cache") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // clean slate so counts below are exact
+    Engine.reapLocalCheckpoints(spark)
+    val before = sc.getPersistentRDDs.keySet
+    // a cached table (CacheManager InMemoryRelation) — must SURVIVE reaping
+    val cached = Seq(1, 2, 3).toDF("v").persist()
+    cached.count()
+    // an eager local checkpoint — the leak class the reaper targets
+    val ck = Seq(4, 5, 6).toDF("v").localCheckpoint(true)
+    assert(ck.count() == 3)
+    val added = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    assert(added.values.exists(_.isCheckpointed), "checkpoint RDD registered")
+    val reaped = Engine.reapLocalCheckpoints(spark)
+    assert(reaped >= 1, s"expected >=1 reaped, got $reaped")
+    val after = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    assert(!after.values.exists(_.isCheckpointed), "checkpoint blocks released")
+    assert(after.values.exists(!_.isCheckpointed), "cache RDD survives")
+    assert(cached.count() == 3) // cached table still serves
+    cached.unpersist()
+  }
 }

@@ -353,7 +353,10 @@ class SourcesSpec extends SparkSpec {
     Files.write(src,
       "package org.apache.iceberg.spark;\npublic class SparkCatalog {}\n".getBytes("UTF-8"))
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
-    assert(javac != null, "JDK javac required (present in this build)")
+    // assume, not assert (r17, ADVICE): a JRE-only test environment should
+    // SKIP the PRESENT-branch test (the ABSENT branch is covered above),
+    // not fail the suite over missing javac.
+    assume(javac != null, "JDK javac unavailable — skipping PRESENT-branch test")
     assert(javac.run(null, null, null, "-d", dir.toString, src.toString) == 0)
     val cl = new java.net.URLClassLoader(Array(dir.toUri.toURL),
       Thread.currentThread.getContextClassLoader)
