@@ -71,15 +71,52 @@ object Bench {
       waited += 1
     }
     val loadStart = loadAvg
-    // Per-pass load stamps (r17, VERDICT r16 #2): `contended` must cover
-    // the WHOLE run, not just its start — r16 shipped loadEnd 4.15 > 4.0
-    // as contended:false because only the start was checked. Every pass
-    // boundary stamps loadavg into `load.passes`; the flag trips if ANY
-    // stamp exceeds the threshold.
+    // Per-pass contention stamps (r17, VERDICT r16 #2): `contended` must
+    // cover the WHOLE run, not just its start — r16 shipped loadEnd 4.15
+    // > 4.0 as contended:false because only the start was checked. But a
+    // mid-run loadavg alone can't gate: it includes the bench's OWN 32
+    // worker threads, so any boundary after a busy pass would read high
+    // on a perfectly clean machine. Each boundary therefore samples
+    // /proc/stat total-CPU MINUS /proc/self/stat process-CPU over 2 s —
+    // co-tenant cores, the signal loadavg conflates away — alongside the
+    // raw loadavg (kept in the artifact for D-state/I/O co-tenants that
+    // burn no CPU, which the others-CPU probe can't see). The flag trips
+    // if the start load exceeded the threshold after the drain wait, or
+    // if ANY boundary shows co-tenant CPU above it.
+    // (machine busy jiffies, this process's busy jiffies). /proc/stat cpu
+    // line: user nice system idle iowait irq softirq steal guest… — busy
+    // excludes idle (3) and iowait (4); /proc/self/stat utime(14)+stime(15)
+    // are process-wide across threads. USER_HZ is 100 on Linux.
+    def jiffies(): (Long, Long) = {
+      val tot = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      val busy = tot.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 => v
+      }.sum
+      val self = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
+      (busy, self(13).toLong + self(14).toLong)
+    }
+    def othersCores(): Double = {
+      val (b0, s0) = jiffies()
+      Thread.sleep(2000)
+      val (b1, s1) = jiffies()
+      ((b1 - b0) - (s1 - s0)).max(0L) / 100.0 / 2.0
+    }
+    // Cumulative JVM GC milliseconds: a pass whose queries slow down with
+    // low co-tenant CPU but a big GC delta is stalling on ITS OWN heap
+    // (GC threads are self-CPU, so others_cpu can't see them) — the other
+    // candidate for the r16 window-shaped nocache anomaly.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     val loadStamps = scala.collection.mutable.ArrayBuffer(
-      "start" -> loadStart)
-    def stamp(label: String): Unit = loadStamps += (label -> loadAvg)
-    def contendedNow = loadStamps.exists(_._2 > threshold)
+      ("start", loadStart, 0.0, gcMs))
+    def stamp(label: String): Unit =
+      loadStamps += ((label, loadAvg, othersCores(), gcMs))
+    def contendedNow =
+      loadStart > threshold || loadStamps.exists(_._3 > threshold)
     if (loadStart > threshold) System.err.println(
       f"[bench] WARNING: start load $loadStart%.1f exceeds cores/8 after " +
         "a 10-min drain wait — re-run on an idle machine before treating " +
@@ -149,8 +186,10 @@ object Bench {
     val loadEnd = loadStamps.last._2
     val contended = contendedNow
     if (contended) System.err.println(
-      "[bench] WARNING: a pass boundary exceeded the load threshold — " +
-        loadStamps.map { case (l, v) => f"$l=$v%.2f" }.mkString(", "))
+      "[bench] WARNING: co-tenant CPU at a pass boundary (or start load) " +
+        "exceeded the threshold — " +
+        loadStamps.map { case (l, v, o, g) =>
+          f"$l=$v%.2f/others=$o%.2f/gc=${g}ms" }.mkString(", "))
 
     def s4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
     val qs = hot.map { case (k, v) => "\"" + k + "\":" + s4(v) }.mkString("{", ",", "}")
@@ -162,7 +201,9 @@ object Bench {
     val passesJson = s"""{"cold":${arr(cold)},"nocache":${arr(nocache)},""" +
       s""""hotA":${arr(hotA)},"hotB":${arr(hotB)}}"""
     val stampsJson = loadStamps
-      .map { case (l, v) => f""""$l":$v%.2f""" }.mkString("{", ",", "}")
+      .map { case (l, v, o, g) =>
+        f""""$l":{"load":$v%.2f,"others_cpu":$o%.2f,"gc_ms":$g}""" }
+      .mkString("{", ",", "}")
     val loadJson = f"""{"start":$loadStart%.2f,"end":$loadEnd%.2f,""" +
       s""""passes":$stampsJson,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors},"contended":$contended}"""

@@ -139,10 +139,31 @@ object LmQueries {
         fround(col("fs").cast("double") / lit(fixPoint) / col("n_toks"), 6)
           .as("imp_weight"))
 
-  val x59: Q = (s, d) => {
-    val docs = spread(t(s, d, "documents"))
-    dsirScore(docs, dsirRatio(docs)).orderBy(col("doc_id"))
+  /** Per-(session, sfDir) cache of the FITTED 256-row DSIR model (r17,
+    * VERDICT r16 #7 — the trainedCents convention): the model is
+    * session-stable (a pure function of the corpus), so the serving keys
+    * (x59, and x177's three per-trigger scorings) must not re-scan the
+    * whole corpus to refit it per invocation. Collected to a driver-side
+    * array (256 (bk, r) pairs — model-bounded by construction) and
+    * re-injected as a local relation per use; the doubles are the exact
+    * values the inline fit computes, so hashes are unchanged. */
+  private val dsirRatioCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, Double)]]
+
+  private[operators] def dsirRatioCached(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val it = dsirRatioCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    val rows = dsirRatioCache.computeIfAbsent((s, d), _ =>
+      dsirRatio(spread(t(s, d, "documents"))).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))))
+    import s.implicits._
+    rows.toSeq.toDF("bk", "r")
   }
+
+  val x59: Q = (s, d) =>
+    dsirScore(spread(t(s, d, "documents")), dsirRatioCached(s, d))
+      .orderBy(col("doc_id"))
 
   /** x67 — BPE merge induction (E65): the first K byte-pair-encoding
     * merges over the corpus vocabulary — how a tokenizer is actually

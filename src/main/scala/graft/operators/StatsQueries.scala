@@ -204,7 +204,13 @@ object StatsQueries {
       statCols.map(c => sum(q(c)).as(s"s_$c")) ++
       covPairs.map { case (a, b) =>
         sum((q(a) * q(b)).cast("decimal(38,0)")).as(s"p_${a}_$b") }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    // Materialized ONCE (r17, VERDICT r16 #6): the 10-branch melt below
+    // references this 1-row aggregate per pair; without pinning, one scan
+    // depends on the planner reusing the agg's exchange across branches.
+    // An eager localCheckpoint of ONE row makes single-scan true by
+    // construction — the melt branches read a local 1-row RDD, and the
+    // final plan contains no parquet scan at all (asserted in StatsSpec).
+    val one = li.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val nd = col("n").cast("double")
     def sd(c: String) = col(s"s_$c").cast("double") / lit(100.0)
     // Σxy exceeds 2^53 (and 2^63) at scale: render the exact integer as

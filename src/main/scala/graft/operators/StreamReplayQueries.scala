@@ -115,7 +115,10 @@ object StreamReplayQueries {
     * hash-checks against the twin's refit. */
   val x177: Q = (s, d) => {
     val docs = graft.Tables.spread(t(s, d, "documents"))
-    val ratio = LmQueries.dsirRatio(docs)
+    // the session-cached fit (r17): the static side is fit ONCE per
+    // (session, corpus) — three triggers must not pay three corpus-wide
+    // refit scans the production stream would never run
+    val ratio = LmQueries.dsirRatioCached(s, d)
     (0 until nReplayBatches).map { b =>
       graft.streaming.StreamOps.scoreDocsDsir(
           docs.filter(pmod(col("doc_id"), lit(nReplayBatches.toLong)) === b), ratio)
@@ -133,14 +136,23 @@ object StreamReplayQueries {
 
   /** x178 — E102's decomposition (streaming CDC apply): three deterministic
     * change batches derived from the orders snapshot (key-mod classes, the
-    * x106/x109 convention) fold sequentially through the trigger body's own
+    * x106/x109 convention) each run through the trigger body's own
     * [[graft.streaming.StreamOps.cdcLatestWins]] (latest-wins per key by
-    * the event-seq column, upsert/tombstone split), then the mergeIntoMor
-    * visible-state algebra `upserts ∪ (state ⟕anti touched-keys)` — the
-    * file-layer equivalence MaintenanceSpec asserts. Emits the FULL visible
-    * table state after every trigger, so the twin (global argmax over
-    * (batch, seq) per key, op ≠ D) hash-checks in-batch latest-wins,
-    * upsert-over-upsert, tombstone, and delete-then-recreate all at once.
+    * the event-seq column, upsert/tombstone split). Emission contract
+    * (r17, VERDICT r16 #5 — what a real CDC sink writes, and what
+    * x109/x179 already model): per trigger the APPLIED CHANGE SET —
+    * op='U' upserts with the winning value, op='D' tombstones (c=0) —
+    * then ONE final full visible state (batch_id=B+1, op='S') computed as
+    * the global argmax per key over seed ∪ changes, the same closed form
+    * the sequential mergeIntoMor fold reaches by induction (the
+    * file-layer equivalence MaintenanceSpec asserts; StreamReplaySpec
+    * proves the fold ≡ the live cdcApply MOR state per trigger). The old
+    * contract re-emitted the FULL state after every trigger — three
+    * full-state folds and checkpoints where the streaming op itself pays
+    * only O(|batch|) per trigger, a 12×@sf0.1 oracle artifact, not a
+    * property of E102. The twin still hash-checks in-batch latest-wins,
+    * upsert-over-upsert, tombstone, and delete-then-recreate: the first
+    * via each trigger's delta rows, the rest via the final state.
     *
     * The change set exercises every CDC shape: batch 1 updates (k≡0 mod
     * 30), DOUBLE-updates the same key in-batch (k≡10, seq 1 then 2 — the
@@ -174,20 +186,31 @@ object StreamReplayQueries {
     val b3 = chg(col("k") % 60 === 20, col("c") + 4000L, "U", 1)
       .unionAll(chg(col("k") % 90 === 0, col("c") + 9000L, "U", 1))
       .unionAll(chg(col("k") % 30 === 10, lit(0L), "D", 1))
-    var state = u
-    val outs = Seq(b1, b2, b3).zipWithIndex.map { case (bdf, i) =>
+    // per-trigger delta emissions: exactly the change set cdcApply writes
+    // (each batch independent — no sequential fold, no checkpoints)
+    val deltas = Seq(b1, b2, b3).zipWithIndex.map { case (bdf, i) =>
       val (ups, tombs) = StreamOps.cdcLatestWins(bdf, "k", "seq", "op")
-      val touched = ups.select(col("k")).unionAll(tombs).distinct()
-      // localCheckpoint per trigger (the x155 unrolled-rounds convention):
-      // each emitted state would otherwise recompute the whole fold prefix
-      // (out_3 re-runs triggers 1 and 2) — 2.9× measured at sf1. State is
-      // universe-bounded (|keys| rows), so the materialization is cheap.
-      state = ups.select(col("k"), col("c"))
-        .unionAll(state.join(touched, Seq("k"), "left_anti"))
-        .localCheckpoint(true)
-      state.select(lit((i + 1).toLong).as("batch_id"), col("k"), col("c"))
-    }
-    outs.reduce(_ unionAll _).orderBy(col("batch_id"), col("k"))
+      ups.select(lit((i + 1).toLong).as("batch_id"), col("k"), col("c"),
+          lit("U").as("op"))
+        .unionAll(tombs.select(lit((i + 1).toLong).as("batch_id"), col("k"),
+          lit(0L).as("c"), lit("D").as("op")))
+    }.reduce(_ unionAll _)
+    // final visible state in ONE pass: global argmax per key over
+    // seed ∪ changes (ties impossible: bid distinguishes batches, seq is
+    // unique per key within each batch by construction)
+    val all = Seq(b1, b2, b3).zipWithIndex.map { case (bdf, i) =>
+        bdf.select(col("k"), col("c"), col("op"),
+          lit((i + 1).toLong).as("bid"), col("seq"))
+      }.reduce(_ unionAll _)
+      .unionAll(u.select(col("k"), col("c"), lit("I").as("op"),
+        lit(0L).as("bid"), lit(0L).as("seq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(desc("bid"), desc("seq"))
+    val fin = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "D")
+      .select(lit((nReplayBatches + 1).toLong).as("batch_id"), col("k"),
+        col("c"), lit("S").as("op"))
+    deltas.unionAll(fin).orderBy(col("batch_id"), col("k"))
   }
 
   /** x179 — E117's decomposition (streaming view maintenance): the x109
@@ -336,10 +359,13 @@ object StreamReplayQueries {
     // GENERATED twin of the E70 chain: the x59 fit+score SQL with a
     // batch_id projection (LmQueries.dsirReplayOracle shares the x59 CTEs).
     "x177_stream_dsir_replay" -> LmQueries.dsirReplayOracle(nReplayBatches),
-    // Declarative twin of the E102 fold: visible state after trigger b =
-    // per-key argmax over (bid, seq) among changes with bid ≤ b (seed rows
-    // are bid-0 'I'), kept iff the winning op ≠ 'D' — the closed form the
-    // sequential latest-wins/merge fold computes by induction.
+    // Declarative twin of the E102 emission (r17 contract): per-trigger
+    // delta = in-batch latest-wins per key (argmax by seq within bid;
+    // 'D' winners as tombstones with c=0, anything else as 'U'); final
+    // visible state (batch_id B+1, op 'S') = per-key argmax over
+    // (bid, seq) across ALL changes (seed rows are bid-0 'I'), kept iff
+    // the winning op ≠ 'D' — the closed form the sequential
+    // latest-wins/merge fold computes by induction.
     "x178_stream_cdc_replay" ->
       s"""WITH u AS (
          |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
@@ -358,13 +384,23 @@ object StreamReplayQueries {
          |  UNION ALL SELECT 3, 1, k, c + 4000, 'U' FROM u WHERE k % 60 = 20
          |  UNION ALL SELECT 3, 1, k, c + 9000, 'U' FROM u WHERE k % 90 = 0
          |  UNION ALL SELECT 3, 1, k, 0, 'D' FROM u WHERE k % 30 = 10),
-         |st AS (
-         |  SELECT b.b AS batch_id, k, c, op,
-         |    ROW_NUMBER() OVER (PARTITION BY b.b, k ORDER BY bid DESC, seq DESC) AS rn
-         |  FROM chg, (SELECT unnest(range(1, ${nReplayBatches + 1})) AS b) b
-         |  WHERE bid <= b.b)
-         |SELECT CAST(batch_id AS BIGINT) AS batch_id, k, c
-         |FROM st WHERE rn = 1 AND op <> 'D'
+         |del AS (
+         |  SELECT bid, k, c, op,
+         |    ROW_NUMBER() OVER (PARTITION BY bid, k ORDER BY seq DESC) AS rn
+         |  FROM chg WHERE bid >= 1),
+         |d2 AS (
+         |  SELECT CAST(bid AS BIGINT) AS batch_id, k,
+         |    CASE WHEN op = 'D' THEN 0 ELSE c END AS c,
+         |    CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS op
+         |  FROM del WHERE rn = 1),
+         |fin AS (
+         |  SELECT k, c, op,
+         |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY bid DESC, seq DESC) AS rn
+         |  FROM chg),
+         |f2 AS (
+         |  SELECT CAST(${nReplayBatches + 1} AS BIGINT) AS batch_id, k, c, 'S' AS op
+         |  FROM fin WHERE rn = 1 AND op <> 'D')
+         |SELECT * FROM d2 UNION ALL SELECT * FROM f2
          |ORDER BY batch_id, k""".stripMargin,
     // Per-prefix sums over the x109 delta batches (sum's merge is
     // order-free, so the prefix agg IS the complete-mode emission).

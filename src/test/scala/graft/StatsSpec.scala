@@ -58,6 +58,16 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(cell.getDouble(3) - direct) < 1e-6, s"var(l_quantity): ${cell.getDouble(3)} vs $direct")
   }
 
+  test("x142 melts ONE materialized aggregate: no parquet scan in the emitted plan") {
+    // The 10-branch pair melt must not depend on planner exchange reuse
+    // for its single-scan promise: the 1-row aggregate is eagerly
+    // checkpointed, so the final plan reads a local RDD — zero FileScans.
+    val plan = StatsQueries.x142(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"x142 plan should contain no parquet scan (melt reads the checkpointed 1-row agg):\n$plan")
+    Engine.reapLocalCheckpoints(spark)
+  }
+
   test("x100 layout audit: zorder prunes both probe dims, single-key sort only its own") {
     val rows = StatsQueries.x100(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
