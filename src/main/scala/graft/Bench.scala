@@ -133,9 +133,25 @@ object Bench {
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> "8")
 
+    // Per-query JVM meters (r17): cumulative GC ms and JIT-compilation ms
+    // deltas around each query, emitted as diag arrays. Three idle-machine
+    // reruns put the r16-style nocache blowup in a CONTIGUOUS RUN-ORDER
+    // WINDOW at a different key range each run, with ~zero co-tenant CPU
+    // at pass boundaries — a time-localized JVM stall, not key-specific
+    // work and not contention. These meters make the next window
+    // self-attributing from the artifact alone: a window whose queries
+    // carry big jit deltas is an interpreter-speed compile storm; big gc
+    // deltas, a heap stall; neither, an OS-level stall (I/O writeback).
+    def jitMs: Long = Option(
+      java.lang.management.ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    val meterGc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val meterJit = scala.collection.mutable.ArrayBuffer.empty[Long]
     // a failed query must NOT read as a fast success: sentinel -1, excluded
     // from the total, listed in "failed"
     def runOnce(name: String): Double = {
+      val (g0, j0) = (gcMs, jitMs)
+      def meter(): Unit = { meterGc += gcMs - g0; meterJit += jitMs - j0 }
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -150,10 +166,12 @@ object Bench {
         // is outside the timed window: it models the serving layer's
         // per-request cleanup, not the query's cost.
         Engine.reapLocalCheckpoints(spark)
+        meter()
         sec
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e")
         Engine.reapLocalCheckpoints(spark)
+        meter()
         -1.0
       }
     }
@@ -210,8 +228,14 @@ object Bench {
     val summary = s"""{"metric":"total","value":${s4(tot(hot))},"unit":"sec","queries":$qs,""" +
       s""""total_nocache":${s4(tot(nocache))},"total_cold":${s4(tot(cold))},""" +
       s""""failed":$failedJson,"sf":"$sfDir","load":$loadJson}"""
-    val diag = s"""{"metric":"passes","names":$namesJson,"passes":$passesJson}"""
-    val json = summary.dropRight(1) + s""","names":$namesJson,"passes":$passesJson}"""
+    // run-order JVM meter arrays (cold, nocache, materialize, hotA, hotB
+    // concatenated — 5×|names| entries): see the runOnce meter comment
+    val metersJson = s"""{"gc_ms":${meterGc.mkString("[", ",", "]")},""" +
+      s""""jit_ms":${meterJit.mkString("[", ",", "]")}}"""
+    val diag = s"""{"metric":"passes","names":$namesJson,"passes":$passesJson,""" +
+      s""""meters":$metersJson}"""
+    val json = summary.dropRight(1) + s""","names":$namesJson,"passes":$passesJson,""" +
+      s""""meters":$metersJson}"""
     // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
     // line out of them (BENCH_rNN "tail"); every round since r9 parsed null
     // because the full 185-query summary (~4.5 KB) can neither fit the

@@ -66,10 +66,21 @@ object CurationDemo {
       outDir: String): (Long, Long, Long, Long, Long, Long, Long) = {
     import graft.operators._
 
+    // Per-stage wall clock (r17, VERDICT r16 #3): the sf100 rehearsal's
+    // evidence lives in BASELINE.md §sf100 — each stage is timed at its
+    // materializing action so the table there is reproducible verbatim.
+    var tLast = System.nanoTime()
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[curation] stage $stage: ${(now - tLast) / 1e9}%.1f s")
+      tLast = now
+    }
+
     val profile = SamplingQueries.x74(spark, sfDir).collect()(0)
     val raw = profile.getLong(0)
     println(s"[curation] raw docs: $raw, langs: ${profile.getLong(1)}, " +
       s"avg chars: ${profile.getDouble(7)}")
+    lap("profile")
 
     // Stage products are EAGERLY localCheckpoint'd (r16, found by the
     // sf100 rehearsal): each stage's survivor set is a narrow (doc_id)
@@ -86,15 +97,21 @@ object CurationDemo {
       .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
       .select(col("doc_id")))
     val nScored = scored.count()
+    lap("quality-gate")
 
-    // boilerplate gate (x78): density of corpus-common 3-grams, the
-    // C4-style df filter between the per-doc quality floor and the
-    // cross-doc stages
-    val boiler = TextQueries.boilerplateStats(spark, sfDir)
+    // boilerplate gate (x78's rule): density of corpus-common 3-grams,
+    // the C4-style df filter between the per-doc quality floor and the
+    // cross-doc stages. Canonical-df form (r17, found by the sf100
+    // rehearsal): df counted over canonically-distinct docs — raw-row df
+    // on a duplicate-flooded crawl classifies the WHOLE corpus as
+    // boilerplate (sf100: 5M docs → 0 survivors); duplicate mass belongs
+    // to the dedup stage, not the template gate.
+    val boiler = TextQueries.boilerplateStatsCanonical(spark, sfDir)
       .filter(col("common_frac") >= boilerplateTau)
       .select(col("doc_id"))
     val kept = stage(scored.join(boiler, Seq("doc_id"), "left_anti"))
     val nKept = kept.count()
+    lap("boilerplate-gate")
 
     // LM gate (x58): model-based fluency filter — the CCNet stage that
     // runs after the heuristic floors; its reference slice is defined on
@@ -104,6 +121,7 @@ object CurationDemo {
       .select(col("doc_id"))
     val lmKept = stage(kept.join(lmPass, Seq("doc_id"), "left_semi"))
     val nLm = lmKept.count()
+    lap("lm-gate")
 
     // decontamination: drop train docs leaking held-out test content (the
     // gate runs on raw text — scrubbing replaces PII spans but must not
@@ -113,12 +131,14 @@ object CurationDemo {
     val contaminated = CurationQueries.contaminatedIds(spark, sfDir)
     val cleanIds = stage(lmKept.join(contaminated, Seq("doc_id"), "left_anti"))
     val nClean = cleanIds.count()
+    lap("decontamination")
 
     // dedup keep-best: drop every cluster member that is not the keeper
     val nonKeepers = DedupQueries.clusterMembers(spark, sfDir)
       .filter(!col("is_keeper")).select(col("doc_id"))
     val survivors = stage(cleanIds.join(nonKeepers, Seq("doc_id"), "left_anti"))
     val nSurv = survivors.count()
+    lap("dedup")
 
     // quality-weighted mixing over the RAW text (the published x30 score
     // x75's weight derives from is a raw-text statistic; scrubbing below
@@ -128,6 +148,7 @@ object CurationDemo {
       .filter(SamplingQueries.qualityWeightedKeep)
       .select(col("doc_id")))
     val nSampled = sampled.count()
+    lap("sampling")
 
     // output text is the SCRUBBED text (x46's replace chain); n_chars is
     // recomputed from it so the shipped parquet and its data card describe
@@ -160,6 +181,7 @@ object CurationDemo {
     // derived after scrub/decon/dedup/sampling, not from the raw table
     LmQueries.bpeMerges(out.filter(col("split") === "train"), 6)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/tokenizer")
+    lap("write-splits-card-shards-tokenizer")
     out.unpersist()
     (raw, nScored, nKept, nLm, nClean, nSurv, nSampled)
   }

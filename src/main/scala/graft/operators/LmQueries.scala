@@ -214,8 +214,19 @@ object LmQueries {
       .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
     var v = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    (1 to k).foreach { step =>
-      val top = pairCounts(v).orderBy(desc("n"), col("p")).limit(1).collect()(0)
+    var step = 0
+    var exhausted = false
+    while (step < k && !exhausted) {
+      step += 1
+      // Graceful exhaustion (r17, found by the sf100 rehearsal): an empty
+      // or fully-merged corpus has no pair candidates left — emit the
+      // merges learned so far instead of crashing on collect()(0). A
+      // tokenizer trained on a gated-to-nothing split is a pipeline
+      // problem the data card surfaces; the trainer must not abort the run.
+      val tops = pairCounts(v).orderBy(desc("n"), col("p")).limit(1).collect()
+      if (tops.isEmpty) { exhausted = true }
+      else {
+      val top = tops(0)
       val (p, n) = (top.getString(0), top.getLong(1))
       merges += ((step.toLong, p, n))
       val m = p.replace(" ", "")
@@ -224,6 +235,7 @@ object LmQueries {
       def sub(c: org.apache.spark.sql.Column) =
         org.apache.spark.sql.functions.replace(c, lit(s" $p "), lit(s" $m "))
       v = v.withColumn("syms", sub(sub(col("syms"))))
+      }
     }
     vocab0.unpersist()
     import s.implicits._

@@ -460,6 +460,47 @@ object TextQueries {
 
   val x78: Q = (s, d) => boilerplateStats(s, d).orderBy(col("doc_id"))
 
+  /** CurationDemo's flood-robust form of the x78 gate frame (r17, found
+    * by the sf100 rehearsal): document frequency counted over
+    * CANONICALLY-DISTINCT documents, not raw rows. C4's boilerplate rule
+    * means "spans repeated across DIFFERENT pages"; on a duplicate-flooded
+    * corpus (the sf100 set is a 100-way exact-duplicate flood by
+    * construction — the real 100 TB crawl shape) raw-row df counts every
+    * copy, every 3-gram of every doc reaches df≥3, and the gate classifies
+    * the ENTIRE corpus as boilerplate (observed: 5M docs → 0 survivors).
+    * Fix: one representative per canonical text contributes grams to the
+    * df statistic; per-doc density is computed per canonical text and
+    * joined back to all copies (copies share the canonical text, so the
+    * gate decision is copy-count-invariant — identical to x78 on a
+    * dup-free corpus, which keeps the sf0.01 demo counts unchanged).
+    * Duplicate MASS is then the dedup stage's job, not the df gate's.
+    * x78 itself is unchanged (its oracle states raw-row df). */
+  def boilerplateStatsCanonical(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.spread(t(s, d, "documents"))
+      .withColumn("canon_h", graft.streaming.StreamOps.canonKey(col("text")))
+    val reps = docs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("canon_h")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+    val g = reps
+      .select(col("canon_h"), split(col("text"), " ").as("toks"))
+      .select(col("canon_h"),
+        explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("gram"))
+      .select(col("canon_h"), graft.Tables.h60(col("gram")).as("gh"))
+      .distinct()
+    val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val perCanon = g.join(df, Seq("gh"))
+      .groupBy(col("canon_h"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= commonDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_frac",
+        graft.Tables.fround(col("n_common").cast("double") / col("n_grams"), 4))
+    docs.select(col("doc_id"), col("canon_h"))
+      .join(perCanon, Seq("canon_h"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"), col("common_frac"))
+  }
+
   /** x68 — tf-idf keyword extraction (E66): top-3 terms per doc by
     * tf·(N/df) — the per-doc descriptor a corpus browser/labeler reads, and
     * the feature x76's cards summarize per source. Linear idf (N/df) rather
