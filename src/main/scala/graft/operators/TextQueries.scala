@@ -474,7 +474,19 @@ object TextQueries {
     * gate decision is copy-count-invariant — identical to x78 on a
     * dup-free corpus, which keeps the sf0.01 demo counts unchanged).
     * Duplicate MASS is then the dedup stage's job, not the df gate's.
-    * x78 itself is unchanged (its oracle states raw-row df). */
+    * x78 itself is unchanged (its oracle states raw-row df).
+    *
+    * Second sf100 finding: an ABSOLUTE df≥3 threshold is not
+    * scale-invariant even over distinct docs — at 5k distinct synthetic
+    * docs the shared vocabulary puts 99.8% of all 3-grams at df≥3 and the
+    * gate still dropped everything. C4's own rule survives scale because
+    * its unit is a whole LINE; with short spans the threshold must be a
+    * RATE: common = df ≥ max(3, 0.5% of distinct docs). The floor keeps
+    * the ≤1k-doc behavior byte-identical (0.5% < 3 there); at corpus
+    * scale a span must recur across a fixed FRACTION of distinct pages to
+    * count as template text (measured at sf100: rate threshold drops 0 —
+    * the honest verdict, since this corpus's repetition is duplicate
+    * copies, which the dedup stage removes, not boilerplate). */
   def boilerplateStatsCanonical(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.spread(t(s, d, "documents"))
@@ -490,10 +502,14 @@ object TextQueries {
       .select(col("canon_h"), graft.Tables.h60(col("gram")).as("gh"))
       .distinct()
     val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val nReps = reps.agg(count(lit(1)).as("n_reps")) // 1-row broadcast
     val perCanon = g.join(df, Seq("gh"))
+      .crossJoin(broadcast(nReps))
+      .withColumn("thr", greatest(lit(commonDf.toLong),
+        ceil(col("n_reps") * lit(0.005)).cast("long")))
       .groupBy(col("canon_h"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= commonDf, 1L).otherwise(0L)).as("n_common"))
+        sum(when(col("df") >= col("thr"), 1L).otherwise(0L)).as("n_common"))
       .withColumn("common_frac",
         graft.Tables.fround(col("n_common").cast("double") / col("n_grams"), 4))
     docs.select(col("doc_id"), col("canon_h"))
