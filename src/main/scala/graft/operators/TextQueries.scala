@@ -488,13 +488,26 @@ object TextQueries {
     * the honest verdict, since this corpus's repetition is duplicate
     * copies, which the dedup stage removes, not boilerplate). */
   def boilerplateStatsCanonical(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.spread(t(s, d, "documents"))
-      .withColumn("canon_h", graft.streaming.StreamOps.canonKey(col("text")))
-    val reps = docs
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("canon_h")).orderBy(col("doc_id"))))
-      .filter(col("_rn") === 1)
+    // ONE canonKey pass over the corpus (md5 over normalized text — the
+    // expensive scan), pinned: the 16-byte (doc_id, canon_h) frame is
+    // consumed three times below (rep selection, rep-count scalar, the
+    // join back to all copies). Never shuffle TEXT to pick
+    // representatives — min(doc_id) per canon key is a map-side-combined
+    // agg over 16-byte rows; the 5k rep texts come back via a broadcast
+    // semi-join against the table scan. (The first window-based form
+    // shuffled the full text column per canon group — measured 2.8× the
+    // whole gate stage at sf100.)
+    val docsK = docs
+      .select(col("doc_id"), graft.streaming.StreamOps.canonKey(col("text")).as("canon_h"))
+      .localCheckpoint(true)
+    val repIds = docsK.groupBy(col("canon_h")).agg(min(col("doc_id")).as("doc_id"))
+    // no broadcast hint: repIds is one row per DISTINCT canonical text —
+    // small under a duplicate flood, corpus-sized on a dup-free corpus.
+    // AQE broadcasts it when it fits and falls back to a shuffle join
+    // keyed on doc_id otherwise.
+    val reps = docs.select(col("doc_id"), col("text"))
+      .join(repIds, Seq("doc_id"))
     val g = reps
       .select(col("canon_h"), split(col("text"), " ").as("toks"))
       .select(col("canon_h"),
@@ -502,7 +515,7 @@ object TextQueries {
       .select(col("canon_h"), graft.Tables.h60(col("gram")).as("gh"))
       .distinct()
     val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val nReps = reps.agg(count(lit(1)).as("n_reps")) // 1-row broadcast
+    val nReps = repIds.agg(count(lit(1)).as("n_reps")) // 1-row broadcast
     val perCanon = g.join(df, Seq("gh"))
       .crossJoin(broadcast(nReps))
       .withColumn("thr", greatest(lit(commonDf.toLong),
@@ -512,8 +525,7 @@ object TextQueries {
         sum(when(col("df") >= col("thr"), 1L).otherwise(0L)).as("n_common"))
       .withColumn("common_frac",
         graft.Tables.fround(col("n_common").cast("double") / col("n_grams"), 4))
-    docs.select(col("doc_id"), col("canon_h"))
-      .join(perCanon, Seq("canon_h"))
+    docsK.join(perCanon, Seq("canon_h"))
       .select(col("doc_id"), col("n_grams"), col("n_common"), col("common_frac"))
   }
 
