@@ -84,17 +84,25 @@ object Bench {
     // if the start load exceeded the threshold after the drain wait, or
     // if ANY boundary shows co-tenant CPU above it.
     // (machine busy jiffies, this process's busy jiffies). /proc/stat cpu
-    // line: user nice system idle iowait irq softirq steal guest… — busy
-    // excludes idle (3) and iowait (4); /proc/self/stat utime(14)+stime(15)
-    // are process-wide across threads. USER_HZ is 100 on Linux.
+    // line: user nice system idle iowait irq softirq steal guest
+    // guest_nice — busy excludes idle (3), iowait (4) AND guest/guest_nice
+    // (8/9): the kernel folds guest time into user/nice already, so
+    // counting fields 8/9 double-counts co-tenant CPU on virtualized
+    // hosts and can trip contended:true falsely (r18, ADVICE).
+    // /proc/self/stat utime(14)+stime(15) are process-wide across
+    // threads; fields are located AFTER the ')' that closes the comm
+    // field, which may itself contain spaces. USER_HZ is 100 on Linux.
     def jiffies(): (Long, Long) = {
       val tot = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
       val busy = tot.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 => v
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
       }.sum
-      val self = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
-      (busy, self(13).toLong + self(14).toLong)
+      val raw = scala.io.Source.fromFile("/proc/self/stat").mkString
+      // state(1-based field 3) onward; utime/stime are fields 14/15 ⇒
+      // indices 11/12 of the post-comm split
+      val self = raw.substring(raw.lastIndexOf(')') + 2).split(" ")
+      (busy, self(11).toLong + self(12).toLong)
     }
     def othersCores(): Double = {
       val (b0, s0) = jiffies()

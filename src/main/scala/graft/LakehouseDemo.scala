@@ -65,8 +65,10 @@ object LakehouseDemo {
     *      the embeddings corpus (x28/x80's build-once seam)
     *   4. serve: the four warm index-serving paths (x28 exact probe, x80
     *      codes-only ADC, x57 IVF-PQ, x85 refine) against the hot index
-    *   5. CDC apply: three change batches (updates / deletes / inserts
-    *      with in-batch ties) streamed through
+    *   5. CDC apply: three change batches (updates — a slice duplicated
+    *      byte-identically to exercise in-batch latest-wins ties with a
+    *      deterministic visible row — plus deletes offset +30 s past any
+    *      same-key update, and inserts of fresh keys) streamed through
     *      [[graft.streaming.StreamOps.cdcApply]] (E102) as MOR commits,
     *      then the visible state read back
     *
@@ -128,24 +130,36 @@ object LakehouseDemo {
     lap("serve (4 paths, warm)")
 
     // 5. CDC apply: three deterministic change batches over the ingested
-    // keys — updates (k≡0 mod 30, with an in-batch tie the latest wins),
-    // deletes (k≡1 mod 50), inserts (fresh keys) — one file per batch ⇒
-    // one MOR commit per trigger
+    // keys — one file per batch ⇒ one MOR commit per trigger. Every
+    // latest-wins outcome is deterministic by construction (r18, ADVICE):
+    //   updates  (hash≡b mod 30) at ts+b min; the hash≡b mod 90 slice is
+    //            emitted TWICE byte-identically, so the in-batch tie path
+    //            runs but either winner is the same visible row;
+    //   deletes  (hash≡b mod 50) at ts+b min+30 s — strictly later than
+    //            any same-key update, so U-vs-D overlap resolves to D;
+    //   inserts  fresh keys (hash≡b mod 70, id+10M) — an upsert of an
+    //            unseen key IS the insert in the merge algebra.
     val base = IngestJob.readTable(spark, tradesDir)
       .select(col("trade_id"), col("symbol"), col("price"), col("qty"),
         col("side"), col("ts_event"), col("notes"))
-    def shifted(mins: Int) = (col("ts_event").cast("long") + mins * 60L)
+    def shifted(secs: Long) = (col("ts_event").cast("long") + secs)
       .cast("timestamp").as("ts_event")
     (1 to 3).foreach { b =>
-      val upd = base.filter(abs(hash(col("trade_id"))) % 30 === b)
+      def updFor(m: Int) = base.filter(abs(hash(col("trade_id"))) % m === b)
         .select(col("trade_id"), col("symbol"),
           (col("price") + b).as("price"), col("qty"), col("side"),
-          shifted(b), col("notes"), lit("U").as("op"))
+          shifted(b * 60L), col("notes"), lit("U").as("op"))
+      val upd = updFor(30)
+      val tiedDup = updFor(90) // identical copy of a slice of upd ⇒ in-batch tie
       val del = base.filter(abs(hash(col("trade_id"))) % 50 === b)
         .select(col("trade_id"), col("symbol"), col("price"), col("qty"),
-          col("side"), shifted(b), col("notes"), lit("D").as("op"))
-      upd.unionAll(del).coalesce(1).write.mode("append")
-        .parquet(s"$workDir/changes")
+          col("side"), shifted(b * 60L + 30L), col("notes"), lit("D").as("op"))
+      val ins = base.filter(abs(hash(col("trade_id"))) % 70 === b)
+        .select((col("trade_id") + lit(10000000L)).as("trade_id"), col("symbol"),
+          col("price"), col("qty"), col("side"), shifted(b * 60L), col("notes"),
+          lit("U").as("op"))
+      upd.unionAll(tiedDup).unionAll(del).unionAll(ins).coalesce(1)
+        .write.mode("append").parquet(s"$workDir/changes")
     }
     lap("stage-changes (3 batch files)")
     val chSchema = spark.read.parquet(s"$workDir/changes").schema

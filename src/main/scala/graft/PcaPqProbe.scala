@@ -27,13 +27,14 @@ object PcaPqProbe {
       array(perm.map(k =>
         functions.VectorExprs.floatDoubleDot(col("embedding"), vlit(m.eigVecs(k)))
           .cast("float")): _*).as("embedding"))
-    val plain = Quantizers.trainPqOn(e)
-    val eigOrder = Quantizers.trainPqOn(rotated(0 until 64))
+    val nAll = e.count()
+    val plain = Quantizers.trainPqOn(e, nAll)
+    val eigOrder = Quantizers.trainPqOn(rotated(0 until 64), nAll)
     // balanced allocation: round-robin eigen dims across the 8 subspaces so
     // each subspace gets one of every eigenvalue octave (OPQ-parametric's
     // allocation heuristic); subspace i takes dims i, i+8, i+16, ...
     val balanced = (0 until 8).flatMap(i => (0 until 8).map(j => i + 8 * j))
-    val bal = Quantizers.trainPqOn(rotated(balanced))
+    val bal = Quantizers.trainPqOn(rotated(balanced), nAll)
     println(s"PROBE plain=${plain.trace.last._2} eig=${eigOrder.trace.last._2} bal=${bal.trace.last._2}")
     spark.stop()
   }

@@ -27,6 +27,15 @@ object Tables {
   private def evictStopped(): Unit =
     dfCache.filterInPlace { case ((owner, _, _, _), _) => !owner.sparkContext.isStopped }
 
+  /** On-disk size of a table, memoized per (dir, name) for the session
+    * lifetime — see the pin-decision note in [[t]]. */
+  private val statCache = new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+  private def tableBytes(dir: String, name: String): Long =
+    statCache.computeIfAbsent((dir, name), { _ =>
+      val f = new java.io.File(s"$dir/$name.parquet")
+      if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
+    }).longValue
+
   /** Catalog-style table resolution with a two-tier cache, selected by the
     * session conf `spark.graft.tableCache`:
     *
@@ -77,19 +86,24 @@ object Tables {
       // changing spark.graft.cacheMaxBytes mid-session must build a fresh
       // entry, not silently serve one pinned under the old cap; and meta
       // mode must not pay a directory listing it never uses.
-      val pin = mode == "memory" && {
-        val maxBytes = spark.conf.get("spark.graft.cacheMaxBytes",
+      // bytes memoized per (dir, name) — r18, ADVICE: the stat + listFiles
+      // ran on EVERY t() call in memory mode; table files are immutable
+      // for a session (the same assumption dfCache itself makes)
+      val pin = mode == "memory" &&
+        tableBytes(dir, name) <= spark.conf.get("spark.graft.cacheMaxBytes",
           (32L << 20).toString).toLong
-        val f = new java.io.File(s"$dir/$name.parquet")
-        val bytes = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
-        bytes <= maxBytes
+      if (mode == "memory") {
+        // a cacheMaxBytes flip mid-session changes the pin decision; the
+        // displaced sibling entry must not keep its blocks persisted
+        // (r18, ADVICE)
+        dfCache.remove((spark, s"$mode/$source/${!pin}", dir, name))
+          .foreach(old => if (!pin) { old.unpersist(); () })
       }
       dfCache.getOrElseUpdate((spark, s"$mode/$source/$pin", dir, name), {
         val df = load(spark, dir, name)
         if (!pin) df
         else {
-          val f = new java.io.File(s"$dir/$name.parquet")
-          val bytes = if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
+          val bytes = tableBytes(dir, name)
           val parts = math.max(1L, math.min(
             spark.sparkContext.defaultParallelism.toLong, bytes / (2L << 20))).toInt
           val r = if (parts > 1) df.repartition(parts) else df

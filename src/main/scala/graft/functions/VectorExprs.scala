@@ -537,6 +537,146 @@ case class CentroidArgmax(child: Expression,
       cents.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
 }
 
+/** Whole-codebook PQ argmin: per subspace i, the nearest codeword of
+  * `cents(i)` to the row's i-th embedding subvector, as
+  * array<struct<code int, d double>> (index = subspace). One codegen'd
+  * loop nest over a referenced [sub][code][dim] matrix — replaces the
+  * pqM·pqK struct/array_min expression TREE whose generated
+  * doConsume blew janino's 64 KB method limit at sf10 (the whole
+  * projection then ran INTERPRETED — the >2,700 s index-build finding,
+  * BASELINE.md §composed-pipeline).
+  *
+  * Numeric contract (bit-identical to the tree it replaces, and to the
+  * DuckDB pqTrainCtes twin): per (sub, code),
+  * d = (⟨s,s⟩ − 2.0·⟨s,c⟩) + ‖c‖², with ⟨s,s⟩ and ⟨s,c⟩ each accumulated
+  * left-to-right in double over the float subvector (FloatDot /
+  * FloatDoubleDot order), ‖c‖² passed in precomputed (the trainer's
+  * foldLeft literal). Argmin ties → LOWEST code (array_min struct order /
+  * ROW_NUMBER d ASC, code ASC), realized by strict `<` over ascending j
+  * with the == -0.0/+0.0 tie convention of [[CentroidArgmax]]. */
+case class PqArgmin(child: Expression,
+                    cents: Array[Array[Array[Double]]],
+                    norms: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty && cents.length == norms.length &&
+    cents.indices.forall(i => cents(i).length == norms(i).length),
+    "pq_argmin: codebook/norm shape mismatch")
+  private val subDim = cents(0)(0).length
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("code", IntegerType, nullable = false),
+    StructField("d", DoubleType, nullable = false))), containsNull = false)
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_argmin"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val total = x.numElements()
+    val out = new Array[Any](cents.length)
+    var sub = 0
+    while (sub < cents.length) {
+      val base = sub * subDim
+      val n = math.min(subDim, math.max(0, total - base))
+      // ⟨s,s⟩ once per subspace (identical for every code)
+      var ss = 0.0
+      var k = 0
+      while (k < n) {
+        val f = x.getFloat(base + k).toDouble; ss += f * f; k += 1
+      }
+      val cb = cents(sub); val nm = norms(sub)
+      var best = Double.PositiveInfinity
+      var bestCode = -1
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var sc = 0.0
+        var i = 0
+        while (i < n) { sc += x.getFloat(base + i).toDouble * c(i); i += 1 }
+        val d = (ss - 2.0 * sc) + nm(j)
+        val cmp = if (d == best) 0 else java.lang.Double.compare(d, best)
+        if (cmp < 0) { best = d; bestCode = j }
+        j += 1
+      }
+      out(sub) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestCode, best))
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+      val nms = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+      val out = ctx.freshName("out")
+      val total = ctx.freshName("total")
+      val sub = ctx.freshName("sub")
+      val bse = ctx.freshName("bse")
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val f = ctx.freshName("f")
+      val k = ctx.freshName("k")
+      val cb = ctx.freshName("cb")
+      val nm = ctx.freshName("nm")
+      val best = ctx.freshName("best")
+      val bestCode = ctx.freshName("bestCode")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val sc = ctx.freshName("sc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |Object[] $out = new Object[$m.length];
+         |int $total = $x.numElements();
+         |for (int $sub = 0; $sub < $m.length; $sub++) {
+         |  int $bse = $sub * $subDim;
+         |  int $n = java.lang.Math.min($subDim, java.lang.Math.max(0, $total - $bse));
+         |  double $ss = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    double $f = (double) $x.getFloat($bse + $k); $ss += $f * $f;
+         |  }
+         |  double[][] $cb = $m[$sub];
+         |  double[] $nm = $nms[$sub];
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestCode = -1;
+         |  for (int $j = 0; $j < $cb.length; $j++) {
+         |    double[] $c = $cb[$j];
+         |    double $sc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $sc += (double) $x.getFloat($bse + $i) * $c[$i];
+         |    }
+         |    double $d = ($ss - 2.0 * $sc) + $nm[$j];
+         |    int $cmp = ($d == $best) ? 0 : java.lang.Double.compare($d, $best);
+         |    if ($cmp < 0) { $best = $d; $bestCode = $j; }
+         |  }
+         |  $out[$sub] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { java.lang.Integer.valueOf($bestCode), java.lang.Double.valueOf($best) });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  // Content-based equality, the CentroidArgmax convention: the default
+  // case-class identity-hash on nested arrays defeats CSE/plan-cache
+  // matching across separately-built-but-identical trained models.
+  override def equals(that: Any): Boolean = that match {
+    case o: PqArgmin =>
+      child == o.child && cents.length == o.cents.length &&
+        cents.indices.forall(s => cents(s).length == o.cents(s).length &&
+          cents(s).indices.forall(j => java.util.Arrays.equals(cents(s)(j), o.cents(s)(j)))) &&
+        norms.length == o.norms.length &&
+        norms.indices.forall(s => java.util.Arrays.equals(norms(s), o.norms(s)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode +
+      cents.map(_.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)).foldLeft(0)(31 * _ + _) +
+      norms.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
+}
+
 object VectorExprs {
   /** Double-precision dot product of two float-array columns (codegen'd). */
   def floatDot(a: Column, b: Column): Column = GraftExprBridge.toColumn(FloatDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
@@ -563,4 +703,9 @@ object VectorExprs {
   def centroidArgmax(emb: Column, cents: Array[(Long, Array[Double])]): Column =
     GraftExprBridge.toColumn(CentroidArgmax(GraftExprBridge.toExpression(emb),
       cents.map(_._1), cents.map(_._2)))
+  /** Whole-codebook PQ argmin → array<struct<code,d>>; see [[PqArgmin]].
+    * `cbs` = [subspace][code] (codeword, precomputed ‖c‖²). */
+  def pqArgmin(emb: Column, cbs: Array[Array[(Array[Double], Double)]]): Column =
+    GraftExprBridge.toColumn(PqArgmin(GraftExprBridge.toExpression(emb),
+      cbs.map(_.map(_._1)), cbs.map(_.map(_._2))))
 }

@@ -770,8 +770,9 @@ object AdvancedQueries {
       val grown = s.read.parquet(old.dir).select(col("vec_id"), col("embedding"))
       // twin-less rebuild path: nlist legitimately derives from the GROWN
       // corpus (the whole point of retraining after append drift)
-      val km = Quantizers.trainKmOn(grown, Quantizers.nlistFor(grown.count()))
-      val pq = Quantizers.trainPqOn(grown)
+      val grownN = grown.count()
+      val km = Quantizers.trainKmOn(grown, Quantizers.nlistFor(grownN), grownN)
+      val pq = Quantizers.trainPqOn(grown, grownN)
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       encodeRows(graft.Tables.spread(grown), km.cents, pq.cbs)
         .write.mode("overwrite").partitionBy("cid").parquet(dir)

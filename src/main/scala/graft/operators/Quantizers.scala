@@ -37,10 +37,11 @@ import graft.functions.VectorExprs
   * 100 TB shape: each round is ONE pass over the corpus — assignment +
   * per-(cluster, dim) partial sums in a single hash aggregation (nlist·dim
   * and pqM·pqK·pqDims groups respectively — KBs of state), with the
-  * per-round collect bounded by the model size, never the data. Production
-  * note: at 100 TB you train on a hash-sample of the corpus (FAISS trains
-  * on ~256 vectors/centroid) and pass that sample as `e` — the loop is
-  * identical; the bench-scale corpus IS sample-sized.
+  * per-round collect bounded by the model size, never the data. Training
+  * is SAMPLE-BOUNDED (r18): both trainers fit on a deterministic
+  * md5-bucket sample capped at [[trainPerCentroid]] vectors per
+  * centroid/codeword (FAISS's max_points_per_centroid convention), with
+  * the twin sampling identically — see [[samplePm]].
   */
 object Quantizers {
   import CoreQueries.Q
@@ -66,6 +67,36 @@ object Quantizers {
   }
   /** Embedding dimensionality (the testdata contract, like lshDim). */
   private[operators] val kmDim = 64
+
+  /** Training-sample cap: at most ~trainPerCentroid vectors per centroid
+    * (FAISS's max_points_per_centroid default, 256) are used to FIT the
+    * quantizer; assignment/serving always runs the full corpus. The sample
+    * is the deterministic md5-bucket slice (the x70 convention), so both
+    * engines select the identical rows. For the IVF k-means the cap binds
+    * only past the nlist cap (the [[nlistFor]] rule keeps n/nlist ≤ 128 <
+    * 256, so every corpus below 65536·256 ≈ 16.7M vectors trains in full
+    * and the gate hashes are byte-stable); at 100 TB (n ≫ 16.7M) it bounds
+    * training at 16.7M rows where full-corpus Lloyd's would scan billions
+    * per round. For PQ the code count is FIXED (pqK=16 per subspace), so
+    * the cap binds from ~4k vectors up: sf1 trains on ~20%, sf10 on ~2% —
+    * scale-free training cost (twins sample identically, oracle-verified). */
+  private[operators] val trainPerCentroid = 256L
+
+  /** The per-mille (of 10000) bucket threshold selecting ≈`target` of `n`
+    * rows — integer-only ceil, mirrored by the twin's pm CTE:
+    * LEAST(10000, (10000·target + n − 1) // n). */
+  private[graft] def samplePm(n: Long, target: Long): Int =
+    if (n <= 0 || n <= target) 10000
+    else math.min(10000L, (10000L * target + n - 1) / n).toInt
+
+  /** `e` cut to the deterministic training sample (identity when the cap
+    * doesn't bind — the plan is untouched, not merely an always-true
+    * filter, so small-scale plans and hashes stay byte-identical). */
+  private def trainSample(e: DataFrame, n: Long, target: Long): DataFrame = {
+    val pm = samplePm(n, target)
+    if (pm >= 10000) e
+    else e.filter(SamplingQueries.bucket(col("vec_id")) < pm)
+  }
   /** Lloyd's rounds: trace rounds 0..kmRounds-1, serve cents after round
     * kmRounds-1's update. Distortion plateaus by ~4 on this corpus. */
   private[graft] val kmRounds = 4
@@ -111,7 +142,8 @@ object Quantizers {
     evictStopped(kmCache)
     kmCache.computeIfAbsent((s, d), { _ =>
       val e = t(s, d, "embeddings") // canonical source — matches the twin's nlq CTE
-      trainKmOn(e, nlistFor(e.count()))
+      val n = e.count()
+      trainKmOn(e, nlistFor(n), n)
     })
   }
 
@@ -125,8 +157,13 @@ object Quantizers {
     *   `nlq` CTE computes from `COUNT(*) FROM embeddings` — deriving it
     *   silently from a filtered/derived corpus would desync the two
     *   engines across a power-of-two boundary. Twin-less paths (E78's
-    *   rebuild on the grown index corpus) derive from their own corpus. */
-  private[graft] def trainKmOn(e: DataFrame, nlist: Int): KmModel = {
+    *   rebuild on the grown index corpus) derive from their own corpus.
+    * @param n the corpus row count (callers have it from the nlist
+    *   derivation) — sizes the deterministic training sample
+    *   ([[trainPerCentroid]]; identity below the cap). Seeds always come
+    *   from the FULL corpus (vec_id < nlist), matching the twin's kcents0. */
+  private[graft] def trainKmOn(e: DataFrame, nlist: Int, n: Long,
+      sampleTarget: Long = -1L): KmModel = {
     {
       val seeds = e.filter(col("vec_id") < nlist)
         .select(col("vec_id"), col("embedding")).collect()
@@ -140,7 +177,9 @@ object Quantizers {
       val trace = Array.newBuilder[(Long, Long)]
       // spread: the one-split embeddings scan would run nlist dots/row on a
       // single task (the x25/x26 lesson)
-      val base = graft.Tables.spread(e).select(col("vec_id"), col("embedding"))
+      val target = if (sampleTarget > 0) sampleTarget else trainPerCentroid * nlist
+      val base = graft.Tables.spread(trainSample(e, n, target))
+        .select(col("vec_id"), col("embedding"))
       for (r <- 0 until kmRounds) {
         val st = assignStruct(cents, col("embedding"))
         // ONE aggregation per round: (cid, dim) → cluster size, fix-point
@@ -193,12 +232,19 @@ object Quantizers {
     * (vec_id < pqK subvectors, raw — L2 Lloyd's has no normalization). */
   private[graft] def trainedPq(s: SparkSession, d: String): PqModel = {
     evictStopped(pqCache)
-    pqCache.computeIfAbsent((s, d), { _ => trainPqOn(t(s, d, "embeddings")) })
+    pqCache.computeIfAbsent((s, d), { _ =>
+      val e = t(s, d, "embeddings")
+      trainPqOn(e, e.count())
+    })
   }
 
   /** [[trainKmOn]]'s PQ sibling: the per-subspace Lloyd's loop over an
-    * arbitrary corpus frame. */
-  private[graft] def trainPqOn(e: DataFrame): PqModel = {
+    * arbitrary corpus frame. @param n the corpus row count, sizing the
+    * deterministic training sample (cap = trainPerCentroid·pqK — with pqK
+    * FIXED at 16 this binds from ~4k vectors, making the training cost
+    * scale-free; the twin samples identically). */
+  private[graft] def trainPqOn(e: DataFrame, n: Long,
+      sampleTarget: Long = -1L): PqModel = {
     {
       import VectorQueries.{pqM, pqDims, pqK}
       val seeds = e.filter(col("vec_id") < pqK)
@@ -208,23 +254,22 @@ object Quantizers {
         seeds.map(v => v.slice(i * pqDims, (i + 1) * pqDims).map(_.toDouble))
       }
       val trace = Array.newBuilder[(Long, Long)]
-      val base = graft.Tables.spread(e).select(col("embedding"))
+      val target = if (sampleTarget > 0) sampleTarget else trainPerCentroid * pqK
+      val base = graft.Tables.spread(trainSample(e, n, target))
+        .select(col("embedding"))
       for (r <- 0 until pqRounds) {
-        // per-subspace argmin (d, code) structs, exploded to one row per
-        // (vector, subspace), then ONE aggregation over (sub, code, dim)
-        val chosen = array((0 until pqM).map { i =>
-          val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
-          val m = array_min(array(cbs(i).zipWithIndex.map { case (c, j) =>
-            val cc = c.foldLeft(0.0)((a, x) => a + x * x)
-            struct(((VectorExprs.floatDot(sv, sv) - lit(2.0) * cdot(sv, c)) + lit(cc)).as("d"),
-              lit(j).as("c"))
-          }: _*))
-          struct(lit(i).as("sub"), m.getField("c").as("code"),
-            floor(m.getField("d") * lit(1e6) + lit(0.5)).as("df"))
-        }: _*)
-        val rows = base.select(col("embedding"), explode(chosen).as("s"))
-          .select(col("s.sub").as("sub"), col("s.code").as("code"), col("s.df").as("df"),
-            posexplode(slice(col("embedding"), col("s.sub") * lit(pqDims) + lit(1), lit(pqDims))))
+        // per-subspace argmin via the whole-codebook PqArgmin expression
+        // (ONE codegen'd loop nest; the old pqM·pqK struct/array_min TREE
+        // blew janino's 64 KB method limit and fell back to INTERPRETED —
+        // the sf10 >2,700 s index-build finding, r18), exploded to one row
+        // per (vector, subspace), then ONE aggregation over (sub, code, dim)
+        val entries = cbs.map(_.map(c => (c, c.foldLeft(0.0)((a, x) => a + x * x))))
+        val enc = VectorExprs.pqArgmin(col("embedding"), entries)
+        val rows = base.select(col("embedding"), posexplode(enc))
+          .select(col("pos").as("sub"), col("col.code").as("code"),
+            floor(col("col.d") * lit(1e6) + lit(0.5)).as("df"), col("embedding"))
+          .select(col("sub"), col("code"), col("df"),
+            posexplode(slice(col("embedding"), col("sub") * lit(pqDims) + lit(1), lit(pqDims))))
           .groupBy(col("sub"), col("code"), (col("pos") + 1).as("ord"))
           .agg(count(lit(1)).as("n"),
             sum(floor(col("col").cast("double") * lit(1e6) + lit(0.5))).as("sf"),
@@ -458,7 +503,10 @@ object Quantizers {
 
   private[graft] def trainedOpq(s: SparkSession, d: String): PqModel = {
     evictStopped(opqCache)
-    opqCache.computeIfAbsent((s, d), { _ => trainPqOn(opqRotated(s, d)) })
+    opqCache.computeIfAbsent((s, d), { _ =>
+      // rotation is a map — the rotated corpus count IS the base count
+      trainPqOn(opqRotated(s, d), t(s, d, "embeddings").count())
+    })
   }
 
   /** x93 — OPQ-lite training (E88): PQ codebooks trained on the rotated
@@ -586,6 +634,15 @@ object Quantizers {
        |               ${java.lang.Integer.numberOfTrailingZeros(nlistCap) + 1}) t(i)) pp
        |  WHERE p * $nlistTarget >= (SELECT COUNT(*) FROM embeddings)
        |     OR p = $nlistCap)""".stripMargin
+    // deterministic training sample (trainPerCentroid per centroid, the
+    // Scala trainSample mirror): identity until n > 256·nlist, i.e. past
+    // the nlist cap — integer-only ceil, same md5-bucket rows both engines
+    b += s"""kpmq AS (
+       |  SELECT LEAST(10000, (10000 * $trainPerCentroid * (SELECT nl FROM nlq) + cnt - 1) // cnt) AS pm
+       |  FROM (SELECT COUNT(*) AS cnt FROM embeddings))""".stripMargin
+    b += s"""ktrain AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${SamplingQueries.bucketSqlFor("vec_id")} < (SELECT pm FROM kpmq))""".stripMargin
     b += s"""kcents0 AS (
        |  SELECT vec_id AS cid,
        |    CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
@@ -596,7 +653,7 @@ object Quantizers {
     for (r <- 0 until kmRounds) {
       b += s"""ksc$r AS (
          |  SELECT e.vec_id, e.embedding, c.cid, ${dotSql("e.embedding", "c.cemb")} AS sc
-         |  FROM embeddings e CROSS JOIN kcents$r c)""".stripMargin
+         |  FROM ktrain e CROSS JOIN kcents$r c)""".stripMargin
       b += s"""ka$r AS (
          |  SELECT vec_id, embedding, cid, sc FROM (
          |    SELECT vec_id, embedding, cid, sc,
@@ -631,6 +688,14 @@ object Quantizers {
     val sv = s"list_slice(e.embedding, cb.sub*$pqDims+1, cb.sub*$pqDims+$pqDims)"
     val b = Seq.newBuilder[String]
     b += s"pdim AS (SELECT unnest(range(1, ${pqDims + 1})) AS ord)"
+    // deterministic training sample (trainPerCentroid per code; pqK is
+    // FIXED so this binds from ~4k vectors — the Scala trainSample mirror)
+    b += s"""ppmq AS (
+       |  SELECT LEAST(10000, (10000 * $trainPerCentroid * $pqK + cnt - 1) // cnt) AS pm
+       |  FROM (SELECT COUNT(*) AS cnt FROM $src))""".stripMargin
+    b += s"""ptrain AS (
+       |  SELECT vec_id, embedding FROM $src
+       |  WHERE ${SamplingQueries.bucketSqlFor("vec_id")} < (SELECT pm FROM ppmq))""".stripMargin
     b += s"""pcb0 AS (
        |  SELECT s.sub, e.vec_id AS code,
        |    list_transform(list_slice(e.embedding, s.sub*$pqDims+1, s.sub*$pqDims+$pqDims), x -> CAST(x AS DOUBLE)) AS cvec
@@ -640,7 +705,7 @@ object Quantizers {
       b += s"""ppd$r AS (
          |  SELECT e.vec_id, e.embedding, cb.sub, cb.code,
          |    (${dotSql(sv, sv)} - 2.0 * ${dotSql(sv, "cb.cvec")}) + ${dotSql("cb.cvec", "cb.cvec")} AS d
-         |  FROM $src e CROSS JOIN pcb$r cb)""".stripMargin
+         |  FROM ptrain e CROSS JOIN pcb$r cb)""".stripMargin
       b += s"""ppc$r AS (
          |  SELECT vec_id, embedding, sub, code, d FROM (
          |    SELECT vec_id, embedding, sub, code, d,

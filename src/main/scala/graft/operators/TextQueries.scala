@@ -482,7 +482,9 @@ object TextQueries {
     * gate still dropped everything. C4's own rule survives scale because
     * its unit is a whole LINE; with short spans the threshold must be a
     * RATE: common = df ≥ max(3, 0.5% of distinct docs). The floor keeps
-    * the ≤1k-doc behavior byte-identical (0.5% < 3 there); at corpus
+    * behavior byte-identical while ceil(0.005·n_reps) ≤ 3, i.e. up to
+    * 600 distinct docs (true for sf0.01's 500 — r18, ADVICE: the earlier
+    * "≤1k-doc" claim was wrong past 600); at corpus
     * scale a span must recur across a fixed FRACTION of distinct pages to
     * count as template text (measured at sf100: rate threshold drops 0 —
     * the honest verdict, since this corpus's repetition is duplicate

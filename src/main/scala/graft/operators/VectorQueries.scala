@@ -235,16 +235,17 @@ object VectorQueries {
     // 3.8 s single-task vs sub-second spread at sf1)
     val base = graft.Tables.spread(t(s, d, "embeddings"))
       .select(col("vec_id"), col("embedding"))
-    val withMin = (0 until pqM).foldLeft(base) { (df, i) =>
-      val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
-      val m = array_min(array(cbs(i).zipWithIndex.map { case (entry, j) =>
-        struct(pqSubDist(sv, entry).as("d"), lit(j).as("c"))
-      }: _*))
-      df.withColumn(s"m$i", m)
-    }
-    withMin.select(col("vec_id") +:
-      (0 until pqM).flatMap(i => Seq(
-        col(s"m$i.c").as(s"c$i"), col(s"m$i.d").as(s"d$i"))): _*)
+    // whole-codebook PqArgmin (one codegen'd loop nest, bit-identical to
+    // the per-subspace array_min tree it replaces — which blew janino's
+    // 64 KB limit and ran interpreted, the r18 sf10 finding). `_pqenc` is
+    // multi-referenced and non-cheap, so CollapseProject keeps it
+    // materialized — the sweep runs ONCE per row.
+    base.withColumn("_pqenc",
+        graft.functions.VectorExprs.pqArgmin(col("embedding"), cbs))
+      .select(col("vec_id") +:
+        (0 until pqM).flatMap(i => Seq(
+          col("_pqenc").getItem(i).getField("code").as(s"c$i"),
+          col("_pqenc").getItem(i).getField("d").as(s"d$i"))): _*)
   }
 
   /** x55 — product-quantization encode (E58): the compression step between
@@ -272,12 +273,10 @@ object VectorQueries {
     * column (map-only; shared by x56's pqCodes and x57's IVF-PQ corpus). */
   private[operators] def withPqCodes(df: DataFrame,
       cbs: Array[Array[(Array[Double], Double)]]): DataFrame =
-    (0 until pqM).foldLeft(df) { (acc, i) =>
-      val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
-      acc.withColumn(s"c$i", array_min(array(cbs(i).zipWithIndex.map { case (entry, j) =>
-        struct(pqSubDist(sv, entry).as("d"), lit(j).as("c"))
-      }: _*)).getField("c"))
-    }
+    (0 until pqM).foldLeft(df.withColumn("_pqenc", // one sweep, 8 projections
+        graft.functions.VectorExprs.pqArgmin(col("embedding"), cbs))) { (acc, i) =>
+      acc.withColumn(s"c$i", col("_pqenc").getItem(i).getField("code"))
+    }.drop("_pqenc")
 
   /** lut(i)(j) = ‖sub_i(q) − c_ij‖², driver-computed (pqM·pqK doubles, the
     * standard ADC table); the SAME doubles are interpolated into the twin,

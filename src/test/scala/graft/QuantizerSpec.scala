@@ -291,4 +291,82 @@ class QuantizerSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pq.toSeq == Quantizers.trainedPq(spark, sfDir).trace.toSeq)
   }
+
+  test("samplePm: identity below the cap, integer-ceil fraction above, floor at 1") {
+    import Quantizers.samplePm
+    // below/at the target: full corpus, pm = 10000 (the identity branch —
+    // plans and gate hashes byte-stable)
+    assert(samplePm(500, 4096) == 10000)
+    assert(samplePm(4096, 4096) == 10000)
+    // above: ceil(10000·target/n) — sf1 PQ (20k, 4096) and sf10 (200k)
+    assert(samplePm(20000, 4096) == 2048)
+    assert(samplePm(200000, 4096) == 205)
+    // km at sf10: 256/centroid × nlist=2048 ≥ 200k ⇒ still full
+    assert(samplePm(200000, 256L * 2048) == 10000)
+    // km past the nlist cap (the true 100 TB regime): bounded sample
+    assert(samplePm(1000000000L, 256L * 65536) == 168)
+    // never 0 even for absurd ratios (ceil ≥ 1)
+    assert(samplePm(Long.MaxValue / 20000, 1) == 1)
+  }
+
+  test("PqArgmin equals the per-subspace struct/array_min tree it replaced (bit-exact)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExprs
+    import VectorQueries.{pqM, pqDims}
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    val cbs = Quantizers.trainedPq(spark, sfDir).cbs
+    // the ORIGINAL expression-tree formulation (kept here as the spec
+    // reference; in main code it blew janino's 64 KB method budget and
+    // fell back to interpreted execution — the r18 sf10 finding)
+    def old(i: Int) = {
+      val sv = slice(col("embedding"), i * pqDims + 1, pqDims)
+      array_min(array(cbs(i).zipWithIndex.map { case ((c, cc), j) =>
+        struct(((VectorExprs.floatDot(sv, sv) -
+          lit(2.0) * VectorExprs.floatDoubleDot(sv, typedLit(c))) + lit(cc)).as("d"),
+          lit(j).as("c"))
+      }: _*))
+    }
+    val newCols = (0 until pqM).flatMap(i => Seq(
+      col("enc").getItem(i).getField("code").as(s"nc$i"),
+      col("enc").getItem(i).getField("d").as(s"nd$i")))
+    val oldCols = (0 until pqM).flatMap(i => Seq(
+      old(i).getField("c").as(s"oc$i"), old(i).getField("d").as(s"od$i")))
+    val got = e.withColumn("enc", VectorExprs.pqArgmin(col("embedding"), cbs))
+      .select((col("vec_id") +: (newCols ++ oldCols)): _*)
+      .collect()
+    got.foreach { r =>
+      (0 until pqM).foreach { i =>
+        assert(r.getAs[Int](s"nc$i") == r.getAs[Int](s"oc$i"),
+          s"vec ${r.getLong(0)} sub $i code mismatch")
+        // bit-exact doubles, not approx: the twins floor-round these
+        assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double](s"nd$i")) ==
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double](s"od$i")),
+          s"vec ${r.getLong(0)} sub $i d mismatch")
+      }
+    }
+  }
+
+  test("sample-bounded training holds recall at sf0.1 (VERDICT r17 #1)") {
+    // The exact production sample path, forced to bind via the test hook:
+    // target 1000 of n=2000 ⇒ pm=5000, the md5-bucket half of the corpus.
+    // Seeds stay the full-corpus convention; only the Lloyd's fit samples.
+    val dir = "/root/testdata/sf0.1"
+    val e = graft.Tables.t(spark, dir, "embeddings")
+    val n = e.count()
+    assume(n >= 2000, "needs the sf0.1 corpus")
+    val nl = 16
+    val full = Quantizers.trainKmOn(e, nl, n)
+    val sampled = Quantizers.trainKmOn(e, nl, n, sampleTarget = 1000L)
+    def meanRecall(cents: Array[(Long, Array[Double])]): Double = {
+      val r = AdvancedQueries.recallWith(spark, dir, cents)
+        .select(col("recall")).collect().map(_.getDouble(0))
+      r.sum / r.length
+    }
+    val fr = meanRecall(full.cents)
+    val sr = meanRecall(sampled.cents)
+    info(s"recall@k: full-trained=$fr sample-trained=$sr")
+    // FAISS-grade parity: fitting on half the corpus must not cost
+    // meaningful recall (the centroids are corpus-scale statistics)
+    assert(sr >= fr - 0.05, s"sampled recall $sr lost >0.05 vs full $fr")
+  }
 }
