@@ -537,6 +537,105 @@ case class CentroidArgmax(child: Expression,
       cents.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
 }
 
+/** Whole-sweep top-2 centroid assignment: [[CentroidArgmax]] extended with
+  * the runner-up — struct(sc, cid, sc2, cid2) under the same (sc, cid)
+  * lexicographic struct order (max sc, tie → max cid; == first so -0.0
+  * ties +0.0, the SQLOrderingUtil convention). Replaces x161's
+  * `array_max(arr)` + `array_max(filter(arr, ≠best))` over an
+  * nlist-struct array literal tree, which at sf10's nlist=2048 exceeds
+  * janino's 64 KB method budget and drops the scan to interpreted
+  * evaluation (the PqArgmin finding's sibling, r18). cids are unique, so
+  * "filter out the element equal to best" ≡ "runner-up in the total
+  * order" — bit-identical to the tree it replaces for nlist ≥ 2. */
+case class CentroidTop2(child: Expression,
+                        cids: Array[Long],
+                        cents: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.length >= 2 && cids.length == cents.length,
+    s"centroid_top2: needs ≥2 centroids, got ${cents.length}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("sc", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false),
+    StructField("sc2", DoubleType, nullable = false),
+    StructField("cid2", LongType, nullable = false)))
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_top2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    var b1 = Double.NegativeInfinity; var c1 = Long.MinValue
+    var b2 = Double.NegativeInfinity; var c2 = Long.MinValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(dim, c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * c(i); i += 1 }
+      val cmp1 = if (s == b1) 0 else java.lang.Double.compare(s, b1)
+      if (cmp1 > 0 || (cmp1 == 0 && cids(j) > c1)) {
+        b2 = b1; c2 = c1; b1 = s; c1 = cids(j)
+      } else {
+        val cmp2 = if (s == b2) 0 else java.lang.Double.compare(s, b2)
+        if (cmp2 > 0 || (cmp2 == 0 && cids(j) > c2)) { b2 = s; c2 = cids(j) }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b1, c1, b2, c2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("centMatrix", cents, "double[][]")
+      val ids = ctx.addReferenceObj("centCids", cids, "long[]")
+      val b1 = ctx.freshName("b1"); val c1 = ctx.freshName("c1")
+      val b2 = ctx.freshName("b2"); val c2 = ctx.freshName("c2")
+      val dim = ctx.freshName("dim"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val cmp = ctx.freshName("cmp"); val cmp2 = ctx.freshName("cmp2")
+      s"""
+         |double $b1 = Double.NEGATIVE_INFINITY; long $c1 = Long.MIN_VALUE;
+         |double $b2 = Double.NEGATIVE_INFINITY; long $c2 = Long.MIN_VALUE;
+         |int $dim = $x.numElements();
+         |for (int $j = 0; $j < $m.length; $j++) {
+         |  double[] $c = $m[$j];
+         |  int $n = java.lang.Math.min($dim, $c.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.getFloat($i) * $c[$i];
+         |  }
+         |  int $cmp = ($s == $b1) ? 0 : java.lang.Double.compare($s, $b1);
+         |  if ($cmp > 0 || ($cmp == 0 && $ids[$j] > $c1)) {
+         |    $b2 = $b1; $c2 = $c1; $b1 = $s; $c1 = $ids[$j];
+         |  } else {
+         |    int $cmp2 = ($s == $b2) ? 0 : java.lang.Double.compare($s, $b2);
+         |    if ($cmp2 > 0 || ($cmp2 == 0 && $ids[$j] > $c2)) { $b2 = $s; $c2 = $ids[$j]; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Double.valueOf($b1), java.lang.Long.valueOf($c1),
+         |                 java.lang.Double.valueOf($b2), java.lang.Long.valueOf($c2) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override def equals(that: Any): Boolean = that match {
+    case o: CentroidTop2 =>
+      child == o.child && java.util.Arrays.equals(cids, o.cids) &&
+        cents.length == o.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), o.cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.hashCode(cids)) +
+      cents.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
+}
+
 /** Whole-codebook PQ argmin: per subspace i, the nearest codeword of
   * `cents(i)` to the row's i-th embedding subvector, as
   * array<struct<code int, d double>> (index = subspace). One codegen'd
@@ -702,6 +801,11 @@ object VectorExprs {
     * [[CentroidArgmax]]. `cents` = (cid, centroid) in any order. */
   def centroidArgmax(emb: Column, cents: Array[(Long, Array[Double])]): Column =
     GraftExprBridge.toColumn(CentroidArgmax(GraftExprBridge.toExpression(emb),
+      cents.map(_._1), cents.map(_._2)))
+  /** Best + runner-up assignment → struct(sc, cid, sc2, cid2); see
+    * [[CentroidTop2]]. `cents` = (cid, centroid) in any order. */
+  def centroidTop2(emb: Column, cents: Array[(Long, Array[Double])]): Column =
+    GraftExprBridge.toColumn(CentroidTop2(GraftExprBridge.toExpression(emb),
       cents.map(_._1), cents.map(_._2)))
   /** Whole-codebook PQ argmin → array<struct<code,d>>; see [[PqArgmin]].
     * `cbs` = [subspace][code] (codeword, precomputed ‖c‖²). */

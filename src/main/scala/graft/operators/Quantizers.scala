@@ -569,21 +569,17 @@ object Quantizers {
   val x161: Q = (s, d) => {
     verifyDirHint = Some(d)
     val cents = trainedCents(s, d)
-    val arr = array(cents.map { case (cid, c) =>
-      struct(cdot(col("embedding"), c).as("sc"), lit(cid).as("cid"))
-    }: _*)
-    // `arr` materialized as a column: best and second both reference it, and
-    // inlining would run the nlist×dim dot sweep twice per row (at sf1's
-    // nlist=256 that is the dominant cost). CollapseProject keeps
-    // multi-referenced non-cheap exprs materialized.
+    // ONE codegen'd sweep for best + runner-up ([[CentroidTop2]], r18):
+    // the old nlist-struct array + array_max/filter/array_max tree blew
+    // janino's 64 KB budget at sf10's nlist=2048 and ran interpreted —
+    // the PqArgmin finding's sibling. Bit-identical: same dots, same
+    // (sc, cid) struct order, cids unique so filter(≠best) ≡ runner-up.
     val per = graft.Tables.spread(t(s, d, "embeddings"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(VectorExprs.floatDot(col("embedding"), col("embedding"))))
-      .withColumn("arr", arr)
-      .withColumn("best", array_max(col("arr")))
-      .withColumn("second", array_max(filter(col("arr"), e => !(e === col("best")))))
+      .withColumn("best", VectorExprs.centroidTop2(col("embedding"), cents))
     val aCol = lit(1.0) - col("best.sc") / col("nrm")
-    val bCol = lit(1.0) - col("second.sc") / col("nrm")
+    val bCol = lit(1.0) - col("best.sc2") / col("nrm")
     val sil = when(col("nrm") > 0 && greatest(aCol, bCol) > 0,
       (bCol - aCol) / greatest(aCol, bCol)).otherwise(lit(0.0))
     // +1 offset keeps the fix-point sum nonnegative (s ∈ [−1,1]): the
