@@ -668,8 +668,15 @@ object AdvancedQueries {
       // 4-bit PQ code columns (x80's ADC serving reads only those — at
       // 100 TB a memory-tier index would keep codes alone)
       val cbs = VectorQueries.pqCodebooks(s, d)
+      // repartition ON cid before the partitioned write: without it every
+      // shuffle task writes a file into every cid directory — tasks x nlist
+      // files (measured 131k files at sf10's nlist=2048, each creation
+      // forking a chmod through RawLocalFileSystem; the r18 index-build
+      // stall). One file per cluster is also the layout partition-pruned
+      // serving wants: a probe reads nprobe files, not nprobe x tasks.
       encodeRows(graft.Tables.spread(t(s, d, "embeddings")),
           Quantizers.trainedCents(s, d), cbs)
+        .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(dir)
       val cents = Quantizers.trainedCents(s, d)
       val qRows = s.read.parquet(dir)
@@ -739,6 +746,7 @@ object AdvancedQueries {
         s"appendToIndex: batch vec_ids [$lo,$hi] overlap the index (max ${ix.maxVecId}); " +
           "the index has no upsert semantics — assign new ids or rebuild")
       encodeRows(batch, ix.cents, ix.cbs)
+        .repartition(col("cid")) // one append file per touched cluster
         .write.mode("append").partitionBy("cid").parquet(ix.dir)
       // refresh: drop stale file listings and re-pin the pruned serving scan
       ivfIndexCache.computeIfPresent((s, d), { (_, old) =>
@@ -775,6 +783,7 @@ object AdvancedQueries {
       val pq = Quantizers.trainPqOn(grown, grownN)
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       encodeRows(graft.Tables.spread(grown), km.cents, pq.cbs)
+        .repartition(col("cid")) // one file per cluster (see ivfIndex)
         .write.mode("overwrite").partitionBy("cid").parquet(dir)
       val qRows = s.read.parquet(dir)
         .filter(col("vec_id") < retrievalQ)
