@@ -554,6 +554,23 @@ object AdvancedQueries {
 
   val x27: Q = (s, d) => retrievalWith(s, d, Quantizers.trainedCents(s, d))
 
+  /** nprobe nearest centroids per query row (q_id, qe, …): ONE posexplode
+    * over the centroid-matrix literal + a codegen'd dot per (query, cid).
+    * Replaces an explode over an nlist-struct expression TREE whose
+    * generated code failed janino's 64 KB budget at sf10's nlist=2048 and
+    * whose 2048-node plan the driver re-analyzed per serve (r18 — the
+    * PqArgmin finding's query-side sibling). Bit-identical ranking: the
+    * same floatDoubleDot scores under the same (sc DESC, cid) order. */
+  private def probesFor(q: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame =
+    q.select(col("q_id"), col("qe"), posexplode(typedLit(cents.map(_._2))))
+      .select(col("q_id"),
+        element_at(typedLit(cents.map(_._1)), col("pos") + 1).as("cid"),
+        graft.functions.VectorExprs.floatDoubleDot(col("qe"), col("col")).as("sc"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("sc"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cid"))
+
   private[graft] def retrievalWith(s: SparkSession, d: String,
       cents: Array[(Long, Array[Double])]): DataFrame = {
     val base = assignedCorpusWith(s, d, cents)
@@ -561,14 +578,7 @@ object AdvancedQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
     // probe sets: nprobe centroids nearest to each query vector
     // (tie → lower cid, mirroring x22's deterministic probe ranking)
-    val probes = q.select(col("q_id"),
-        explode(array(cents.map { case (cid, c) =>
-          struct(cdot(col("qe"), c).as("sc"), lit(cid).as("cid"))
-        }: _*)).as("s"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("s.cid").as("cid"))
+    val probes = probesFor(q, cents)
     val topk = udaf(new UdfQueries.TopK(3),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     base.join(broadcast(probes), Seq("cid")) // bucket-pruned candidates
@@ -853,14 +863,7 @@ object AdvancedQueries {
     // scan below; the expressions are byte-for-byte x27's, so the ranking
     // and the served sims are bit-identical to computing fresh.
     val q = ix.queryRows.toSeq.toDF("q_id", "qe", "qnrm")
-    val probes = q.select(col("q_id"),
-        explode(array(ix.cents.map { case (cid, c) =>
-          struct(cdot(col("qe"), c).as("sc"), lit(cid).as("cid"))
-        }: _*)).as("s"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("s.cid").as("cid"))
+    val probes = probesFor(q, ix.cents)
     val topk = udaf(new UdfQueries.TopK(3),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     // ix.serving is the persisted pre-pruned scan (static cid partition
@@ -1044,13 +1047,13 @@ object AdvancedQueries {
     val qv = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val probeCids = q.select(
-        array(cents.map { case (cid, c) =>
-          struct(cdot(col("qe"), c).as("sc"), lit(cid).as("cid"))
-        }: _*).as("all"))
-      .select(explode(col("all")).as("s"))
-      .orderBy(desc("s.sc"), col("s.cid")).limit(nprobe)
-      .select(col("s.cid").as("cid"))
+    // posexplode over the centroid-matrix literal (the probesFor form):
+    // the nlist-struct tree variant failed codegen at sf10's nlist=2048
+    val probeCids = q.select(col("qe"), posexplode(typedLit(cents.map(_._2))))
+      .select(graft.functions.VectorExprs.floatDoubleDot(col("qe"), col("col")).as("sc"),
+        element_at(typedLit(cents.map(_._1)), col("pos") + 1).as("cid"))
+      .orderBy(desc("sc"), col("cid")).limit(nprobe)
+      .select(col("cid"))
     // spread the encode pass: assignment (nlist dots) + 128 subspace
     // distances per row over a one-split scan would run single-task
     val coded = VectorQueries.withPqCodes(
@@ -1113,14 +1116,21 @@ object AdvancedQueries {
     val cn: Map[Long, Double] = cents.map { case (cid, c) =>
       cid -> c.foldLeft(0.0)((a, x) => a + x * x)
     }.toMap
-    val d2ByCid = array(cents.map { case (cid, c) =>
-      (dot(col("embedding"), col("embedding")) -
-        lit(2.0) * cdot(col("embedding"), c)) + lit(cn(cid))
-    }: _*)
-    val dists = graft.Tables.spread(e) // 2*nlist dots/row on a one-split scan: fan out
+    // distance to the ASSIGNED centroid only, via the matrix literal
+    // (r18): the old nlist-element expression ARRAY computed all nlist
+    // distances per row to pick one — an nlist x work amplification that
+    // also failed codegen at sf10's nlist=2048. Bit-identical arithmetic:
+    // the same dot/2.0/norm term sequence, c fetched by element_at.
+    val centMat = typedLit(cents.map(_._2))
+    val cnArr = typedLit(cents.map { case (cid, _) => cn(cid) })
+    val idx = col("cid").cast("int") + 1
+    val d2 = (dot(col("embedding"), col("embedding")) -
+      lit(2.0) * graft.functions.VectorExprs.floatDoubleDot(
+        col("embedding"), element_at(centMat, idx))) + element_at(cnArr, idx)
+    val dists = graft.Tables.spread(e) // nlist+1 dots/row on a one-split scan: fan out
       .select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
       .select(col("vec_id"), col("cid"),
-        floor(element_at(d2ByCid, col("cid").cast("int") + 1) * lit(1e6) + lit(0.5))
+        floor(d2 * lit(1e6) + lit(0.5))
           .cast("long").as("d2f"))
     val stats = dists.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("d2f")).as("sf"))
@@ -1234,14 +1244,7 @@ object AdvancedQueries {
     val base = assignedCorpusWith(s, d, cents)
     val q = base.filter(col("vec_id") < mmrQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val probes = q.select(col("q_id"),
-        explode(array(cents.map { case (cid, c) =>
-          struct(cdot(col("qe"), c).as("sc"), lit(cid).as("cid"))
-        }: _*)).as("s"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(desc("s.sc"), col("s.cid"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("s.cid").as("cid"))
+    val probes = probesFor(q, cents)
     val topc = udaf(new UdfQueries.TopK(mmrC),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val shortlist = base.join(broadcast(probes), Seq("cid"))
