@@ -137,8 +137,9 @@ object LakehouseDemo {
     //            runs but either winner is the same visible row;
     //   deletes  (hash≡b mod 50) at ts+b min+30 s — strictly later than
     //            any same-key update, so U-vs-D overlap resolves to D;
-    //   inserts  fresh keys (hash≡b mod 70, id+10M) — an upsert of an
-    //            unseen key IS the insert in the merge algebra.
+    //   inserts  fresh keys (hash≡b mod 70, "INS{b}-" prefix — trade_id
+    //            is a STRING key) — an upsert of an unseen key IS the
+    //            insert in the merge algebra.
     val base = IngestJob.readTable(spark, tradesDir)
       .select(col("trade_id"), col("symbol"), col("price"), col("qty"),
         col("side"), col("ts_event"), col("notes"))
@@ -155,7 +156,7 @@ object LakehouseDemo {
         .select(col("trade_id"), col("symbol"), col("price"), col("qty"),
           col("side"), shifted(b * 60L + 30L), col("notes"), lit("D").as("op"))
       val ins = base.filter(abs(hash(col("trade_id"))) % 70 === b)
-        .select((col("trade_id") + lit(10000000L)).as("trade_id"), col("symbol"),
+        .select(concat(lit(s"INS$b-"), col("trade_id")).as("trade_id"), col("symbol"),
           col("price"), col("qty"), col("side"), shifted(b * 60L), col("notes"),
           lit("U").as("op"))
       upd.unionAll(tiedDup).unionAll(del).unionAll(ins).coalesce(1)

@@ -27,14 +27,48 @@ object TrainProbe {
       println(f"PROBE $label%-8s ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    if (stages("km")) {
-      // nlistFor is private[operators]; same scan: smallest p with p*128 >= n
-      var nl = 16
-      while (nl.toLong * 128 < n && nl < 65536) nl <<= 1
-      println(s"PROBE nlist=$nl")
-      time("km")(operators.Quantizers.trainKmOn(e, nl, n))
+    // nlistFor is private[operators]; same scan: smallest p with p*128 >= n
+    var nl = 16
+    while (nl.toLong * 128 < n && nl < 65536) nl <<= 1
+    def recallOf(cents: Array[(Long, Array[Double])]): Double = {
+      val r = operators.AdvancedQueries.recallWith(spark, dir, cents)
+        .select(org.apache.spark.sql.functions.col("recall"))
+        .collect().map(_.getDouble(0))
+      r.sum / r.length
     }
-    if (stages("pq")) time("pq")(operators.Quantizers.trainPqOn(e, n))
+    if (stages("km")) {
+      println(s"PROBE nlist=$nl")
+      val m = time("km")(operators.Quantizers.trainKmOn(e, nl, n))
+      println(f"PROBE km-recall ${recallOf(m.cents)}%.4f")
+    }
+    // the sampled-vs-full pairing rows for BASELINE.md: force the cap to
+    // bind (64/centroid) vs force full-corpus training (target = n)
+    if (stages("kmsamp")) {
+      val m = time("kmsamp")(operators.Quantizers.trainKmOn(e, nl, n, sampleTarget = 64L * nl))
+      println(f"PROBE kmsamp-recall ${recallOf(m.cents)}%.4f")
+    }
+    if (stages("pq")) {
+      val m = time("pq")(operators.Quantizers.trainPqOn(e, n))
+      println(s"PROBE pq-distortion ${m.trace.last._2}")
+    }
+    if (stages("pqfull")) {
+      val m = time("pqfull")(operators.Quantizers.trainPqOn(e, n, sampleTarget = n))
+      println(s"PROBE pqfull-distortion ${m.trace.last._2}")
+    }
+    // apples-to-apples codebook quality: mean FULL-corpus encode distortion
+    // under the sampled-trained vs full-trained codebooks (the per-round
+    // traces sum over different training sets, so they can't be compared)
+    if (stages("pqeval")) {
+      import org.apache.spark.sql.functions.{avg, col, explode}
+      def meanDist(m: operators.Quantizers.PqModel): Double = {
+        val enc = graft.functions.VectorExprs.pqArgmin(col("embedding"), m.cbs)
+        Tables.spread(e)
+          .select(explode(enc).as("s")).agg(avg(col("s.d"))).head.getDouble(0)
+      }
+      val sampled = operators.Quantizers.trainPqOn(e, n)
+      val full = operators.Quantizers.trainPqOn(e, n, sampleTarget = n)
+      println(f"PROBE pqeval sampled=${meanDist(sampled)}%.4f full=${meanDist(full)}%.4f")
+    }
     spark.stop()
   }
 }
