@@ -636,6 +636,78 @@ case class CentroidTop2(child: Expression,
       cents.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
 }
 
+/** Dense matrix–vector product over a float input: out[k] =
+  * (float) ⟨x, mat[k]⟩ with each dot accumulated left-to-right in double
+  * (the FloatDoubleDot order) — bit-identical to
+  * `array(mat.map(row => floatDoubleDot(x, typedLit(row)).cast("float")))`,
+  * which it replaces on the OPQ rotation path: the 64-element array
+  * constructor over 64 separate dot subtrees evaluated at
+  * expression-tree-walk speed (~0.3 ms/row measured at sf0.1 AND sf10 —
+  * the x94 probe), whereas this is one codegen'd loop nest over a single
+  * referenced matrix. */
+case class MatVecFloat(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mat.nonEmpty, "mat_vec: empty matrix")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mat_vec_float"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val out = new Array[Float](mat.length)
+    var k = 0
+    while (k < mat.length) {
+      val row = mat(k)
+      val n = math.min(dim, row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * row(i); i += 1 }
+      out(k) = s.toFloat
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("matVecMat", mat, "double[][]")
+      val out = ctx.freshName("out")
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |float[] $out = new float[$m.length];
+         |int $dim = $x.numElements();
+         |for (int $k = 0; $k < $m.length; $k++) {
+         |  double[] $row = $m[$k];
+         |  int $n = java.lang.Math.min($dim, $row.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.getFloat($i) * $row[$i];
+         |  }
+         |  $out[$k] = (float) $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override def equals(that: Any): Boolean = that match {
+    case o: MatVecFloat =>
+      child == o.child && mat.length == o.mat.length &&
+        mat.indices.forall(i => java.util.Arrays.equals(mat(i), o.mat(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + mat.map(java.util.Arrays.hashCode).foldLeft(0)(31 * _ + _)
+}
+
 /** Whole-codebook PQ argmin: per subspace i, the nearest codeword of
   * `cents(i)` to the row's i-th embedding subvector, as
   * array<struct<code int, d double>> (index = subspace). One codegen'd
@@ -802,6 +874,9 @@ object VectorExprs {
   def centroidArgmax(emb: Column, cents: Array[(Long, Array[Double])]): Column =
     GraftExprBridge.toColumn(CentroidArgmax(GraftExprBridge.toExpression(emb),
       cents.map(_._1), cents.map(_._2)))
+  /** Dense mat×vec → array<float> of per-row dots; see [[MatVecFloat]]. */
+  def matVecFloat(x: Column, mat: Array[Array[Double]]): Column =
+    GraftExprBridge.toColumn(MatVecFloat(GraftExprBridge.toExpression(x), mat))
   /** Best + runner-up assignment → struct(sc, cid, sc2, cid2); see
     * [[CentroidTop2]]. `cents` = (cid, centroid) in any order. */
   def centroidTop2(emb: Column, cents: Array[(Long, Array[Double])]): Column =

@@ -617,6 +617,10 @@ object AdvancedQueries {
                               cents: Array[(Long, Array[Double])],
                               queryRows: Array[(Long, Seq[Float], Double)],
                               cbs: Array[Array[(Array[Double], Double)]],
+                              raw: DataFrame, // resolved read: ONE partition
+                              // discovery per build — at sf10's nlist=2048 a
+                              // fresh s.read.parquet(dir) re-lists 2,048
+                              // directories (a Spark listing job) per call
                               serving: DataFrame,
                               codesServing: DataFrame,
                               maxVecId: Long)
@@ -708,8 +712,8 @@ object AdvancedQueries {
       // footer-stats agg over the just-written index (bounded cost, build
       // time only; maintained incrementally by appendToIndex thereafter)
       val maxId = s.read.parquet(dir).agg(max(col("vec_id"))).head.getLong(0)
-      IvfIndex(dir, owned, cents, qRows, cbs, servingScan(s, dir, cents, qRows),
-        codesScan(s, dir, cents, qRows), maxId)
+      IvfIndex(dir, owned, cents, qRows, cbs, s.read.parquet(dir),
+        servingScan(s, dir, cents, qRows), codesScan(s, dir, cents, qRows), maxId)
     })
   }
 
@@ -763,7 +767,8 @@ object AdvancedQueries {
         old.serving.unpersist()
         old.codesServing.unpersist()
         s.catalog.refreshByPath(old.dir)
-        old.copy(serving = servingScan(s, old.dir, old.cents, old.queryRows),
+        old.copy(raw = s.read.parquet(old.dir), // fresh listing after append
+          serving = servingScan(s, old.dir, old.cents, old.queryRows),
           codesServing = codesScan(s, old.dir, old.cents, old.queryRows),
           maxVecId = hi)
       })
@@ -803,6 +808,7 @@ object AdvancedQueries {
         .sortBy(_._1)
       val maxId = s.read.parquet(dir).agg(max(col("vec_id"))).head.getLong(0)
       val fresh = IvfIndex(dir, owned = true, km.cents, qRows, pq.cbs,
+        s.read.parquet(dir),
         servingScan(s, dir, km.cents, qRows), codesScan(s, dir, km.cents, qRows), maxId)
       ivfIndexCache.put((s, d), fresh)
       old.serving.unpersist()
@@ -1084,7 +1090,7 @@ object AdvancedQueries {
       qv.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y }
     val probed = ix.cents.map { case (cid, c) => (cid, ddot(c)) }
       .sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe).map(_._1)
-    s.read.parquet(ix.dir)
+    ix.raw // build-time resolved read — no per-call partition re-discovery
       .filter(col("cid").isin(probed: _*)) // prunes index partitions
       .select(col("vec_id"),
         VectorQueries.pqAdist(VectorQueries.pqLut(qv, ix.cbs)).as("raw"))

@@ -492,10 +492,13 @@ object Quantizers {
     * codegen'd floatDoubleDot against a literal axis. */
   private[graft] def opqRotated(s: SparkSession, d: String): DataFrame = {
     val m = trainedPca(s, d)
+    // ONE MatVecFloat over the permuted axis matrix (r18): the 64-element
+    // array constructor over 64 dot subtrees evaluated at tree-walk speed
+    // (~0.3 ms/row at every scale — 62 s for the sf10 rotation alone);
+    // bit-identical per axis, so the x92-contract twins are unchanged.
     t(s, d, "embeddings").select(col("vec_id"),
-      array(opqPerm.map(k =>
-        VectorExprs.floatDoubleDot(col("embedding"), typedLit(m.eigVecs(k)))
-          .cast("float")): _*).as("embedding"))
+      VectorExprs.matVecFloat(col("embedding"),
+        opqPerm.map(k => m.eigVecs(k)).toArray).as("embedding"))
   }
 
   private val opqCache = new java.util.concurrent.ConcurrentHashMap[

@@ -346,6 +346,30 @@ class QuantizerSpec extends SparkSpec {
     }
   }
 
+  test("MatVecFloat equals the per-axis dot array it replaced (bit-exact)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExprs
+    val m = Quantizers.trainedPca(spark, sfDir)
+    val perm = Quantizers.opqPerm
+    val mat = perm.map(k => m.eigVecs(k)).toArray
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    val rows = e.select(col("vec_id"),
+        VectorExprs.matVecFloat(col("embedding"), mat).as("nv"),
+        array(perm.map(k =>
+          VectorExprs.floatDoubleDot(col("embedding"), typedLit(m.eigVecs(k)))
+            .cast("float")): _*).as("ov"))
+      .collect()
+    rows.foreach { r =>
+      val nv = r.getSeq[Float](1); val ov = r.getSeq[Float](2)
+      assert(nv.length == ov.length)
+      nv.indices.foreach { i =>
+        assert(java.lang.Float.floatToRawIntBits(nv(i)) ==
+          java.lang.Float.floatToRawIntBits(ov(i)),
+          s"vec ${r.getLong(0)} axis $i: ${nv(i)} vs ${ov(i)}")
+      }
+    }
+  }
+
   test("sample-bounded training holds recall at sf0.1 (VERDICT r17 #1)") {
     // The exact production sample path, forced to bind via the test hook:
     // target 1000 of n=2000 ⇒ pm=5000, the md5-bucket half of the corpus.
