@@ -1133,11 +1133,16 @@ object AdvancedQueries {
     val d2 = (dot(col("embedding"), col("embedding")) -
       lit(2.0) * graft.functions.VectorExprs.floatDoubleDot(
         col("embedding"), element_at(centMat, idx))) + element_at(cnArr, idx)
+    // Materialized ONCE (the x142 convention): `dists` feeds BOTH the
+    // cluster-stats aggregate and the join probe side below — lazy lineage
+    // would run the nlist·dim assignment sweep twice (measured 2× the
+    // whole-key wall at sf10). The checkpointed frame is 3 slim columns.
     val dists = graft.Tables.spread(e) // nlist+1 dots/row on a one-split scan: fan out
       .select(col("vec_id"), col("embedding"), assign(cents, col("embedding")).as("cid"))
       .select(col("vec_id"), col("cid"),
         floor(d2 * lit(1e6) + lit(0.5))
           .cast("long").as("d2f"))
+      .localCheckpoint(true)
     val stats = dists.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("d2f")).as("sf"))
     dists.join(broadcast(stats), Seq("cid")) // nlist rows — always broadcast
