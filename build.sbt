@@ -31,3 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// NOTE (r18): HotSpot silently refuses to JIT methods over 8 KB of
+// bytecode (DontCompileHugeMethods) — a generated whole-stage method
+// between 8 KB and janino's 64 KB limit compiles fine and then runs in
+// the JVM INTERPRETER with no log at any level (the x94 rotation ran at
+// ~0.3 ms/row that way). An -XX:-DontCompileHugeMethods A/B measured no
+// win AFTER the plan-level fixes (MatVecFloat/PqArgmin/CentroidTop2
+// keep generated methods small), so the engine fixes plans, not flags.
