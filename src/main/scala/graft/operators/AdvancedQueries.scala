@@ -1174,6 +1174,66 @@ object AdvancedQueries {
     * the identical approx and exact sets and the recall arithmetic. */
   val x29: Q = (s, d) => recallWith(s, d, Quantizers.trainedCents(s, d))
 
+  /** x181 — Matryoshka truncation recall audit (E181): retrieval quality
+    * of DIMENSION-TRUNCATED embeddings against full-dimension truth —
+    * per tier m ∈ {8, 16, 32}, the exact top-3 under cosine over the
+    * FIRST m coordinates is compared to the 64-dim exact top-3, one
+    * (m, q_id, n_hit, recall) row each. This is the evaluation a
+    * Matryoshka-representation deployment runs before serving truncated
+    * vectors (Kusupati et al. 2022, "Matryoshka Representation
+    * Learning": nested prefixes of one embedding trade dimension for
+    * recall): the audit says which prefix tier clears the recall bar,
+    * i.e. how many bytes/vector the 100 TB serving tier actually needs.
+    *
+    * Determinism: the x29/x23 comparator constants everywhere — sims
+    * rounded HALF-UP to 4 before ranking, ties → lower vec_id, the
+    * bounded TopK Aggregator = the twin's ROW_NUMBER (sim DESC, vec_id).
+    * Truncated dots ride the codegen'd FloatDot over array slices (the
+    * pq-subvector pattern), accumulated left-to-right like the twin's
+    * list_slice + list_aggregate.
+    *
+    * 100 TB shape: ONE corpus scan crossed with the broadcast bounded
+    * query sample (the x23/x29 brute-eval shape — brute force is the
+    * eval price, which is why queries are a sample); all four tiers'
+    * sims ride the same pass via ONE posexplode; the per-(tier, query)
+    * top-k is a map-side-combined TopK aggregate, so the exchange is
+    * 4·|Q|·k rows, never corpus-sized. */
+  val x181: Q = (s, d) => {
+    val tiers = Seq(8L, 16L, 32L)
+    val all = tiers :+ 64L
+    val e = graft.Tables.spread(t(s, d, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val q = t(s, d, "embeddings").filter(col("vec_id") < retrievalQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    def simAt(m: Long) = {
+      val sb = slice(col("embedding"), 1, m.toInt)
+      val sq = slice(col("qe"), 1, m.toInt)
+      round(dot(sb, sq) / (sqrt(dot(sb, sb)) * sqrt(dot(sq, sq))), 4)
+    }
+    val melted = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(array(all.map(simAt): _*)))
+      .select(col("q_id"), col("vec_id"),
+        element_at(typedLit(all.toArray), col("pos") + 1).as("m"),
+        col("col").as("sim"))
+    val topk = udaf(new UdfQueries.TopK(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val tops = melted.groupBy(col("m"), col("q_id"))
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("m"), col("q_id"), explode(col("top._2")).as("vec_id"))
+    val truth = tops.filter(col("m") === 64L).select(col("q_id"), col("vec_id"))
+    val hits = tops.filter(col("m") =!= 64L)
+      .join(truth, Seq("q_id", "vec_id"))
+      .groupBy(col("m"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("q_id"), explode(typedLit(tiers.toArray)).as("m"))
+      .join(hits, Seq("m", "q_id"), "left")
+      .select(col("m"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
+      .orderBy(col("m"), col("q_id"))
+  }
+
   private[graft] def recallWith(s: SparkSession, d: String,
       cents: Array[(Long, Array[Double])]): DataFrame = {
     val base = assignedCorpusWith(s, d, cents)
@@ -1218,6 +1278,7 @@ object AdvancedQueries {
     "x28_indexed_retrieval" -> x28,
     "x85_refine_search" -> x85,
     "x29_ann_recall" -> x29,
+    "x181_matryoshka_recall" -> x181,
     "x64_approx_percentiles" -> x64,
     "x108_rank_quantiles" -> x108,
     "x120_mmr_rerank" -> ((s, d) => x120(s, d)),
@@ -1675,6 +1736,39 @@ object AdvancedQueries {
     * a brute-force CTE ranked by the SAME comparator, intersected per query.
     * COALESCE covers a query whose approx top-3 misses the exact set
     * entirely (n_hit=0 must still emit a row). */
+  /** GENERATED x181 twin: identical truncated-cosine grid (list_slice is
+    * the twin of Spark's slice; the dot accumulates left-to-right like
+    * FloatDot), identical ROUND-4-then-rank comparator, identical
+    * tier × query grid with zero-hit LEFT JOIN. */
+  private def matryoshkaOracle: String = {
+    def sliceDot(a: String, b: String) =
+      dotSql(s"list_slice($a, 1, t.m)", s"list_slice($b, 1, t.m)")
+    val cos = s"${sliceDot("e.embedding", "q.qe")} / " +
+      s"(sqrt(${sliceDot("e.embedding", "e.embedding")}) * sqrt(${sliceDot("q.qe", "q.qe")}))"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $retrievalQ),
+       |tiers AS (SELECT unnest([8, 16, 32, 64]) AS m),
+       |sims AS (
+       |  SELECT t.m, q.q_id, e.vec_id, ROUND($cos, 4) AS sim
+       |  FROM embeddings e CROSS JOIN q CROSS JOIN tiers t
+       |  WHERE e.vec_id <> q.q_id),
+       |tops AS (
+       |  SELECT m, q_id, vec_id FROM (
+       |    SELECT m, q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY m, q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) WHERE rn <= 3),
+       |truth AS (SELECT q_id, vec_id FROM tops WHERE m = 64),
+       |hits AS (
+       |  SELECT t.m, t.q_id, COUNT(*) AS n_hit
+       |  FROM tops t JOIN truth u ON t.q_id = u.q_id AND t.vec_id = u.vec_id
+       |  WHERE t.m <> 64 GROUP BY t.m, t.q_id)
+       |SELECT CAST(g.m AS BIGINT) AS m, q.q_id AS q_id,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  ROUND(COALESCE(h.n_hit, 0) / 3.0, 4) AS recall
+       |FROM q CROSS JOIN (SELECT unnest([8, 16, 32]) AS m) g
+       |LEFT JOIN hits h ON h.m = g.m AND h.q_id = q.q_id
+       |ORDER BY m, q.q_id""".stripMargin
+  }
+
   private def recallOracle: String = {
     val cosQ =
       s"${dotSql("a.embedding", "q.qe")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")}))"
@@ -1860,6 +1954,7 @@ object AdvancedQueries {
     "x28_indexed_retrieval" -> retrievalOracle,
     "x85_refine_search" -> refineOracle,
     "x29_ann_recall" -> recallOracle,
+    "x181_matryoshka_recall" -> matryoshkaOracle,
     "x108_rank_quantiles" ->
       """WITH w AS (
         |  SELECT event_type, value,

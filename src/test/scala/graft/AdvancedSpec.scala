@@ -469,4 +469,44 @@ class AdvancedSpec extends SparkSpec {
     // communities must be non-trivial: strictly fewer labels than nodes
     assert(lab.values.toSet.size < nodes.size, "LPA merged nothing — fixture too sparse")
   }
+
+  test("x181 matryoshka recall equals an independent driver-side brute replay") {
+    import org.apache.spark.sql.functions.col
+    // independent reference at spec scale: collect the corpus and replay
+    // every tier's top-3 with plain Scala in the same comparator order
+    val rows = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def simAt(m: Int, a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        (0 until m).foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      r4(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))))
+    }
+    val qs = rows.filter(_._1 < 100)
+    def top3(m: Int, qid: Long, qv: Array[Float]): Set[Long] =
+      rows.filter(_._1 != qid)
+        .map { case (id, v) => (simAt(m, v, qv), id) }
+        .sortBy { case (sim, id) => (-sim, id) }.take(3).map(_._2).toSet
+    val expect = (for {
+      (qid, qv) <- qs
+      truth = top3(64, qid, qv)
+      m <- Seq(8, 16, 32)
+    } yield ((m.toLong, qid), {
+      val hit = top3(m, qid, qv).count(truth.contains).toLong
+      (hit, r4(hit / 3.0))
+    })).toMap
+    val got = AdvancedQueries.queries("x181_matryoshka_recall")(spark, sfDir).collect()
+    assert(got.length == expect.size, s"rows ${got.length} vs ${expect.size}")
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(expect(k) == ((r.getLong(2), r.getDouble(3))), s"mismatch at $k: $r")
+    }
+    // monotone-on-average sanity: more dimensions should not hurt recall
+    val mean = got.groupBy(_.getLong(0)).view.mapValues(rs =>
+      rs.map(_.getDouble(3)).sum / rs.length).toMap
+    info(s"mean recall by tier: $mean")
+    assert(mean(32L) >= mean(8L) - 0.05, s"tier-32 recall ${mean(32L)} < tier-8 ${mean(8L)}")
+  }
 }
