@@ -411,6 +411,52 @@ object DedupQueries {
       .filter(col("size") >= 2)
       .orderBy(col("cluster_id"))
 
+  /** x182 — split-leakage audit (E182): near-dup clusters crossed with the
+    * x71 train/val/test assignment — per split, how many docs sit in a
+    * size≥2 near-dup cluster, and how many of those share a cluster with a
+    * doc from a DIFFERENT split ("cross-split duplicates": for val/test
+    * that is exactly eval-set leakage through near-duplicates, the failure
+    * mode document-level decontamination (x45) misses when the duplicate
+    * is not verbatim; for train it is the mirror count). The composition a
+    * training pipeline runs BEFORE trusting held-out loss: random splits
+    * leak through duplicate clusters unless the split is cluster-aware.
+    *
+    * Determinism: cluster labels are x44's min-label closure (shared
+    * clusterMembers/ccLabCte); the split is the md5-bucket assignment
+    * shared with x71/x45 (identical rows both engines); counts are exact
+    * integers, the one ratio frounds at 6.
+    *
+    * 100 TB shape: reuses x44's clustering wholesale (the expensive part,
+    * already shuffle-bounded); the audit itself is one ≤n-row join on
+    * cluster_id, a per-cluster distinct-split aggregate, and a 3-row
+    * rollup — nothing new touches text. */
+  val x182: Q = (s, d) => {
+    val split = SamplingQueries.splitCol(col("doc_id"))
+    val mem = clusterMembers(s, d)
+      .select(col("doc_id"), col("cluster_id"), split.as("split"))
+    // clusterMembers labels every doc; the audit cares about size>=2
+    val sized = mem.withColumn("csz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .filter(col("csz") >= 2)
+    val clSplits = sized.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("nsplits"))
+    val flagged = sized.join(clSplits, "cluster_id")
+    val perSplit = flagged.groupBy(col("split")).agg(
+      count(lit(1)).as("n_clustered"),
+      sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("n_cross"))
+    t(s, d, "documents").select(col("doc_id"), split.as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(perSplit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_clustered"), lit(0L)).as("n_clustered"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+        graft.Tables.fround(
+          coalesce(col("n_cross"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("cross_rate"))
+      .orderBy(col("split"))
+  }
+
   /** x89 window width: 8-word spans. Long enough that a repeat across two
     * documents is copying, not coincidence (the substring-dedup literature
     * — Lee et al. 2021, "Deduplicating Training Data Makes Language Models
@@ -615,6 +661,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "x151_ppjoin" -> x151,
     "x128_dup_weights" -> x128,
+    "x182_split_leakage" -> x182,
     "x40_dedup_exact" -> x40,
     "x41_minhash_lsh" -> x41,
     "x42_simhash" -> x42,
@@ -846,5 +893,24 @@ object DedupQueries {
         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, COUNT(*) AS size,
         |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
         |  CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
-        |FROM mem GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id""".stripMargin)
+        |FROM mem GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id""".stripMargin,
+    "x182_split_leakage" ->
+      s"""WITH RECURSIVE
+        |$ccLabCte,
+        |spl AS (SELECT l.doc_id, l.cluster_id,
+        |  ${SamplingQueries.splitSqlFor("l.doc_id")} AS split FROM lab l),
+        |sz AS (SELECT cluster_id, COUNT(*) AS csz, COUNT(DISTINCT split) AS nsplits
+        |  FROM spl GROUP BY 1),
+        |fl AS (SELECT s.split, z.nsplits FROM spl s JOIN sz z USING (cluster_id)
+        |  WHERE z.csz >= 2),
+        |per AS (SELECT split, COUNT(*) AS n_clustered,
+        |  SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS n_cross
+        |  FROM fl GROUP BY 1),
+        |docs AS (SELECT ${SamplingQueries.splitSqlFor("doc_id")} AS split,
+        |  COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.split AS split, CAST(d.n_docs AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(p.n_clustered, 0) AS BIGINT) AS n_clustered,
+        |  CAST(COALESCE(p.n_cross, 0) AS BIGINT) AS n_cross,
+        |  floor(CAST(COALESCE(p.n_cross, 0) AS DOUBLE) / d.n_docs * 1000000.0 + 0.5) / 1000000.0 AS cross_rate
+        |FROM docs d LEFT JOIN per p USING (split) ORDER BY d.split""".stripMargin)
 }

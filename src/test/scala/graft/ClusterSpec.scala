@@ -86,4 +86,43 @@ class ClusterSpec extends SparkSpec {
         s"keeper $keeperId is not the longest in $cid")
     }
   }
+
+  test("x182 split leakage equals an independent replay from x44 members + the x71 split") {
+    // independent reference: cluster membership via the SHARED clusterMembers
+    // (its own correctness is pinned by the x44 oracle + specs), split via a
+    // driver-side md5 replay of the x70/x71 bucket convention
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 10000
+    }
+    def splitOf(id: Long): String = {
+      val b = bucket(id)
+      if (b < 8000) "train" else if (b < 9000) "val" else "test"
+    }
+    val mem = DedupQueries.clusterMembers(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCl = mem.groupBy(_._2).filter(_._2.length >= 2)
+    val docSplit = mem.map(_._1).map(id => id -> splitOf(id)).toMap
+    val crossDocs = byCl.values.flatMap { ms =>
+      val splits = ms.map(m => docSplit(m._1)).toSet
+      if (splits.size > 1) ms.map(_._1) else Nil
+    }.toSet
+    val clusteredDocs = byCl.values.flatten.map(_._1).toSet
+    val allDocs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = Seq("test", "train", "val").map { sp =>
+      val nd = allDocs.count(splitOf(_) == sp).toLong
+      val nc = clusteredDocs.count(splitOf(_) == sp).toLong
+      val nx = crossDocs.count(splitOf(_) == sp).toLong
+      (sp, nd, nc, nx, f6(nx.toDouble / nd))
+    }
+    val got = DedupQueries.queries("x182_split_leakage")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // the audit must actually see leakage on this duplicate-heavy corpus
+    info(s"per-split (n_docs, n_clustered, n_cross): $got")
+  }
 }
