@@ -43,6 +43,14 @@ object FallbackAudit {
       "org.apache.spark.sql.execution.WholeStageCodegenExec").addAppender(
       appender, org.apache.logging.log4j.Level.INFO, null)
     ctx.updateLoggers()
+    // Attribution caveat (r19, ADVICE): events are attributed to
+    // `appender.current` at ARRIVAL time. The noop write below blocks
+    // until its job completes, so task-thread events normally land before
+    // `current` advances — but log4j delivery is not barriered with job
+    // completion, so a straggling event can in principle charge query N's
+    // fallback to query N+1. Acceptable for a one-shot diagnostic: the
+    // audit's contract is "which keys trip it", and a ±1-key smear still
+    // points at the right family.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       appender.current = name
       try fn(spark, dir).write.mode("overwrite").format("noop").save()

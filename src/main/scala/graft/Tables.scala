@@ -24,17 +24,22 @@ object Tables {
   /** Drop cache entries whose owning session has been stopped. O(entries),
     * entries = live sessions × tables — trivially small; runs on each cached
     * lookup so a long-lived multi-session process self-cleans. */
-  private def evictStopped(): Unit =
+  private def evictStopped(): Unit = {
     dfCache.filterInPlace { case ((owner, _, _, _), _) => !owner.sparkContext.isStopped }
+    statCache.filterInPlace { case ((owner, _, _), _) => !owner.sparkContext.isStopped }
+  }
 
-  /** On-disk size of a table, memoized per (dir, name) for the session
-    * lifetime — see the pin-decision note in [[t]]. */
-  private val statCache = new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
-  private def tableBytes(dir: String, name: String): Long =
-    statCache.computeIfAbsent((dir, name), { _ =>
+  /** On-disk size of a table, memoized per (session, dir, name) — keyed by
+    * session so size stats share dfCache's lifetime assumption exactly: a
+    * table path regenerated between sessions re-stats instead of reusing a
+    * stale size for the pin decision (r19, ADVICE). See [[t]]. */
+  private val statCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Long]
+  private def tableBytes(spark: SparkSession, dir: String, name: String): Long =
+    statCache.getOrElseUpdate((spark, dir, name), {
       val f = new java.io.File(s"$dir/$name.parquet")
       if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
-    }).longValue
+    })
 
   /** Catalog-style table resolution with a two-tier cache, selected by the
     * session conf `spark.graft.tableCache`:
@@ -90,7 +95,7 @@ object Tables {
       // ran on EVERY t() call in memory mode; table files are immutable
       // for a session (the same assumption dfCache itself makes)
       val pin = mode == "memory" &&
-        tableBytes(dir, name) <= spark.conf.get("spark.graft.cacheMaxBytes",
+        tableBytes(spark, dir, name) <= spark.conf.get("spark.graft.cacheMaxBytes",
           (32L << 20).toString).toLong
       if (mode == "memory") {
         // a cacheMaxBytes flip mid-session changes the pin decision; the
@@ -103,7 +108,7 @@ object Tables {
         val df = load(spark, dir, name)
         if (!pin) df
         else {
-          val bytes = tableBytes(dir, name)
+          val bytes = tableBytes(spark, dir, name)
           val parts = math.max(1L, math.min(
             spark.sparkContext.defaultParallelism.toLong, bytes / (2L << 20))).toInt
           val r = if (parts > 1) df.repartition(parts) else df

@@ -756,7 +756,11 @@ case class PqArgmin(child: Expression,
       }
       val cb = cents(sub); val nm = norms(sub)
       var best = Double.PositiveInfinity
-      var bestCode = -1
+      // bestCode seeds at 0, not -1: if every codeword distance is NaN
+      // (NaN embedding values), the replaced array_min tree degraded to
+      // code 0 — a -1 would break downstream 1-based element_at/LUT
+      // indexing (r19, ADVICE)
+      var bestCode = 0
       var j = 0
       while (j < cb.length) {
         val c = cb(j)
@@ -810,7 +814,8 @@ case class PqArgmin(child: Expression,
          |  double[][] $cb = $m[$sub];
          |  double[] $nm = $nms[$sub];
          |  double $best = Double.POSITIVE_INFINITY;
-         |  int $bestCode = -1;
+         |  int $bestCode = 0; // all-NaN edge degrades to code 0, like the replaced tree
+
          |  for (int $j = 0; $j < $cb.length; $j++) {
          |    double[] $c = $cb[$j];
          |    double $sc = 0.0;

@@ -1208,7 +1208,13 @@ object AdvancedQueries {
     def simAt(m: Long) = {
       val sb = slice(col("embedding"), 1, m.toInt)
       val sq = slice(col("qe"), 1, m.toInt)
-      round(dot(sb, sq) / (sqrt(dot(sb, sb)) * sqrt(dot(sq, sq))), 4)
+      // zero-norm guard (r19, ADVICE): an all-zero m-dim prefix would
+      // yield 0/0 = NaN and rank meaninglessly instead of failing loudly;
+      // sim 0 is the right degeneration (no direction = no similarity),
+      // mirrored in the generated twin so the grid stays hash-matched
+      when(dot(sb, sb) > 0d && dot(sq, sq) > 0d,
+        round(dot(sb, sq) / (sqrt(dot(sb, sb)) * sqrt(dot(sq, sq))), 4))
+        .otherwise(lit(0.0))
     }
     val melted = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1743,12 +1749,14 @@ object AdvancedQueries {
   private def matryoshkaOracle: String = {
     def sliceDot(a: String, b: String) =
       dotSql(s"list_slice($a, 1, t.m)", s"list_slice($b, 1, t.m)")
-    val cos = s"${sliceDot("e.embedding", "q.qe")} / " +
-      s"(sqrt(${sliceDot("e.embedding", "e.embedding")}) * sqrt(${sliceDot("q.qe", "q.qe")}))"
+    val cos = s"CASE WHEN ${sliceDot("e.embedding", "e.embedding")} > 0 " +
+      s"AND ${sliceDot("q.qe", "q.qe")} > 0 THEN ROUND(${sliceDot("e.embedding", "q.qe")} / " +
+      s"(sqrt(${sliceDot("e.embedding", "e.embedding")}) * sqrt(${sliceDot("q.qe", "q.qe")})), 4) " +
+      s"ELSE 0.0 END"
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $retrievalQ),
        |tiers AS (SELECT unnest([8, 16, 32, 64]) AS m),
        |sims AS (
-       |  SELECT t.m, q.q_id, e.vec_id, ROUND($cos, 4) AS sim
+       |  SELECT t.m, q.q_id, e.vec_id, $cos AS sim
        |  FROM embeddings e CROSS JOIN q CROSS JOIN tiers t
        |  WHERE e.vec_id <> q.q_id),
        |tops AS (
