@@ -215,12 +215,136 @@ object BenchmarkQueries {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------------
+  // q47–q50 — correlated-subquery family (VERDICT r18 #2): the one big
+  // Catalyst SQL surface q36/q37 never touch. q36 is an UNCORRELATED
+  // scalar subquery and q37 an uncorrelated IN/NOT-IN; these four exercise
+  // the decorrelation pipeline proper (RewriteCorrelatedScalarSubquery,
+  // PullupCorrelatedPredicates → DecorrelateInnerQuery,
+  // RewritePredicateSubquery → semi/anti joins). Shapes are the public
+  // TPC-H Q17/Q21/Q13/Q22, re-expressed on the testdata columns (no
+  // p_container/l_receiptdate/c_phone/o_comment in this star schema, so:
+  // Q17's container filter → p_size; Q21's receipt>commit lateness →
+  // shipped >60 days after order date; Q13's comment filter → order
+  // priority; Q22's phone country code → the last c_name digit, and "no
+  // orders" → "no orders since 2001" because every testdata customer has
+  // at least one order).
+  //
+  // Both engines run the SAME SQL text (g_ prefix stripped for DuckDB), so
+  // the twins can't drift. Numeric outputs use the drev convention: exact
+  // fixed-point BIGINT sums (order-independent) and the fround FLOOR form
+  // for the one rational (q47's /7.0) — never a bare ROUND on a rational.
+  //
+  // 100 TB shape: all four decorrelate to equi-joins on the fact table's
+  // own keys (BenchmarkSpec asserts no correlated subquery survives the
+  // optimizer — a per-row re-execution would be THE scale killer here).
+  // q47: part ⋈ lineitem twice on l_partkey — the per-part AVG is a
+  //   map-side-combinable agg, then an equi join; no row ever meets more
+  //   than its own part's average.
+  // q48: the EXISTS/NOT-EXISTS become semi/anti joins on l_orderkey —
+  //   shuffle keys are order keys, state per key is bounded by lines/order.
+  // q49: left outer + two cascaded count aggs, both map-side combinable.
+  // q50: anti join on o_custkey + a once-computed scalar threshold.
+  // ---------------------------------------------------------------------
+
+  /** q47 — small-quantity-part revenue (TPC-H Q17 shape): parts of one
+    * brand/size band, revenue of lineitems whose quantity is below 20% of
+    * that part's own average quantity — the correlated SCALAR AGG subquery
+    * (`RewriteCorrelatedScalarSubquery` → per-part aggregate + join). */
+  private[graft] val q47Sql =
+    """SELECT FLOOR(SUM(CAST(ROUND(l_extendedprice * CAST(100.0 AS DOUBLE)) AS BIGINT))
+      |        / CAST(100.0 AS DOUBLE) / 7.0 * CAST(100.0 AS DOUBLE) + 0.5)
+      |      / CAST(100.0 AS DOUBLE) AS avg_yearly
+      |FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+      |  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                      FROM g_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  /** q48 — waiting suppliers (TPC-H Q21 shape): suppliers in a nation set
+    * who were the ONLY late shipper on a finished multi-supplier order.
+    * Correlated EXISTS + NOT EXISTS with a non-equi conjunct
+    * (`l2.l_suppkey <> l1.l_suppkey`) riding the equi-correlated key —
+    * `RewritePredicateSubquery` plans both as semi/anti joins keyed on
+    * l_orderkey with the <> as an extra join predicate. The NOT EXISTS
+    * branch joins orders INSIDE the subquery (self-contained lateness) so
+    * its only correlation is the equi key — the decorrelable spelling. */
+  private[graft] val q48Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM g_supplier
+      |JOIN g_lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN g_orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN g_nation ON n_nationkey = s_nationkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+      |                  JOIN g_orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** q49 — customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join with a filtered right side (the zero-order customers must
+    * survive), then the distribution of per-customer counts — the
+    * histogram-of-counts double aggregate. */
+  private[graft] val q49Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |      FROM g_customer c LEFT OUTER JOIN g_orders o
+      |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |      GROUP BY c.c_custkey) co
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q50 — dormant high-balance customers (TPC-H Q22 shape): an
+    * UNCORRELATED scalar threshold (average positive balance over the
+    * code-band, computed once — the one subquery that legitimately
+    * survives optimization) + a correlated NOT EXISTS anti join on
+    * o_custkey. totacctbal is the exact fixed-point sum. */
+  private[graft] val q50Sql =
+    """WITH pot AS (
+      |  SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey
+      |  FROM g_customer
+      |  WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7'))
+      |SELECT cntrycode, COUNT(*) AS numcust,
+      |  SUM(CAST(ROUND(c_acctbal * CAST(100.0 AS DOUBLE)) AS BIGINT))
+      |    / CAST(100.0 AS DOUBLE) AS totacctbal
+      |FROM pot p
+      |WHERE c_acctbal > (SELECT SUM(CAST(ROUND(c_acctbal * CAST(100.0 AS DOUBLE)) AS BIGINT))
+      |                     / CAST(100.0 AS DOUBLE) / COUNT(*)
+      |                   FROM pot WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM g_orders o
+      |                  WHERE o.o_custkey = p.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
+  /** Catalog-SQL runner for the subquery family: registered tables + the
+    * hot-mode cache pin, but NO CBO override — decorrelation is a default
+    * optimizer path and should be exercised as every session sees it. */
+  private def plainSql(s: SparkSession, d: String, sql: String): DataFrame = {
+    registerCatalog(s, d); maybeCache(s); s.sql(sql)
+  }
+
+  val q47: Q = (s, d) => plainSql(s, d, q47Sql)
+  val q48: Q = (s, d) => plainSql(s, d, q48Sql)
+  val q49: Q = (s, d) => plainSql(s, d, q49Sql)
+  val q50: Q = (s, d) => plainSql(s, d, q50Sql)
+
   val queries: Map[String, Q] = Map(
     "q42_ship_priority" -> q42,
     "q43_local_volume" -> q43,
     "q44_product_profit" -> q44,
     "q45_returned_items" -> q45,
-    "q46_big_orders" -> q46)
+    "q46_big_orders" -> q46,
+    "q47_small_qty_revenue" -> q47,
+    "q48_waiting_suppliers" -> q48,
+    "q49_order_count_dist" -> q49,
+    "q50_dormant_customers" -> q50)
 
   /** The Spark-SQL spelling of `Tables.dsum(rev, 4)` — fixed-point exact
     * sum, then DOUBLE division (the divisor MUST be cast: a bare `10000.0`
@@ -235,6 +359,11 @@ object BenchmarkQueries {
     * projection/filter pushdown and footer statistics (broadcast-able
     * dimensions) all come from the connector, no temp views, no ANALYZE.
     * Value-identical to `queries` (BenchmarkSpec asserts it per query). */
+  /** g_ → three-part-name rewrite, anchored on table names (like [[stripG]]
+    * — a bare replace would mangle `avg_yearly`). */
+  private def reG(sql: String, ns: String): String =
+    sql.replaceAll(s"g_(${benchTables.mkString("|")})", s"graft.$ns.$$1")
+
   private[graft] def catalogSql(ns: String): Map[String, String] = Map(
     "q42_ship_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS STRING) AS o_date, o_orderpriority,
@@ -249,6 +378,10 @@ object BenchmarkQueries {
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q43_local_volume" -> q43Sql.replace("g_", s"graft.$ns."),
     "q44_product_profit" -> q44Sql.replace("g_", s"graft.$ns."),
+    "q47_small_qty_revenue" -> reG(q47Sql, ns),
+    "q48_waiting_suppliers" -> reG(q48Sql, ns),
+    "q49_order_count_dist" -> reG(q49Sql, ns),
+    "q50_dormant_customers" -> reG(q50Sql, ns),
     "q45_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  ROUND($drev, 4) AS revenue
@@ -274,7 +407,19 @@ object BenchmarkQueries {
 
   private val revDec = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))"
 
+  /** Strip the g_ catalog prefix from TABLE names only — a bare
+    * `replace("g_", "")` would also mangle identifiers like `avg_yearly`
+    * (the r19 q47 near-miss). Anchored on the known table set. */
+  private def stripG(sql: String): String =
+    sql.replaceAll(s"g_(${benchTables.mkString("|")})", "$1")
+
   val oracles: Map[String, String] = Map(
+    // q47–q50: the SAME SQL text both engines run (prefix stripped) — the
+    // correlated-subquery twins cannot drift from the Spark spelling.
+    "q47_small_qty_revenue" -> stripG(q47Sql),
+    "q48_waiting_suppliers" -> stripG(q48Sql),
+    "q49_order_count_dist" -> stripG(q49Sql),
+    "q50_dormant_customers" -> stripG(q50Sql),
     "q42_ship_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date, o_orderpriority,
          |  ROUND(CAST(SUM($revDec) AS DOUBLE), 4) AS revenue
