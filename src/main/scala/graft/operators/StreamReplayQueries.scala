@@ -268,7 +268,73 @@ object StreamReplayQueries {
     }.reduce(_ unionAll _).orderBy(col("batch_id"))
   }
 
+  /** x183 — E26/E27's decomposition (watermark late-drop + cross-batch
+    * streaming dedup), the last spec-only streaming semantics promoted to
+    * a replay oracle (VERDICT r18 #3). Arrival order is DEFINED
+    * deterministically: base batch = which third of the event month the
+    * row's EVENT TIME falls in (fixed calendar boundaries — no
+    * engine-ordering dependence), and every 17th event is a STRAGGLER
+    * arriving one batch after its time cohort (the out-of-order tail a
+    * real stream has). The watermark before trigger b is
+    * max(ts over batches < b) − 120 min (Spark advances the watermark at
+    * the END of each micro-batch); a row behind it is late-DROPPED BEFORE
+    * dedup — `dropDuplicatesWithinWatermark`'s contract, so a late first
+    * occurrence never creates state and a later on-time duplicate of it
+    * EMITS. Dedup key = event_id div 10.
+    *
+    * Why "global first non-late arrival wins" is exact here (not an
+    * approximation of the real op's state expiry): event_id is
+    * time-ordered in this corpus, so a dk group spans ≤94 min of event
+    * time — strictly less than the 120-min delay. State for a key's first
+    * occurrence p is evicted only when the watermark passes p.ts + delay;
+    * for any later group member r that is not late, the prior-batch max M
+    * satisfies M ≤ r.ts + delay ≤ p.ts + span + delay < p.ts + 2·delay,
+    * hence W = M − delay < p.ts + delay — the state is provably still
+    * alive. span < delay is the whole proof; StreamReplaySpec drives
+    * planted stragglers through the REAL dropDuplicatesWithinWatermark
+    * stream and asserts per-trigger emissions equal this decomposition
+    * (including the late-first-occurrence-then-emit case).
+    *
+    * Scale note: one pass over events joined to a broadcast nBatches-row
+    * watermark frame; the dedup rank partitions by dk (bounded groups).
+    * The streamed op's state is watermark-bounded by the same horizon. */
+  val x183: Q = (s, d) => {
+    val nb = least(expr("(day(ts) - 1) div 10"), lit(2L))
+    val arr = t(s, d, "events").select(col("event_id"), col("ts"),
+      when(col("event_id") % 17 === 0, least(nb + 1, lit(2L)))
+        .otherwise(nb).as("batch_id"),
+      expr("event_id div 10").as("dk"))
+    lateDropReplay(arr, 120).orderBy(col("batch_id"), col("event_id"))
+  }
+
+  /** The E26/E27 replay chain over any (event_id, ts, batch_id, dk) frame
+    * — shared with StreamReplaySpec's planted cross-check. Emits every
+    * arriving row's disposition: 'late' (behind the watermark set by prior
+    * triggers), 'emit' (first surviving arrival of its dk), 'dup'. */
+  private[graft] def lateDropReplay(arr: DataFrame, delayMin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // W(b) = max(ts | batch < b) − delay. The running-prior-max window is
+    // over the per-batch agg frame (nBatches rows), not the data.
+    val wmW = Window.orderBy(col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = arr.groupBy(col("batch_id")).agg(max(col("ts")).as("mx"))
+      .select(col("batch_id"),
+        (max(col("mx")).over(wmW) - expr(s"interval $delayMin minutes")).as("w"))
+    val lab = arr.join(broadcast(wm), Seq("batch_id"), "left")
+      .withColumn("is_late", col("w").isNotNull && col("ts") < col("w"))
+    val dw = Window.partitionBy(col("dk")).orderBy(col("batch_id"), col("event_id"))
+    val sur = lab.filter(!col("is_late"))
+      .withColumn("rn", row_number().over(dw))
+      .select(col("event_id"), col("rn"))
+    lab.join(sur, Seq("event_id"), "left")
+      .select(col("batch_id"), col("event_id"), col("dk"),
+        when(col("is_late"), lit("late"))
+          .when(col("rn") === 1, lit("emit"))
+          .otherwise(lit("dup")).as("disposition"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x183_stream_late_drop" -> x183,
     "x135_stream_neardup_replay" -> x135,
     "x136_stream_hh_replay" -> x136,
     "x176_stream_curate_replay" -> x176,
@@ -278,6 +344,34 @@ object StreamReplayQueries {
     "x180_stream_drift_replay" -> x180)
 
   val oracles: Map[String, String] = Map(
+    // GENERATED twin of the E26/E27 chain: identical arrival assignment
+    // (month-third base batch + every-17th straggler), identical
+    // prior-batch-max watermark, identical first-non-late-arrival dedup.
+    "x183_stream_late_drop" ->
+      """WITH arr AS (
+        |  SELECT event_id, ts,
+        |    CAST(CASE WHEN event_id % 17 = 0
+        |         THEN least(least((day(ts) - 1) // 10, 2) + 1, 2)
+        |         ELSE least((day(ts) - 1) // 10, 2) END AS BIGINT) AS batch_id,
+        |    event_id // 10 AS dk
+        |  FROM events),
+        |pb AS (SELECT batch_id, max(ts) AS mx FROM arr GROUP BY batch_id),
+        |wm AS (SELECT batch_id,
+        |         max(mx) OVER (ORDER BY batch_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           - INTERVAL 120 MINUTE AS w
+        |       FROM pb),
+        |lab AS (SELECT a.batch_id, a.event_id, a.dk, a.ts,
+        |         (w.w IS NOT NULL AND a.ts < w.w) AS is_late
+        |        FROM arr a JOIN wm w ON w.batch_id = a.batch_id),
+        |sur AS (SELECT event_id,
+        |          ROW_NUMBER() OVER (PARTITION BY dk ORDER BY batch_id, event_id) AS rn
+        |        FROM lab WHERE NOT is_late)
+        |SELECT l.batch_id, l.event_id, l.dk,
+        |  CASE WHEN l.is_late THEN 'late'
+        |       WHEN s.rn = 1 THEN 'emit' ELSE 'dup' END AS disposition
+        |FROM lab l LEFT JOIN sur s ON s.event_id = l.event_id
+        |ORDER BY l.batch_id, l.event_id""".stripMargin,
     // GENERATED twin of the E84 chain: the x41 minhash/band SQL with the
     // cross-batch arrival condition (batch(a) > batch(b)) and the rounded
     // τ filter the streaming op applies.

@@ -13,6 +13,10 @@ import graft.operators.StreamReplayQueries
   * trigger by trigger on the same data in the same arrival order — the
   * property that makes the DuckDB hash-check of the replay a check of the
   * streaming op itself. */
+/** x183 planted-event row (top-level: Encoder derivation needs a stable
+  * Product type, not a method-local class). */
+case class Ev183(event_id: Long, ts: Timestamp, dk: Long)
+
 class StreamReplaySpec extends SparkSpec {
   import spark.implicits._
   implicit lazy val sqlCtx: SQLContext = spark.sqlContext
@@ -63,6 +67,54 @@ class StreamReplaySpec extends SparkSpec {
       s"replay decomposition diverged from the streamed emissions:\n$replay\nvs\n$emitted")
     // the dedup actually fired: dups 1 and 2 dropped, gate dropped 3 and 9
     assert(replay.map(_._2) == Set(0L, 6L, 4L, 5L))
+  }
+
+  test("x183: replay equals the real dropDuplicatesWithinWatermark late-drop + dedup per trigger") {
+    // Planted arrival plan (delay 10 min; ONE row per dk per batch so the
+    // real op's within-batch keep choice is never ambiguous):
+    //   b0: e0(t0,dk0) e1(t30,dk1) e2(t40,dk2)        -> watermark 30
+    //   b1: e3(t5,dk3)  LATE (5 < 30)
+    //       e4(t35,dk1) dup of e1 (state alive: 30 < 30+10)
+    //       e5(t50,dk3) EMITS — e3 was late-dropped BEFORE dedup, so dk3
+    //                   never created state (the contract under test)
+    //       e6(t41,dk4) emit                           -> watermark 40
+    //   b2: e7(t39,dk5) LATE (39 < 40)
+    //       e8(t45,dk2) dup of e2
+    //       e9(t60,dk6) emit
+    val plan = Seq( // (batch, event_id, minute, dk)
+      (0L, 0L, 0, 0L), (0L, 1L, 30, 1L), (0L, 2L, 40, 2L),
+      (1L, 3L, 5, 3L), (1L, 4L, 35, 1L), (1L, 5L, 50, 3L), (1L, 6L, 41, 4L),
+      (2L, 7L, 39, 5L), (2L, 8L, 45, 2L), (2L, 9L, 60, 6L))
+
+    val input = MemoryStream[Ev183]
+    val q = input.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("dk")
+      .writeStream.format("memory").queryName("late183").outputMode("append").start()
+    var seen = Set.empty[Long]
+    val emitted = (0L until 3L).flatMap { b =>
+      input.addData(plan.filter(_._1 == b).sortBy(_._2)
+        .map { case (_, id, m, dk) => Ev183(id, ts(m), dk) })
+      q.processAllAvailable()
+      val cum = spark.table("late183").select("event_id").as[Long].collect().toSet
+      val fresh = (cum -- seen).map(id => (b, id))
+      seen = cum
+      fresh
+    }.toSet
+    q.stop()
+    assert(emitted == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 5L), (1L, 6L), (2L, 9L)),
+      s"real-stream emissions off: $emitted")
+
+    val arr = plan.map { case (b, id, m, dk) => (id, ts(m), b, dk) }
+      .toDF("event_id", "ts", "batch_id", "dk")
+    val replay = StreamReplayQueries.lateDropReplay(arr, 10)
+      .select("batch_id", "event_id", "disposition")
+      .as[(Long, Long, String)].collect().toSet
+    assert(replay.filter(_._3 == "emit").map(t => (t._1, t._2)) == emitted,
+      s"replay emissions diverge from the streamed op: $replay")
+    assert(replay.filter(_._3 == "late").map(_._2) == Set(3L, 7L),
+      s"late set off: $replay")
+    assert(replay.filter(_._3 == "dup").map(_._2) == Set(4L, 8L),
+      s"dup set off: $replay")
   }
 
   test("x177: replay rows are exactly the x59 scores tagged with the arrival batch") {
