@@ -155,11 +155,61 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(0L)
     val meterGc = scala.collection.mutable.ArrayBuffer.empty[Long]
     val meterJit = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Rows-scanned meter (r19, VERDICT r18 #7): per-key source rows from
+    // the executed plans' scan metrics, so any two artifacts at different
+    // SFs let tools/flatness.py compute ms/row and self-flag the silent-
+    // interpretation signature (per-row cost both HIGH and FLAT across
+    // scales — the x94 class) without a manual sweep. A key may run many
+    // QueryExecutions (bounds collects, training); the listener sums scan
+    // rows across ALL executions inside the key's window — the honest
+    // denominator. Listener delivery is async, so reads poll until the
+    // counter is stable (outside the timed window).
+    val scanRowsAcc = new java.util.concurrent.atomic.AtomicLong(0)
+    def leafRows(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leafRows(a.executedPlan)
+      // leaves named *Scan* only: ReusedExchange/Subquery leaves carry
+      // numOutputRows of NON-source rows and would double-count
+      case s if s.children.isEmpty =>
+        if (s.nodeName.contains("Scan"))
+          s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        else 0L
+      case o => o.children.map(leafRows).sum
+    }
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { scanRowsAcc.addAndGet(leafRows(qe.executedPlan)); () }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    })
+    def rowsSettled(): Long = {
+      var prev = -1L; var v = scanRowsAcc.get; var spins = 0
+      while (v != prev && spins < 100) { prev = v; Thread.sleep(10); v = scanRowsAcc.get; spins += 1 }
+      v
+    }
+    val rowsHot = scala.collection.mutable.Map.empty[String, Long]
     // a failed query must NOT read as a fast success: sentinel -1, excluded
     // from the total, listed in "failed"
+    // Per-key watchdog (r19, for the sf10 full-suite scale gate): a key
+    // that stalls at scale must cost its timeout, not the session. Spark
+    // jobs of the key run under a job group; on timeout the group is
+    // cancelled and the key reports failed (-1). Driver-side loops between
+    // jobs only see the cancel at their next job submission — acceptable
+    // for a screen. Opt-in via SPARK_GRAFT_TIMEOUT_S (driver never sets it).
+    val timeoutS = sys.env.get("SPARK_GRAFT_TIMEOUT_S").map(_.toLong)
+    val watchdogPool = java.util.concurrent.Executors.newSingleThreadScheduledExecutor()
     def runOnce(name: String): Double = {
       val (g0, j0) = (gcMs, jitMs)
       def meter(): Unit = { meterGc += gcMs - g0; meterJit += jitMs - j0 }
+      val watchdog = timeoutS.map { t =>
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        watchdogPool.schedule(new Runnable {
+          override def run(): Unit = {
+            System.err.println(s"[bench] $name exceeded ${t}s — cancelling job group")
+            spark.sparkContext.cancelJobGroup(name)
+          }
+        }, t, java.util.concurrent.TimeUnit.SECONDS)
+      }
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -175,38 +225,55 @@ object Bench {
         // per-request cleanup, not the query's cost.
         Engine.reapLocalCheckpoints(spark)
         meter()
+        watchdog.foreach(_.cancel(false))
         sec
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e")
         Engine.reapLocalCheckpoints(spark)
         meter()
+        watchdog.foreach(_.cancel(false))
         -1.0
-      }
+      } finally if (timeoutS.isDefined) spark.sparkContext.clearJobGroup()
     }
     // local tooling only (driver never sets it): restrict to a comma list
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(SparkEntry.queries.keys.toSeq).sorted
-    def pass(): Seq[(String, Double)] = names.map(n => n -> runOnce(n))
+    def pass(recordRows: Boolean = false): Seq[(String, Double)] = names.map { n =>
+      if (recordRows) scanRowsAcc.set(0)
+      val r = n -> runOnce(n)
+      if (recordRows)
+        rowsHot(n) = math.max(rowsHot.getOrElse(n, 0L), rowsSettled())
+      r
+    }
     def tot(r: Seq[(String, Double)]): Double = r.map(_._2).filter(_ >= 0).sum
 
+    // SPARK_GRAFT_PASSES=quick (r19, local tooling for the sf10 scale
+    // gate; driver never sets it): cold (compile + timed) and ONE hot pass
+    // with rows recording — skips nocache, the cache-materialize pass and
+    // hotB, so a 100×-scale full-suite screen costs 2 passes, not 5. The
+    // hot pass still runs under tableCache=memory; the ≤cap dimension pins
+    // materialize lazily on first touch (noted, not separately timed).
+    val quick = sys.env.get("SPARK_GRAFT_PASSES").contains("quick")
     spark.conf.set("spark.graft.tableCache", "meta")
     val cold = pass()
     stamp("after_cold")
-    val nocache = pass()
-    stamp("after_nocache")
+    val nocache = if (quick) Nil else pass()
+    if (!quick) stamp("after_nocache")
     spark.conf.set("spark.graft.tableCache", "memory")
-    pass() // materialize columnar cache + compile cached-scan codegen
-    stamp("after_materialize")
+    if (!quick) {
+      pass() // materialize columnar cache + compile cached-scan codegen
+      stamp("after_materialize")
+    }
     // headline = elementwise best of two hot passes: a single shot picks up
     // one-off GC/scheduler jitter (observed 0.3 s queries reading as 1 s).
     // A failure in EITHER pass is a failure — an intermittently-failing
     // query must not report the surviving pass's time as a clean success.
-    val hotA = pass()
+    val hotA = pass(recordRows = true)
     stamp("after_hotA")
-    val hotB = pass()
-    stamp("after_hotB")
-    val hot = hotA.zip(hotB).map { case ((n, a), (_, b)) =>
+    val hotB = if (quick) Nil else pass(recordRows = true)
+    if (!quick) stamp("after_hotB")
+    val hot = if (quick) hotA else hotA.zip(hotB).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val loadEnd = loadStamps.last._2
@@ -240,10 +307,13 @@ object Bench {
     // concatenated — 5×|names| entries): see the runOnce meter comment
     val metersJson = s"""{"gc_ms":${meterGc.mkString("[", ",", "]")},""" +
       s""""jit_ms":${meterJit.mkString("[", ",", "]")}}"""
+    // per-key scan rows (max of hotA/hotB), keyed like `queries`
+    val rowsJson = names.map(n => "\"" + n + "\":" + rowsHot.getOrElse(n, 0L))
+      .mkString("{", ",", "}")
     val diag = s"""{"metric":"passes","names":$namesJson,"passes":$passesJson,""" +
-      s""""meters":$metersJson}"""
+      s""""meters":$metersJson,"rows":$rowsJson}"""
     val json = summary.dropRight(1) + s""","names":$namesJson,"passes":$passesJson,""" +
-      s""""meters":$metersJson}"""
+      s""""meters":$metersJson,"rows":$rowsJson}"""
     // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
     // line out of them (BENCH_rNN "tail"); every round since r9 parsed null
     // because the full 185-query summary (~4.5 KB) can neither fit the
@@ -283,11 +353,15 @@ object Bench {
     // only a FULL-suite run may own the committed self-record: a
     // SPARK_GRAFT_BENCH_ONLY subset run overwriting it silently destroys
     // the round artifact (happened in round 11 — restored from git)
-    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
-      System.err.println("[bench] subset run — BENCH_SELF.json not written")
+    // SPARK_GRAFT_SELF_OUT redirects the full artifact (quick/scale runs
+    // keep their own file and never touch the committed round record)
+    val selfOut = sys.env.get("SPARK_GRAFT_SELF_OUT")
+    if (selfOut.isEmpty && (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") || quick))
+      System.err.println("[bench] subset/quick run — BENCH_SELF.json not written")
     else try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), json + "\n")
+      java.nio.file.Paths.get(selfOut.getOrElse("/root/repo/BENCH_SELF.json")), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] self-dump failed: $e") }
+    watchdogPool.shutdownNow()
     spark.stop()
   }
 }

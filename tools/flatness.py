@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Silent-interpretation screen over two Bench artifacts (VERDICT r18 #1/#7).
+
+Usage: python3 tools/flatness.py <small_bench.json> <big_bench.json>
+
+Both inputs are BENCH_SELF.json-style artifacts (the full line Bench writes:
+"queries" = hot seconds per key, "rows" = scan rows per key) taken at two
+data scales. For every key present in both it computes per-row cost
+(hot_sec * 1e6 / rows, in microseconds/row) at each scale and flags:
+
+  INTERP  per-row cost HIGH (> --cost us/row at the big scale, default 5)
+          and FLAT (big/small per-row ratio in [0.5, 2]) while rows grew
+          >= 10x. A compiled whole-stage pipeline costs ~0.1 us/row; an
+          interpreted expression tree ~300 us/row, identical at every
+          scale because the tax is per-row (the r18 x94 class, which
+          emits NO log at any level). Healthy linear operators are also
+          flat -- the absolute-cost floor is what separates them.
+
+  GROWTH  wall grew > 30x while rows grew <= 10x of that (superlinear
+          without a contract note) -- the x57/x29-class keys carry
+          documented attributions; anything else needs one.
+
+Exit code 1 if any unattributed flag fires (so a round can gate on it).
+"""
+import json
+import sys
+
+# keys whose superlinear growth is contract-bound, with the VERDICT/BASELINE
+# attribution (kept here so the screen stays quiet on known-shape keys; a
+# NEW key never enters this list without a written attribution)
+ATTRIBUTED_GROWTH = {
+    "x57_ivfpq_search": "re-encodes per query by design (fresh-vs-indexed contrast)",
+    "x29_ann_recall": "brute-force truth side is O(N*Q) by definition",
+    "x181_matryoshka_recall": "brute eval pairs are O(N*Q) by definition",
+    "x69_embed_outliers": "flop-bound model sweep (BASELINE r18)",
+    "x161_ivf_silhouette": "flop-bound model sweep (BASELINE r18)",
+    "x25_semantic_dedup": "O(N^2/nlist) within-centroid pair eval by contract",
+    "x26_knn_graph": "O(N^2/nlist) within-centroid pair eval by contract",
+}
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read().strip()
+    # BENCH_SELF.json is one JSON line; BENCH_r*.json may wrap it
+    for line in reversed(txt.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            d = json.loads(line)
+            if "queries" in d:
+                return d
+    raise SystemExit(f"{path}: no bench JSON line with a 'queries' map")
+
+
+def main():
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    small, big = load(sys.argv[1]), load(sys.argv[2])
+    if "rows" not in small or "rows" not in big:
+        raise SystemExit("both artifacts need the 'rows' map (Bench >= r19)")
+    cost_floor = 5.0  # us/row; compiled pipelines sit orders below this
+    flagged = []
+    keys = sorted(set(small["queries"]) & set(big["queries"]))
+    print(f"{'key':34} {'rows_s':>12} {'rows_b':>12} {'us/row_s':>9} "
+          f"{'us/row_b':>9} {'wall_x':>7} {'rows_x':>7}  flag")
+    for k in keys:
+        hs, hb = small["queries"][k], big["queries"][k]
+        rs, rb = small["rows"].get(k, 0), big["rows"].get(k, 0)
+        if min(hs, hb) < 0 or rs <= 0 or rb <= 0:
+            continue
+        cs, cb = hs * 1e6 / rs, hb * 1e6 / rb
+        wall_x = hb / hs if hs > 0 else float("inf")
+        rows_x = rb / rs
+        flag = ""
+        if rows_x >= 10 and cb > cost_floor and 0.5 <= cb / cs <= 2.0:
+            flag = "INTERP?"
+        elif wall_x > 30 and wall_x > 3 * rows_x:
+            if k in ATTRIBUTED_GROWTH:
+                flag = f"growth-attributed: {ATTRIBUTED_GROWTH[k]}"
+            else:
+                flag = "GROWTH?"
+        if flag.endswith("?"):
+            flagged.append((k, flag))
+        if flag:
+            print(f"{k:34} {rs:>12} {rb:>12} {cs:>9.3f} {cb:>9.3f} "
+                  f"{wall_x:>7.1f} {rows_x:>7.1f}  {flag}")
+    if flagged:
+        print(f"\n{len(flagged)} unattributed flag(s):")
+        for k, f in flagged:
+            print(f"  {k}: {f}")
+        sys.exit(1)
+    print("\nno unattributed interpretation/growth signatures")
+
+
+if __name__ == "__main__":
+    main()
