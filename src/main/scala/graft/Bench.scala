@@ -188,6 +188,13 @@ object Bench {
       v
     }
     val rowsHot = scala.collection.mutable.Map.empty[String, Long]
+    // Silent-fallback meter (r19): the logged half of the interpretation
+    // class (janino "too long generated codes" → whole-stage falls back to
+    // interpreted eval at INFO level) counted per key into the artifact —
+    // FallbackAudit's appender as a permanent bench meter. The UNLOGGED
+    // half (compiles but exceeds HotSpot's 8 KB JIT cutoff) is what the
+    // rows/ms-per-row screen above exists for.
+    val (fbSet, fbCounts) = FallbackAudit.attach()
     // a failed query must NOT read as a fast success: sentinel -1, excluded
     // from the total, listed in "failed"
     // Per-key watchdog (r19, for the sf10 full-suite scale gate): a key
@@ -210,6 +217,7 @@ object Bench {
           }
         }, t, java.util.concurrent.TimeUnit.SECONDS)
       }
+      fbSet(name)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -312,8 +320,10 @@ object Bench {
       .mkString("{", ",", "}")
     val diag = s"""{"metric":"passes","names":$namesJson,"passes":$passesJson,""" +
       s""""meters":$metersJson,"rows":$rowsJson}"""
+    val fallbacksJson = fbCounts().toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val json = summary.dropRight(1) + s""","names":$namesJson,"passes":$passesJson,""" +
-      s""""meters":$metersJson,"rows":$rowsJson}"""
+      s""""meters":$metersJson,"rows":$rowsJson,"fallbacks":$fallbacksJson}"""
     // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
     // line out of them (BENCH_rNN "tail"); every round since r9 parsed null
     // because the full 185-query summary (~4.5 KB) can neither fit the

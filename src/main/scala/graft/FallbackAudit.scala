@@ -1,29 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** One-shot audit for SILENT whole-stage-codegen fallbacks (r18): a stage
-  * whose generated method exceeds spark.sql.codegen.hugeMethodLimit
-  * reverts to expression-tree interpretation with only an INFO log — a
-  * 50–100× per-row tax invisible at WARN (the x94 finding). Runs every
-  * SparkEntry query once at INFO and reports which keys trip it.
+/** Audit for SILENT whole-stage-codegen fallbacks (r18): a stage whose
+  * generated method exceeds spark.sql.codegen.hugeMethodLimit reverts to
+  * expression-tree interpretation with only an INFO log — a 50–100×
+  * per-row tax invisible at WARN (the x94 finding).
+  *
+  * [[attach]] is the reusable meter (r19): it raises the codegen logger
+  * to INFO, installs a counting appender, and returns (setCurrent,
+  * counts) so any harness — the one-shot [[main]] below, or Bench's
+  * per-key artifact meter — can attribute fallback events to the query
+  * that was running. The one-shot main runs every SparkEntry query once
+  * and reports which keys trip it.
   * Usage: runMain graft.FallbackAudit [sfDir] */
 object FallbackAudit {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[16]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // capture only the fallback logger at INFO
-    val lg = org.apache.logging.log4j.LogManager.getLogger(
-      "org.apache.spark.sql.execution.WholeStageCodegenExec")
+
+  /** Install the INFO-level fallback counter. Returns the (label setter,
+    * counts snapshot) pair. Attribution caveat (r19, ADVICE): events are
+    * attributed to the CURRENT label at arrival time; log4j delivery is
+    * not barriered with job completion, so a straggling executor event
+    * can in principle charge query N's fallback to query N+1. Acceptable
+    * for a diagnostic: the contract is "which keys trip it", and a
+    * ±1-key smear still points at the right family. */
+  def attach(): (String => Unit, () => Map[String, Int]) = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.WholeStageCodegenExec",
       org.apache.logging.log4j.Level.INFO)
-    val _ = lg
     val counts = scala.collection.mutable.Map.empty[String, Int]
     val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
       "fallback-audit", null,
@@ -43,25 +45,30 @@ object FallbackAudit {
       "org.apache.spark.sql.execution.WholeStageCodegenExec").addAppender(
       appender, org.apache.logging.log4j.Level.INFO, null)
     ctx.updateLoggers()
-    // Attribution caveat (r19, ADVICE): events are attributed to
-    // `appender.current` at ARRIVAL time. The noop write below blocks
-    // until its job completes, so task-thread events normally land before
-    // `current` advances — but log4j delivery is not barriered with job
-    // completion, so a straggling event can in principle charge query N's
-    // fallback to query N+1. Acceptable for a one-shot diagnostic: the
-    // audit's contract is "which keys trip it", and a ±1-key smear still
-    // points at the right family.
+    (label => appender.current = label,
+      () => counts.synchronized { counts.toMap })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[16]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (setCurrent, counts) = attach()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      appender.current = name
+      setCurrent(name)
       try fn(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case e: Exception =>
         System.err.println(s"[audit] $name failed: ${e.getMessage.take(100)}")
       }
     }
-    counts.toSeq.sortBy(-_._2).foreach { case (k, n) =>
-      println(s"FALLBACK $k x$n")
-    }
-    if (counts.isEmpty) println("FALLBACK none")
+    val cs = counts()
+    cs.toSeq.sortBy(-_._2).foreach { case (k, n) => println(s"FALLBACK $k x$n") }
+    if (cs.isEmpty) println("FALLBACK none")
     spark.stop()
   }
 }
