@@ -165,16 +165,30 @@ object Bench {
     // denominator. Listener delivery is async, so reads poll until the
     // counter is stable (outside the timed window).
     val scanRowsAcc = new java.util.concurrent.atomic.AtomicLong(0)
-    def leafRows(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        leafRows(a.executedPlan)
-      // leaves named *Scan* only: ReusedExchange/Subquery leaves carry
-      // numOutputRows of NON-source rows and would double-count
-      case s if s.children.isEmpty =>
-        if (s.nodeName.contains("Scan"))
-          s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-        else 0L
-      case o => o.children.map(leafRows).sum
+    def leafRows(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      // scans inside scalar/IN subquery expressions (q36/q37-class plans
+      // put ALL their scans there — the main plan is a 1-row project, and
+      // the r19 sf10 screen false-flagged q37 as GROWTH on rows=1).
+      // ReusedSubqueryExec is skipped: counting a reused subquery's scan
+      // again would double-count.
+      val subRows = p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.ExecSubqueryExpression =>
+          e.plan match {
+            case _: org.apache.spark.sql.execution.ReusedSubqueryExec => 0L
+            case sp => leafRows(sp)
+          }
+      }).sum
+      subRows + (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leafRows(a.executedPlan)
+        // leaves named *Scan* only: ReusedExchange leaves carry
+        // numOutputRows of NON-source rows and would double-count
+        case s if s.children.isEmpty =>
+          if (s.nodeName.contains("Scan"))
+            s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          else 0L
+        case o => o.children.map(leafRows).sum
+      })
     }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,

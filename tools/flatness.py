@@ -36,6 +36,7 @@ ATTRIBUTED_GROWTH = {
     "x161_ivf_silhouette": "flop-bound model sweep (BASELINE r18)",
     "x25_semantic_dedup": "O(N^2/nlist) within-centroid pair eval by contract",
     "x26_knn_graph": "O(N^2/nlist) within-centroid pair eval by contract",
+    "x20_cosine_neardup": "brute-force all-pairs BASELINE by contract; x21/x22 are the scale paths",
 }
 
 
