@@ -445,31 +445,47 @@ object AdvancedQueries {
     val d1 = degrees(edges).localCheckpoint(true) // initial degrees; k0 = its node set
     var keep = d1.select(col("node"))
     var layers: DataFrame = null
-    var lastPeeled: DataFrame = null
-    for (i <- 1 to coreRounds) {
+    // r19 (optimization, guide §2.4/§1.2): EARLY-EXIT at the fixed point.
+    // Once a round peels nothing, keepNext == keep and the edge set is
+    // unchanged, so every later round is a provable no-op contributing
+    // zero layer rows — the unrolled-8-rounds twin still hash-matches
+    // because those rounds never emit. The per-round emptiness check is
+    // one action over an anti-join of two checkpoint-materialized node
+    // sets (cheap); at bench data the cascade converges in ~3 rounds, so
+    // the exit skips ~5 rounds × (2 eager checkpoints + 3 joins) each.
+    // The r18 convergence guard is now structural: a loop that runs all
+    // `coreRounds` rounds without an empty peel fails the same require.
+    var converged = false
+    var round = 0
+    while (!converged && round < coreRounds) {
+      round += 1
       val keepNext = degrees(edges).filter(col("dg") >= coreK).select(col("node"))
         .localCheckpoint(true)
       val peeled = keep.join(keepNext, Seq("node"), "left_anti")
-        .select(col("node"), lit(i.toLong).as("layer"))
-      layers = if (layers == null) peeled else layers.unionAll(peeled)
-      edges = edges
-        .join(keepNext.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keepNext.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .localCheckpoint(true)
-      keep = keepNext
-      lastPeeled = peeled
+        .select(col("node"), lit(round.toLong).as("layer"))
+      converged = peeled.isEmpty
+      if (!converged) {
+        layers = if (layers == null) peeled else layers.unionAll(peeled)
+        edges = edges
+          .join(keepNext.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keepNext.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+        keep = keepNext
+      }
     }
-    // Convergence guard: if the FINAL round still peeled nodes, the cascade
-    // is still running at the unroll bound and unpeeled survivors would be
-    // reported as layer 0 ("in the core") — a silent truncation the twin
-    // (which replays the same 8 rounds) cannot catch. Loud error instead;
-    // cheap to check — the inputs are already checkpoint-materialized.
-    require(lastPeeled.isEmpty,
+    // Convergence guard (r18): unpeeled survivors past the unroll bound
+    // would silently read as layer 0 ("in the core") — loud error instead.
+    require(converged,
       s"x155: k-core peel has not converged after $coreRounds rounds " +
         s"(round $coreRounds still peeled nodes) — raise coreRounds for this graph")
-    d1.join(layers, Seq("node"), "left")
-      .select(col("node").as("vec_id"), coalesce(col("layer"), lit(0L)).as("layer"),
-        col("dg").as("init_degree"))
+    // layers == null ⇔ round 1 already peeled nothing (whole graph is the
+    // k-core): every node is layer 0, same as the old all-empty-unions path.
+    val base = d1.select(col("node").as("vec_id"), col("dg").as("init_degree"))
+    val out =
+      if (layers == null) base.withColumn("layer", lit(0L))
+      else base.join(layers.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("layer", coalesce(col("layer"), lit(0L)))
+    out.select(col("vec_id"), col("layer"), col("init_degree"))
       .orderBy(col("vec_id"))
   }
 

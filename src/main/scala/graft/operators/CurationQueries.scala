@@ -106,7 +106,12 @@ object CurationQueries {
     val docs = graft.Tables.spread(t(s, d, "documents"))
       .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
     val train = grams(docs.filter(col("split") === "train"), "t_id")
+    // eval grams materialize ONCE (r19, guide §2.4): referenced twice (the
+    // Bloom-build action + the exact confirm join) and eval sets are
+    // benchmark-sized by contract — the train-side gram stream stays lazy
+    // (recompute beats materializing a corpus-scale stream at 100 TB).
     val ev = grams(docs.filter(col("split") === "test"), "e_id")
+      .localCheckpoint(true)
     val bloom = graft.functions.BloomExpr.toBytes(
       ev.stat.bloomFilter("g", 1L << 20, bloomBits))
     val cand = train.filter(

@@ -248,14 +248,21 @@ object DedupQueries {
   private val contDfCap = 50L
 
   val x82: Q = (s, d) => {
+    // Gram frames materialize ONCE (r19, guide §2.4): g0 feeds both the
+    // df aggregation and the df-capped join (2 lazy evals of the
+    // tokenize+md5 chain), and the capped g feeds the per-doc totals plus
+    // BOTH sides of the candidate self-join (3 more). 16-byte rows — the
+    // same linear materialization the iterative operators already pay.
     val g0 = graft.Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(array_distinct(shingles3(col("toks")))).as("gram"))
       .select(col("doc_id"), graft.Tables.h60(col("gram")).as("gh"))
       .distinct()
+      .localCheckpoint(true)
     val dfc = g0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val g = g0.join(dfc.filter(col("df") <= contDfCap), Seq("gh"))
       .select(col("doc_id"), col("gh"))
+      .localCheckpoint(true)
     val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     g.select(col("doc_id").as("a_id"), col("gh"))
       .join(g.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
@@ -298,12 +305,17 @@ object DedupQueries {
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int,
                           localMaxEdges: Long): DataFrame = {
     val spark = nodes.sparkSession
-    val edgeCount = edges.count()
-    if (edgeCount <= localMaxEdges) {
+    // ONE action decides the strategy AND feeds the local path (r19,
+    // guide §1.2: the old count()-then-collect() evaluated the whole edge
+    // subtree twice — for x119/x137 that subtree is the full deletion-
+    // neighborhood fuzzy join). limit(max+1) bounds the driver transfer
+    // exactly like the count gate did: ≤ localMaxEdges+1 rows ever land.
+    val probe = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .limit((localMaxEdges + 1).toInt).collect()
+    if (probe.length <= localMaxEdges) {
       // driver-side union-find with path compression; labels = min member
       // id per component (identical to the distributed fixed point)
-      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -379,9 +391,16 @@ object DedupQueries {
     * is_keeper) for every doc in a size≥2 near-dup cluster. CurationDemo
     * drops the non-keepers; x44 aggregates per cluster. */
   def clusterMembers(s: SparkSession, d: String): DataFrame = {
+    // Materialized ONCE (r19, guide §2.4/§5): this frame is referenced five
+    // times downstream (exact-hash roots, both sides of the adjacent-pair
+    // jaccard, the CC edge probe action, the member re-join) and md5 +
+    // tokenize over every document is the dominant per-reference cost —
+    // lazy lineage re-ran it per reference (and once more for the CC
+    // strategy probe). Same iterative-lineage-cut pattern as x139/x155.
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
         array_distinct(split(col("text"), " ")).as("tk"))
+      .localCheckpoint(true)
     val roots = docs.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
     val e1 = docs.join(roots, "h").filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a"), col("doc_id").as("b"))

@@ -30,13 +30,48 @@ object StreamReplayQueries {
     * its near-dups against the standing corpus (batches < b) via the
     * exact streaming chain. Union over triggers = all flagged pairs where
     * batch(doc) > batch(corpus doc) — which is what the twin states
-    * declaratively in one banded join. */
+    * declaratively in one banded join.
+    *
+    * r19 (optimization, guide §2.4): shingles and MinHash bands are
+    * per-document and batch-independent, so the replay computes them ONCE
+    * over the corpus (checkpoint-materialized) and each trigger filters
+    * its batch/corpus views out of the shared frames — per-trigger chain
+    * (band equi-join → distinct candidates → exact-jaccard verify)
+    * unchanged, per-pair arithmetic identical to
+    * [[graft.streaming.StreamOps.flagNearDups]] (StreamReplaySpec still
+    * matches the real stream per trigger). The lazy spelling re-ran
+    * tokenize+shingle+MinHash up to 8× (2 triggers × {band, verify} × 2
+    * sides); this mirrors the standing banded corpus index the production
+    * stream keeps rather than rebuilding it per trigger. */
   val x135: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+    import graft.operators.DedupQueries
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nReplayBatches)).as("bat"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("bat"),
+        array_distinct(DedupQueries.shingles3(col("toks"))).as("sh"))
+      .localCheckpoint(true)
+    val bands = sh
+      .select(col("doc_id"), col("bat"),
+        graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
+      .select(col("doc_id"), col("bat"),
+        explode(DedupQueries.bandsFromSigs(col("sigs"), 8, 4)).as("b"))
+      .select(col("doc_id"), col("bat"), col("b.band_id"), col("b.band_hash"))
+      .localCheckpoint(true)
     val parts = (1 until nReplayBatches).map { b =>
-      graft.streaming.StreamOps.flagNearDups(
-          docs.filter(pmod(col("doc_id"), lit(nReplayBatches)) === b),
-          docs.filter(pmod(col("doc_id"), lit(nReplayBatches)) < b), tau)
+      val cand = bands.filter(col("bat") === b)
+        .select(col("doc_id"), col("band_id"), col("band_hash"))
+        .join(bands.filter(col("bat") < b)
+          .select(col("doc_id").as("c_id"), col("band_id"), col("band_hash")),
+          Seq("band_id", "band_hash"))
+        .filter(col("doc_id") =!= col("c_id"))
+        .select(col("doc_id"), col("c_id")).distinct()
+      cand.join(sh.select(col("doc_id"), col("sh")), "doc_id")
+        .join(sh.select(col("doc_id").as("c_id"), col("sh").as("c_sh")), "c_id")
+        .select(col("doc_id"), col("c_id"),
+          graft.Tables.fround(size(array_intersect(col("sh"), col("c_sh")))
+            / size(array_union(col("sh"), col("c_sh"))).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= tau)
         .withColumn("batch_id", lit(b.toLong))
     }
     parts.reduce(_ unionAll _)

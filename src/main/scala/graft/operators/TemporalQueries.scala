@@ -369,6 +369,11 @@ object TemporalQueries {
         aggregate(col("vs"), lit(0.0),
           (a, x) => a + (x - col("mu")) * (x - col("mu"))) / w))
       .filter(col("sd") > 0)
+      // materialized ONCE (r19, guide §2.4): x123 references it twice (the
+      // query-row action + the sweep) and x125's self-join twice with
+      // different aliases (no exchange reuse) — each lazy eval re-ran the
+      // hourly agg + the collect_list window. Bounded: types × grid hours.
+      .localCheckpoint(true)
   }
 
   val x123: Q = (s, d) => {
@@ -432,11 +437,16 @@ object TemporalQueries {
         graft.functions.VectorExprs.doubleDot(col("azs"), col("bzs")))
       .withColumn("dist_raw",
         sqrt(greatest(lit(0.0), lit(2.0 * tsimW) - col("dot") * 2.0)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("typ")).orderBy(col("dist_raw"), col("ah"), col("bh"))))
-      .filter(col("rn") === 1)
-      .select(col("typ"), tsStr(col("ah")).as("motif_a"), tsStr(col("bh")).as("motif_b"),
-        fround(col("dist_raw"), 6).as("zdist"))
+      // per-type argmin as a struct-MIN aggregate (r19, guide §2.3): the
+      // row_number window sorted EVERY candidate pair per type (grid²
+      // rows) just to keep row 1; min(struct(dist, ah, bh)) is the same
+      // lexicographic pick (identical tie order), runs as a map-side-
+      // combined hash agg, and shuffles one row per (type, partition).
+      .groupBy(col("typ"))
+      .agg(min(struct(col("dist_raw"), col("ah"), col("bh"))).as("m"))
+      .select(col("typ"), tsStr(col("m.ah")).as("motif_a"),
+        tsStr(col("m.bh")).as("motif_b"),
+        fround(col("m.dist_raw"), 6).as("zdist"))
 
   private[graft] def motifWinz(s: SparkSession, d: String): DataFrame =
     tsimWins(s, d)

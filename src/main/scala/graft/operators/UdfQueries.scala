@@ -500,17 +500,24 @@ object UdfQueries {
     * The pair expansion is an equi-join on the source name against a
     * broadcast 2|pairs|-row membership table, never a theta join. */
   val x111: Q = (s, d) => {
+    // Distinct (source, gram) pairs materialize ONCE (r19, guide §2.4):
+    // the lazy spelling re-ran tokenize+shingle+distinct for the register
+    // agg, the source-list action AND both sides of the exact-intersection
+    // join. regs (sources×1024 rows) also checkpoints so the source-list
+    // collect doesn't re-run the register aggregation.
     val sh = graft.Tables.spread(t(s, d, "documents"))
       .select(col("source"), split(col("text"), " ").as("toks"))
       .select(col("source"),
         explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("g"))
       .distinct()
+      .localCheckpoint(true)
     val h = graft.Tables.h60(col("g"))
     def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((a, k) => a.bitwiseOR(shiftright(a, k)))
     val rho = lit(51) - bit_count(smear(h.bitwiseAND(lit((1L << 50) - 1))))
     val regs = sh.select(col("source"), shiftright(h, 50).as("bucket"), rho.as("rho"))
       .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("reg"))
+      .localCheckpoint(true)
     val sumterm = sum(expr("shiftleft(cast(1 as bigint), 52 - reg)")) +
       (lit(hllM.toLong) - count(lit(1))) * lit(1L << 52)
     val singles = regs.groupBy(col("source")).agg(sumterm.as("st"))
