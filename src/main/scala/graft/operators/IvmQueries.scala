@@ -141,14 +141,22 @@ object IvmQueries {
     def binc(c: String) = least(
       floor((col(c) - col(s"mn_$c")) * nBins / (col(s"mx_$c") - col(s"mn_$c"))),
       lit(nBins - 1L))
+    // r19 (guide step 4 — per-task expression work): the bin index of each
+    // column is computed ONCE per row in a pre-agg projection instead of
+    // inside every one of the cols×bins×2 conditional counters (the old
+    // tree re-ran the sub/mul/div/floor 16× per column per row). The
+    // isNotNull guard folds into the projection: a null cell yields a null
+    // bin, and `null === b` is false-under-when — identical counts.
+    val binned = li.withColumn("is_b", expr(driftPred))
+      .crossJoin(broadcast(bounds)) // 1-row global-agg build side
+      .select(col("is_b") +: cols.map(c =>
+        when(col(c).isNotNull, binc(c)).as(s"bin_$c")): _*)
     val hAggs = for { c <- cols; b <- 0 until nBins; side <- Seq("a", "b") } yield {
-      val inBin = col(c).isNotNull && binc(c) === b
+      val inBin = col(s"bin_$c") === b
       val cond = if (side == "a") inBin else inBin && col("is_b")
       sum(when(cond, 1L).otherwise(0L)).as(s"${side}_${c}_$b")
     }
-    val one = li.withColumn("is_b", expr(driftPred))
-      .crossJoin(broadcast(bounds)) // 1-row global-agg build side
-      .agg(hAggs.head, hAggs.tail: _*)
+    val one = binned.agg(hAggs.head, hAggs.tail: _*)
     val hStack = "stack(" + (cols.length * nBins) + ", " +
       (for { c <- cols; b <- 0 until nBins }
         yield s"'$c', ${b}L, a_${c}_$b, b_${c}_$b").mkString(", ") +

@@ -90,11 +90,17 @@ object StreamReplayQueries {
   val x136: Q = (s, d) => {
     import s.implicits._
     val docs = t(s, d, "documents")
+    // r19 (guide §2.4): tokenize ONCE (checkpointed, batch id attached) —
+    // each trigger's sketch action AND exact-verify agg re-ran the
+    // tokenize over its whole prefix (6 corpus-scale evals for 3
+    // triggers); now both filter the shared frame.
+    val toksAll = graft.Tables.spread(docs)
+      .select(pmod(col("doc_id"), lit(nReplayBatches)).as("bat"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("bat"), col("tok"), xxhash64(col("tok")).as("gh"))
+      .localCheckpoint(true)
     val perTrigger = (0 until nReplayBatches).map { b =>
-      val toks = graft.Tables.spread(
-          docs.filter(pmod(col("doc_id"), lit(nReplayBatches)) <= b))
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .select(col("tok"), xxhash64(col("tok")).as("gh"))
+      val toks = toksAll.filter(col("bat") <= b).select(col("tok"), col("gh"))
       val head = toks.agg(UdfQueries.mgUdaf(col("gh")).as("cands"),
         count(lit(1)).as("total")).head
       val cands = head.getSeq[Long](0) // ≤k by the sketch bound
@@ -239,12 +245,17 @@ object StreamReplayQueries {
       }.reduce(_ unionAll _)
       .unionAll(u.select(col("k"), col("c"), lit("I").as("op"),
         lit(0L).as("bid"), lit(0L).as("seq")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(desc("bid"), desc("seq"))
-    val fin = all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("op") =!= "D")
+    // r19 (guide §2.3): the per-key latest-wins pick was a row_number
+    // window (full sort of seed ∪ changes); max(struct(bid, seq, c, op))
+    // is the identical pick — (bid, seq) is unique per key by
+    // construction (the comment above), so the trailing fields never
+    // break a tie — and runs as a map-side-combined hash agg.
+    val fin = all
+      .groupBy(col("k"))
+      .agg(max(struct(col("bid"), col("seq"), col("c"), col("op"))).as("m"))
+      .filter(col("m.op") =!= "D")
       .select(lit((nReplayBatches + 1).toLong).as("batch_id"), col("k"),
-        col("c"), lit("S").as("op"))
+        col("m.c").as("c"), lit("S").as("op"))
     deltas.unionAll(fin).orderBy(col("batch_id"), col("k"))
   }
 

@@ -601,13 +601,20 @@ object TextQueries {
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val top = topPhrase(docs)
-    // the phrase string rides the FIRST postings join (tok = w1 is an
-    // equi condition → BroadcastHashJoin), so no scalar crossJoin is ever
-    // planned — the phrase column just flows through the intersection
-    val first = toks.join(broadcast(top), col("tok") === col("w1"))
+    // r19 (guide §2.4): ONE postings pass — the old spelling ran the
+    // posexplode corpus scan three times (first + two postings joins).
+    // All three term streams filter out of a single checkpointed frame of
+    // rows matching ANY phrase term (a 1-row broadcast NLJ — tiny build
+    // side); per-term filters over it are checkpoint scans. The phrase
+    // string rides the w1 stream exactly as before.
+    val matched = toks.join(
+        broadcast(top.select(col("w1"), col("w2"), col("w3"), col("phrase"))),
+        col("tok") === col("w1") || col("tok") === col("w2") || col("tok") === col("w3"))
+      .localCheckpoint(true)
+    val first = matched.filter(col("tok") === col("w1"))
       .select(col("doc_id"), col("pos").as("p"), col("phrase"))
     def postings(w: String, shift: Int) =
-      toks.join(broadcast(top.select(col(w))), col("tok") === col(w))
+      matched.filter(col("tok") === col(w))
         .select(col("doc_id"), (col("pos") - shift).as("p"))
     first
       .join(postings("w2", 1), Seq("doc_id", "p"))
@@ -714,8 +721,13 @@ object TextQueries {
     * lexicographically. */
   val x114: Q = (s, d) => {
     val docs = graft.Tables.spread(t(s, d, "documents"))
+    // toks feeds the df agg AND the capped join; kept feeds BOTH sides of
+    // the pair self-join — materialize each once (r19, guide §2.4) instead
+    // of re-running tokenize (toks) and the per-doc ranking window (kept)
+    // per reference. kept is ≤collocCap rows per doc by construction.
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .localCheckpoint(true)
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val cand = df.filter(col("df") >= collocMinDf).select(col("tok"), col("df"))
@@ -724,6 +736,7 @@ object TextQueries {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("r") <= collocCap)
       .select(col("doc_id"), col("tok"), col("df"))
+      .localCheckpoint(true)
     val pairs = kept.select(col("doc_id"), col("tok").as("ta"), col("df").as("dfa"))
       .join(kept.select(col("doc_id"), col("tok").as("tb"), col("df").as("dfb")),
         Seq("doc_id"))
@@ -864,8 +877,11 @@ object TextQueries {
     * marginal products and totals all run on that grid — every downstream
     * frame is |langs|-bounded. */
   val x169: Q = (s, d) => {
+    // |langs|²-row grid materialized ONCE (r19, guide §2.4): the totals
+    // agg and both marginal aggs each re-ran the full langGuess doc scan.
     val conf = langGuess(s, d)
       .groupBy(col("label"), col("guess")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = conf.agg(sum(col("n")).as("nn"),
       sum(when(col("label") === col("guess"), col("n")).otherwise(0L)).as("diag"))
     val marg = conf.groupBy(col("label")).agg(sum(col("n")).as("r"))

@@ -580,6 +580,10 @@ object UdfQueries {
     val toks = docs.filter(col("source").isin("src0", "src1"))
       .select((col("source") === "src0").as("isA"),
         explode(split(col("text"), " ")).as("tok"))
+      // materialized ONCE (r19, guide §2.4): the grid estimate and the
+      // exact inner product are two consumers — lazy lineage re-ran the
+      // scan+tokenize per consumer, undoing the r16 one-shared-pass fix.
+      .localCheckpoint(true)
     def sideN(a: Boolean, as: String) =
       sum(when(if (a) col("isA") else !col("isA"), 1L).otherwise(0L)).as(as)
     val est = toks
