@@ -334,7 +334,11 @@ object AdvancedQueries {
       .localCheckpoint(true)
     val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val esrc = edges.join(outd, "src")
+    // r19 (guide §2.4): esrc is referenced by every one of the prIters
+    // unrolled rounds — lazily each round re-ran the degree agg + join
+    // over the checkpointed edges; one more lineage cut materializes it
+    // once (E·24-byte rows, same class as the edges checkpoint above).
+    val esrc = edges.join(outd, "src").localCheckpoint(true)
     var pr = nodes.select(col("id"), lit(1000000L).as("pr"))
     for (_ <- 1 to prIters) {
       val contrib = esrc
@@ -534,8 +538,12 @@ object AdvancedQueries {
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("node").as("id"), (-col("m.neg")).as("newl"))
-      val next = nodes.join(pick, Seq("id"), "left")
-        .join(lab.withColumnRenamed("lbl", "oldl"), "id")
+      // r19 (guide §2.4): lab IS the node universe (one row per node id,
+      // invariant since round 0), so the old 3-way nodes⋈pick⋈lab join
+      // carried a redundant co-partitioned join per round — lab left-joins
+      // pick directly, one exchange fewer each round.
+      val next = lab.withColumnRenamed("lbl", "oldl")
+        .join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("newl"), col("id")).as("lbl"),
           col("oldl"))
         .localCheckpoint(true) // referenced twice (next round + readout)

@@ -45,7 +45,12 @@ object CurationQueries {
   def decontamination(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.spread(t(s, d, "documents"))
       .withColumn("split", SamplingQueries.splitCol(col("doc_id")))
+    // train grams materialize ONCE (r19, guide §2.4): the per-doc totals
+    // agg and the hits join each re-ran tokenize + md5-per-13-gram. (x88
+    // is the shape that AVOIDS this materialization at 100 TB; x45 is the
+    // exact-report twin whose hits join already moves the train stream.)
     val train = grams(docs.filter(col("split") === "train"), "t_id")
+      .localCheckpoint(true)
     val ev = grams(docs.filter(col("split") === "test"), "e_id")
     val perDoc = train.groupBy(col("t_id")).agg(count(lit(1)).as("n_grams"))
     // two COUNT(DISTINCT) → one Expand(×2) agg: fine — the input here is

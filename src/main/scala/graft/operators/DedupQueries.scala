@@ -133,9 +133,15 @@ object DedupQueries {
     val groups = docs0.groupBy(sort_array(col("sh")).as("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("rep", col("ids").getItem(0))
+      // r19 (guide §2.4): groups feeds reps + both expansion joins +
+      // withinPairs (4 refs); reps feeds the banding + both verify sides
+      // (3 refs) — each lazy eval re-ran tokenize+shingle (+MinHash for
+      // reps). One materialization apiece, same pattern as x135.
+      .localCheckpoint(true)
     val reps = groups
       .select(col("rep"), col("sh"),
         graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
+      .localCheckpoint(true)
     val banded = reps
       .select(col("rep"), explode(bandsFromSigs(col("sigs"), 8, 4)).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
@@ -188,6 +194,9 @@ object DedupQueries {
     val groups = sh.groupBy(col("sim"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("rep", col("ids").getItem(0))
+      // referenced by the blocking + both expansion joins + withinPairs —
+      // materialized once (r19, guide §2.4)
+      .localCheckpoint(true)
     val blocked = groups.select(col("rep"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("blk"), shiftright(col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
@@ -505,6 +514,9 @@ object DedupQueries {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorExprs.h60Array(shinglesN(col("toks"), spanW)))).as("w"))
+      // materialized ONCE (r19, guide §2.4): the dup-hash agg and the
+      // join back each re-ran the md5-per-window chain
+      .localCheckpoint(true)
     val dup = wins.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -540,6 +552,9 @@ object DedupQueries {
     val wins = docs.select(col("doc_id"),
         posexplode(graft.functions.VectorExprs.h60Array(shinglesN(col("toks"), spanW))))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("wh"))
+      // materialized ONCE (r19, guide §2.4): the dup-set chain and the
+      // starts join each re-ran the md5-per-window chain
+      .localCheckpoint(true)
     val dup = wins.select(col("doc_id"), col("wh")).distinct()
       .groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -635,6 +650,9 @@ object DedupQueries {
       .select(col("doc_id"), explode(array_distinct(shingles3(col("toks")))).as("gr"))
       .select(col("doc_id"), graft.Tables.h60(col("gr")).as("gh"))
       .distinct() // h60-collision safety: both engines set-ify the hashes
+      // materialized ONCE (r19, guide §2.4): feeds the df agg + the
+      // ordered-set build — each lazily re-ran tokenize+md5 per gram
+      .localCheckpoint(true)
     val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val ordered = g.join(df, Seq("gh"))
       .groupBy(col("doc_id"))
@@ -646,6 +664,8 @@ object DedupQueries {
     val groups = ordered.groupBy(col("hs"), col("m"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("rep", col("ids").getItem(0))
+      // referenced 3× (reps build + both expansion joins) — one cut (r19)
+      .localCheckpoint(true)
     val reps = groups.select(col("rep"), col("hs"), col("m"))
     val pref = reps.select(col("rep"),
         expr(s"slice(hs, 1, cast(m - (($ppNum * m + $ppNum) div $ppDen) + 1 as int))").as("p"))

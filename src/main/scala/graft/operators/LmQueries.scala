@@ -61,6 +61,10 @@ object LmQueries {
         h60(col("g")).as("gh"),
         h60(element_at(split(col("g"), " "), 1)).as("w1h"),
         element_at(split(col("g"), " "), 2).as("w2"))
+      // materialized ONCE (r19, guide §2.4): the bigram frame (2 md5
+      // hashes per gram) feeds the two ref count aggs, the vocab agg AND
+      // the scoring join — 4 lazy evals of the tokenize+hash chain.
+      .localCheckpoint(true)
     val ref = grams.filter(SamplingQueries.bucket(col("doc_id")) < refBuckets)
     val c2 = ref.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
     val c1 = ref.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))

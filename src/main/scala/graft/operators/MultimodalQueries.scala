@@ -236,6 +236,10 @@ object MultimodalQueries {
     val groups = hashed.groupBy(col("ph"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("rep", col("ids").getItem(0))
+      // referenced by the variant expansion + both id-expansion joins +
+      // withinPairs — materialized once (r19, guide §2.4); the dHash cell
+      // agg (per-token posexplode + G conditional sums) ran per reference
+      .localCheckpoint(true)
     val reps = groups.select(col("rep"), col("ph"))
     val variants = reps.select(col("rep").as("ra"), col("ph").as("pa"),
       explode(typedLit(phMasks)).as("m"))
