@@ -107,6 +107,9 @@ object JoinQueries {
     val sigs = names.select(col("name"),
       explode(array_distinct(graft.functions.VectorExprs.h60Array(
         array_union(variants, array(col("name")))))).as("sig"))
+      // deletion-neighborhood signature frame (len+1 md5 hashes per name)
+      // materialized once for both self-join sides (r19, guide §2.4)
+      .localCheckpoint(true)
     val a = sigs.select(col("name").as("a_name"), col("sig"))
     val b = sigs.select(col("name").as("b_name"), col("sig"))
     a.join(b, Seq("sig"))

@@ -335,8 +335,12 @@ object StatsQueries {
   val x150: Q = (s, d) => {
     val li = t(s, d, "lineitem")
     val perCol = skewCols.map { k =>
+      // histogram-sized frame referenced by the totals agg AND the
+      // cumulative chain — materialized once so the two corpus-wide
+      // grouping passes behind it run once (r19, guide §2.4)
       val cf = li.groupBy(col(k)).agg(count(lit(1)).as("cnt"))
         .groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true)
       val tot = cf.agg(sum(col("freq")).as("n_keys"),
         sum(col("cnt") * col("freq")).as("n_rows"), max(col("cnt")).as("max_cnt"))
       val w = Window.orderBy(col("cnt")).rowsBetween(Window.unboundedPreceding, -1)

@@ -368,14 +368,20 @@ object StreamReplayQueries {
         (max(col("mx")).over(wmW) - expr(s"interval $delayMin minutes")).as("w"))
     val lab = arr.join(broadcast(wm), Seq("batch_id"), "left")
       .withColumn("is_late", col("w").isNotNull && col("ts") < col("w"))
-    val dw = Window.partitionBy(col("dk")).orderBy(col("batch_id"), col("event_id"))
-    val sur = lab.filter(!col("is_late"))
-      .withColumn("rn", row_number().over(dw))
-      .select(col("event_id"), col("rn"))
-    lab.join(sur, Seq("event_id"), "left")
+    // r19 (guide §2.4): the survivor rank needs no filter + row_number +
+    // join-back — a RUNNING COUNT of non-late rows over the same (dk,
+    // arrival-order) window gives each non-late row its rank among
+    // survivors directly (rs == 1 ⇔ rn == 1; (batch_id, event_id) is a
+    // total order per dk so the frame is deterministic). One window, one
+    // pass, the events-sized self-join gone.
+    val cw = Window.partitionBy(col("dk"))
+      .orderBy(col("batch_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lab
+      .withColumn("rs", sum(when(col("is_late"), 0L).otherwise(1L)).over(cw))
       .select(col("batch_id"), col("event_id"), col("dk"),
         when(col("is_late"), lit("late"))
-          .when(col("rn") === 1, lit("emit"))
+          .when(col("rs") === 1, lit("emit"))
           .otherwise(lit("dup")).as("disposition"))
   }
 

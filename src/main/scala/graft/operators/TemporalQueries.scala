@@ -166,9 +166,12 @@ object TemporalQueries {
     * event count (the q18 window posture). */
   val x97: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // same materialization discipline as deadlineStages (r19, guide §2.4):
+    // r re-ran ~K² times across the per-stage aggs, each stage twice
     val r = t(s, d, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
     val stages = funnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val mine = r.filter(col("event_type") === step)
@@ -176,7 +179,8 @@ object TemporalQueries {
           case None => mine
           case Some(p) => mine.join(p, "user_id").filter(col("rn") > col("r"))
         }
-        Some(gated.groupBy(col("user_id")).agg(min(col("rn")).as("r")))
+        Some(gated.groupBy(col("user_id")).agg(min(col("rn")).as("r"))
+          .localCheckpoint(true))
     }.flatten
     stages.zipWithIndex.map { case (df, i) =>
       df.agg(count(lit(1)).as("users"))
@@ -523,9 +527,15 @@ object TemporalQueries {
     * surviving user's chosen (position, timestamp). */
   private def deadlineStages(s: SparkSession, d: String): Seq[DataFrame] = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // r19 (guide §2.4): the ranked-events frame is referenced by every
+    // stage (K direct + K−1 via the previous stage's lineage — the full
+    // user-partitioned sort re-ran ~K² times across x129's per-stage
+    // aggs); each stage frame is itself referenced twice (next stage +
+    // the caller's agg). One materialization apiece.
     val r = t(s, d, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
     funnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val mine = r.filter(col("event_type") === step)
@@ -536,7 +546,8 @@ object TemporalQueries {
               col("ts") <= col("t") + expr(s"INTERVAL $funnelDeadlineH HOURS"))
         }
         Some(gated.groupBy(col("user_id"))
-          .agg(min(col("rn")).as("r"), min_by(col("ts"), col("rn")).as("t")))
+          .agg(min(col("rn")).as("r"), min_by(col("ts"), col("rn")).as("t"))
+          .localCheckpoint(true))
     }.flatten
   }
 

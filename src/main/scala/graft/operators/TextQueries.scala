@@ -376,6 +376,9 @@ object TextQueries {
         explode(array_distinct(DedupQueries.shinglesN(col("toks"), overlapN))).as("gram"))
       .select(col("source"), graft.Tables.h60(col("gram")).as("gh"))
       .distinct()
+      // materialized ONCE (r19, guide §2.4): per-source totals + both
+      // self-join sides re-ran tokenize+md5 per reference
+      .localCheckpoint(true)
     val n = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val common = g.select(col("source").as("a_src"), col("gh"))
       .join(g.select(col("source").as("b_src"), col("gh")), Seq("gh"))
@@ -547,6 +550,9 @@ object TextQueries {
     val docs = graft.Tables.spread(t(s, d, "documents"))
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // materialized ONCE (r19, guide §2.4): feeds the df agg AND the
+      // scoring join — each lazily re-ran tokenize + the per-doc count
+      .localCheckpoint(true)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("w_raw"), col("tok"))
@@ -779,6 +785,9 @@ object TextQueries {
     val tl = docs
       .select(col("lang"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy(col("token"), col("lang")).agg(count(lit(1)).as("a"))
+      // vocab×|langs| grid referenced by the token totals AND the cell
+      // join — materialized once (r19, guide §2.4)
+      .localCheckpoint(true)
     val tokTot = tl.groupBy(col("token")).agg(sum(col("a")).as("n_t"))
     val langTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
     val nTot = docs.agg(count(lit(1)).as("n")) // 1-row scalar broadcast
@@ -796,9 +805,14 @@ object TextQueries {
     val chi2 = f(col("n")) * detD * detD /
       (f(col("n_t")) * f(col("n") - col("n_t")) * f(col("n_l")) * f(col("n") - col("n_l")))
     val scored = cells.withColumn("chi2_r", graft.Tables.fround(chi2, 6))
-    val best = scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("token")).orderBy(desc("chi2_r"), col("lang"))))
-      .filter(col("rn") === 1)
+    // per-token best lang as a struct-MIN aggregate (r19, guide §2.3):
+    // min(struct(−chi2, lang, …)) is the identical (chi2 DESC, lang ASC)
+    // pick as the old row_number window, map-side combined, no grid sort.
+    val best = scored.groupBy(col("token"))
+      .agg(min(struct((-col("chi2_r")).as("nc"), col("lang"), col("a"),
+        col("n_t"), col("n_l"))).as("m"))
+      .select(col("token"), (-col("m.nc")).as("chi2_r"), col("m.lang").as("lang"),
+        col("m.a").as("a"), col("m.n_t").as("n_t"), col("m.n_l").as("n_l"))
     best.orderBy(desc("chi2_r"), col("token")).limit(chi2TopK)
       .select(col("token"), col("lang").as("best_lang"),
         col("a").as("n_token_lang"), col("n_t").as("n_token"),
@@ -1011,8 +1025,11 @@ object TextQueries {
     * on the \|sources\|·V dense grid and its \|sources\|²·V pair frame —
     * corpus-size-independent. */
   val x174: Q = (s, d) => {
+    // token stream materialized ONCE (r19, guide §2.4): the top-V agg and
+    // the per-source count join each re-ran the tokenize explode
     val tok = t(s, d, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .localCheckpoint(true)
     val top = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token")).limit(jsTopV).select(col("token"))
     val st = tok.join(broadcast(top), Seq("token"))
@@ -1026,6 +1043,8 @@ object TextQueries {
       .select(explode(typedLit(srcList)).as("source"), col("token"))
       .join(st, Seq("source", "token"), "left")
       .select(col("source"), col("token"), coalesce(col("c"), lit(0L)).as("c"))
+      // top-V × |S| rows, referenced 3× (totals + both pair sides) (r19)
+      .localCheckpoint(true)
     val totals = dense.groupBy(col("source")).agg(sum(col("c")).as("tot"))
     val a = dense.select(col("source").as("sa"), col("token"), col("c").as("ca"))
       .join(broadcast(totals.select(col("source").as("sa"), col("tot").as("ta"))), Seq("sa"))

@@ -456,10 +456,13 @@ object UdfQueries {
     * form). The exact countDistinct alongside is the verification cost,
     * not the operator — at scale you ship only the sketch. */
   val x107: Q = (s, d) => {
+    // materialized ONCE (r19, guide §2.4): the register agg and the exact
+    // NDV agg each re-ran tokenize+shingle per reference
     val sh = graft.Tables.spread(t(s, d, "documents"))
       .select(col("lang"), split(col("text"), " ").as("toks"))
       .select(col("lang"),
         explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("g"))
+      .localCheckpoint(true)
     val h = graft.Tables.h60(col("g"))
     def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((a, k) => a.bitwiseOR(shiftright(a, k)))
