@@ -89,6 +89,17 @@ object Engine {
     val doomed = spark.sparkContext.getPersistentRDDs.values
       .filter(_.isCheckpointed).toSeq
     doomed.foreach(_.unpersist(blocking = false))
-    doomed.size
+    // Frames pinned with Tables.pinCorpus under `spark.graft.pin.storage=
+    // disk` are CacheManager-persisted (lineage kept), not checkpointed —
+    // drain their registry too so the disk posture gets the same per-query
+    // cleanup contract.
+    var reapedPins = 0
+    var pin = Tables.pinnedDisk.poll()
+    while (pin != null) {
+      pin.unpersist(blocking = false)
+      reapedPins += 1
+      pin = Tables.pinnedDisk.poll()
+    }
+    doomed.size + reapedPins
   }
 }

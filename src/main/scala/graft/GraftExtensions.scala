@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDot, H60, H60Array, MinHashSigs, SimHash64}
+import graft.functions.{FloatDot, FloatPrefixDots, H60, H60Array, MinHashSigs, SimHash64}
 
 /** SparkSessionExtensions entry point (SURVEY §4's reserved extension seam):
   * registers the engine's custom Catalyst expressions as SQL functions, so
@@ -22,6 +22,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "float_dot(a, b) - double-precision dot product of two float arrays"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("float_prefix_dots"),
+      new ExpressionInfo(classOf[FloatPrefixDots].getName, "float_prefix_dots",
+        "float_prefix_dots(a, b, b1, b2, ...) - prefix dot products of two " +
+          "float arrays at ascending literal boundaries, one pass"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val bounds = children.drop(2).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"float_prefix_dots: bounds must be literals, got $other")
+        }
+        FloatPrefixDots(children(0), children(1), bounds)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64",

@@ -215,4 +215,46 @@ object Tables {
     * broadcast-side query set is small but the per-row kernel dominates. */
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Frames pinned via [[pinCorpus]] under `disk` storage, drained by
+    * [[Engine.reapLocalCheckpoints]] (persisted InMemoryRelations are
+    * CacheManager-tracked, not checkpoint-tracked, so the reaper needs its
+    * own registry). */
+  private[graft] val pinnedDisk =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Materialize-once for a CORPUS-SCALE shared frame (rows proportional to
+    * the input corpus — token streams, gram sets, candidate pairs), selected
+    * by the session conf `spark.graft.pin.storage`:
+    *
+    *  - `local` — (default) eager `localCheckpoint(true)`: blocks live on
+    *    executor storage with NO lineage. Right for local mode and for the
+    *    bench; on a real cluster a lost executor kills the query and it is
+    *    documented-unsafe under dynamic allocation — acceptable for
+    *    group/dimension-sized frames, NOT for corpus-sized ones.
+    *  - `disk` — `persist(DISK_ONLY)` + eager materialization: same
+    *    evaluate-once plan shape, but lineage survives, so a lost block is
+    *    recomputed instead of failing the job — the 100 TB cluster posture
+    *    (guide §5: localCheckpoint only "when fault tolerance of that
+    *    intermediate is not critical"). Pinned frames are registered and
+    *    released by `Engine.reapLocalCheckpoints` exactly like checkpoint
+    *    blocks.
+    *
+    * GROUP/DIMENSION-sized shared frames (histograms, per-group reps,
+    * top-k, label frames) keep calling `localCheckpoint(true)` directly —
+    * losing one is cheap to recompute from the front at worst, and the
+    * blocks are KBs–MBs at any scale. */
+  def pinCorpus(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.pin.storage").contains("disk")) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.foreach(_ => ()) // materialize every column of every partition now
+      pinnedDisk.add(p)
+      p
+    } else df.localCheckpoint(true)
+
+  /** Postfix spelling of [[pinCorpus]] so operator chains read like the
+    * `.localCheckpoint(true)` sites they harden. */
+  implicit class PinOps(private val df: DataFrame) {
+    def pinCorpus: DataFrame = Tables.pinCorpus(df)
+  }
 }

@@ -101,6 +101,71 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All prefix dot products of two float arrays in ONE pass (codegen'd):
+  * returns array<double> with, for each boundary m in `bounds` (ascending),
+  * the left-to-right double accumulation over the first min(m, n) element
+  * pairs. Bit-identical to `FloatDot(slice(a,1,m), slice(b,1,m))` per bound
+  * — left-to-right accumulation means the m-prefix dot IS the running
+  * accumulator after m terms, so one 64-element pass replaces one pass per
+  * tier (8+16+32+64 = 120 multiply-adds → 64) AND the per-tier slice()
+  * array copies (2 per tier per row). Built for x181's Matryoshka tier
+  * sweep; any nested-prefix kernel can ride it. */
+case class FloatPrefixDots(left: Expression, right: Expression, bounds: Seq[Int])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bounds.nonEmpty && bounds == bounds.sorted && bounds.head > 0,
+    "bounds must be ascending positive prefix lengths")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_prefix_dots"
+
+  private val boundsArr: Array[Int] = bounds.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](boundsArr.length)
+    var sum = 0.0
+    var bi = 0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+      while (bi < boundsArr.length && boundsArr(bi) == i) { out(bi) = sum; bi += 1 }
+    }
+    while (bi < boundsArr.length) { out(bi) = sum; bi += 1 } // short arrays
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bounds", boundsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val bi = ctx.freshName("bi")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double[] $out = new double[$bRef.length];
+         |double $acc = 0.0;
+         |int $bi = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  while ($bi < $bRef.length && $bRef[$bi] == $i + 1) { $out[$bi] = $acc; $bi++; }
+         |}
+         |while ($bi < $bRef.length) { $out[$bi] = $acc; $bi++; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** [[FloatDot]]'s mixed-type sibling: array<float> · array<double> — the
   * shape every trained-quantizer kernel needs (raw float vectors against
   * k-means-trained centroid/codeword coordinates, which are fix-point
@@ -856,6 +921,11 @@ case class PqArgmin(child: Expression,
 object VectorExprs {
   /** Double-precision dot product of two float-array columns (codegen'd). */
   def floatDot(a: Column, b: Column): Column = GraftExprBridge.toColumn(FloatDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))
+  /** All prefix dots of two float-array columns at ascending boundaries
+    * (one pass, codegen'd) — see [[FloatPrefixDots]]. */
+  def floatPrefixDots(a: Column, b: Column, bounds: Seq[Int]): Column =
+    GraftExprBridge.toColumn(FloatPrefixDots(
+      GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b), bounds))
   /** Dot of two double-array columns (codegen'd) — see [[DoubleDot]]. */
   def doubleDot(a: Column, b: Column): Column =
     GraftExprBridge.toColumn(DoubleDot(GraftExprBridge.toExpression(a), GraftExprBridge.toExpression(b)))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.VectorQueries.dot
+import graft.Tables.PinOps
 
 /** Post-inventory extensions: exact quantiles, subquery surface, IVF ANN.
   * Numbering continues the SURVEY §2.4 oracle contract. */
@@ -1166,7 +1167,7 @@ object AdvancedQueries {
       .select(col("vec_id"), col("cid"),
         floor(d2 * lit(1e6) + lit(0.5))
           .cast("long").as("d2f"))
-      .localCheckpoint(true)
+      .pinCorpus
     val stats = dists.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("d2f")).as("sf"))
     dists.join(broadcast(stats), Seq("cid")) // nlist rows — always broadcast
@@ -1225,39 +1226,49 @@ object AdvancedQueries {
   val x181: Q = (s, d) => {
     val tiers = Seq(8L, 16L, 32L)
     val all = tiers :+ 64L
+    val bounds = all.map(_.toInt)
+    import graft.functions.VectorExprs.floatPrefixDots
+    // r20 (guide §2.3 / step-2 per-task work): the per-pair work used to be
+    // 4 tiers × 3 sliced dots = 360 multiply-adds + 8 slice() copies per
+    // (corpus, query) pair. Two hoists make it ONE 64-element prefix pass:
+    //  - self-norms ss/qq depend on ONE side only — computed per corpus row
+    //    (|N| times, was |N|·|Q|) and per query row (|Q| times) BEFORE the
+    //    cross join;
+    //  - the 4 tier cross-dots are prefixes of the SAME left-to-right
+    //    accumulation, so FloatPrefixDots emits all 4 in one pass —
+    //    bit-identical per tier to dot(slice(1..m)) (the m-prefix dot IS
+    //    the accumulator after m terms; no reassociation).
+    // The zero-norm guard (r19, ADVICE: an all-zero m-dim prefix would
+    // yield 0/0 = NaN and rank meaninglessly; sim 0 is the right
+    // degeneration) still applies post-explode on scalars. The twin is
+    // value-identical: same left-to-right double dots, same ROUND-4,
+    // division order unchanged.
     val e = graft.Tables.spread(t(s, d, "embeddings"))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        floatPrefixDots(col("embedding"), col("embedding"), bounds).as("ssArr"))
     val q = t(s, d, "embeddings").filter(col("vec_id") < retrievalQ)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    // Each tier carries its three dots ONCE as a struct; the zero-norm
-    // guard (r19, ADVICE: an all-zero m-dim prefix would yield 0/0 = NaN
-    // and rank meaninglessly instead of failing loudly; sim 0 is the
-    // right degeneration) is applied POST-explode on the scalar struct
-    // fields. The first guard spelling repeated the dot() subtrees inside
-    // when() — 5 dots per tier instead of 3 — and the projection slid
-    // into the silent-interpretation class (sf0.1 hot 0.3 s → 46 s, flat
-    // per-row; caught by the r19 rows meter on its first run). The twin
-    // is value-identical either way: same left-to-right double dots, same
-    // ROUND-4, division order unchanged.
-    def tierDots(m: Long) = {
-      val sb = slice(col("embedding"), 1, m.toInt)
-      val sq = slice(col("qe"), 1, m.toInt)
-      struct(dot(sb, sq).as("sq"), dot(sb, sb).as("ss"), dot(sq, sq).as("qq"))
-    }
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        floatPrefixDots(col("embedding"), col("embedding"), bounds).as("qqArr"))
     val melted = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        posexplode(array(all.map(tierDots): _*)))
+      .select(col("q_id"), col("vec_id"), col("ssArr"), col("qqArr"),
+        posexplode(floatPrefixDots(col("embedding"), col("qe"), bounds)))
       .select(col("q_id"), col("vec_id"),
         element_at(typedLit(all.toArray), col("pos") + 1).as("m"),
-        when(col("col.ss") > 0d && col("col.qq") > 0d,
-          round(col("col.sq") / (sqrt(col("col.ss")) * sqrt(col("col.qq"))), 4))
+        when(element_at(col("ssArr"), col("pos") + 1) > 0d &&
+            element_at(col("qqArr"), col("pos") + 1) > 0d,
+          round(col("col") / (sqrt(element_at(col("ssArr"), col("pos") + 1)) *
+            sqrt(element_at(col("qqArr"), col("pos") + 1))), 4))
           .otherwise(lit(0.0)).as("sim"))
     val topk = udaf(new UdfQueries.TopK(3),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    // 4·|Q|·k rows; pinned because BOTH the truth side and the hits side
+    // consume it — lazily each re-ran the whole cross-join + TopK subtree
+    // (the r20 before-plan shows the duplicated ObjectHashAggregate trees).
     val tops = melted.groupBy(col("m"), col("q_id"))
       .agg(topk(col("sim"), col("vec_id")).as("top"))
       .select(col("m"), col("q_id"), explode(col("top._2")).as("vec_id"))
+      .localCheckpoint(true)
     val truth = tops.filter(col("m") === 64L).select(col("q_id"), col("vec_id"))
     val hits = tops.filter(col("m") =!= 64L)
       .join(truth, Seq("q_id", "vec_id"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, fround, h60, h60Sql}
+import graft.Tables.PinOps
 
 /** Corpus-hygiene curation verbs (E38/E39): eval-set decontamination and
   * PII/unsafe-content scrubbing — the two gates a training-data pipeline
@@ -50,7 +51,7 @@ object CurationQueries {
     // is the shape that AVOIDS this materialization at 100 TB; x45 is the
     // exact-report twin whose hits join already moves the train stream.)
     val train = grams(docs.filter(col("split") === "train"), "t_id")
-      .localCheckpoint(true)
+      .pinCorpus
     val ev = grams(docs.filter(col("split") === "test"), "e_id")
     val perDoc = train.groupBy(col("t_id")).agg(count(lit(1)).as("n_grams"))
     // two COUNT(DISTINCT) → one Expand(×2) agg: fine — the input here is

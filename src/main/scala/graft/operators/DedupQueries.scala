@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, fround}
+import graft.Tables.PinOps
 
 /** North-star deduplication family (E14/E22): exact hash dedup, MinHash+LSH,
   * SimHash, n-gram Jaccard. SURVEY.md §2.2.
@@ -137,11 +138,11 @@ object DedupQueries {
       // withinPairs (4 refs); reps feeds the banding + both verify sides
       // (3 refs) — each lazy eval re-ran tokenize+shingle (+MinHash for
       // reps). One materialization apiece, same pattern as x135.
-      .localCheckpoint(true)
+      .pinCorpus
     val reps = groups
       .select(col("rep"), col("sh"),
         graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
-      .localCheckpoint(true)
+      .pinCorpus
     val banded = reps
       .select(col("rep"), explode(bandsFromSigs(col("sigs"), 8, 4)).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
@@ -196,7 +197,7 @@ object DedupQueries {
       .withColumn("rep", col("ids").getItem(0))
       // referenced by the blocking + both expansion joins + withinPairs —
       // materialized once (r19, guide §2.4)
-      .localCheckpoint(true)
+      .pinCorpus
     val blocked = groups.select(col("rep"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("blk"), shiftright(col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
@@ -267,11 +268,11 @@ object DedupQueries {
       .select(col("doc_id"), explode(array_distinct(shingles3(col("toks")))).as("gram"))
       .select(col("doc_id"), graft.Tables.h60(col("gram")).as("gh"))
       .distinct()
-      .localCheckpoint(true)
+      .pinCorpus
     val dfc = g0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val g = g0.join(dfc.filter(col("df") <= contDfCap), Seq("gh"))
       .select(col("doc_id"), col("gh"))
-      .localCheckpoint(true)
+      .pinCorpus
     val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     g.select(col("doc_id").as("a_id"), col("gh"))
       .join(g.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
@@ -319,12 +320,17 @@ object DedupQueries {
     // subtree twice — for x119/x137 that subtree is the full deletion-
     // neighborhood fuzzy join). limit(max+1) bounds the driver transfer
     // exactly like the count gate did: ≤ localMaxEdges+1 rows ever land.
-    val probe = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .limit((localMaxEdges + 1).toInt).collect()
-    if (probe.length <= localMaxEdges) {
-      // driver-side union-find with path compression; labels = min member
-      // id per component (identical to the distributed fixed point)
-      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+    // Collected as a Dataset[(Long, Long)] (r20, ADVICE r19): a Row-based
+    // collect shipped up to localMaxEdges+1 GenericRow objects (hundreds of
+    // MB of driver heap at the 2M cap) exactly when the edge set is big;
+    // primitive-specialized tuples are ~16 bytes each. toIntExact guards a
+    // cap ≥ Int.MaxValue from silently wrapping the limit.
+    import spark.implicits._
+    val es = edges
+      .select(col("a").cast("long").as("_1"), col("b").cast("long").as("_2"))
+      .as[(Long, Long)]
+      .limit(Math.toIntExact(localMaxEdges + 1)).collect()
+    if (es.length <= localMaxEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -343,7 +349,6 @@ object DedupQueries {
         val r = find(v)
         minLabel(r) = math.min(minLabel.getOrElse(r, v), v)
       }
-      import spark.implicits._
       return members.map(v => (v, minLabel(find(v)))).toSeq.toDF("id", "label")
     }
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
@@ -409,7 +414,7 @@ object DedupQueries {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
         array_distinct(split(col("text"), " ")).as("tk"))
-      .localCheckpoint(true)
+      .pinCorpus
     val roots = docs.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
     val e1 = docs.join(roots, "h").filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a"), col("doc_id").as("b"))
@@ -516,7 +521,7 @@ object DedupQueries {
         graft.functions.VectorExprs.h60Array(shinglesN(col("toks"), spanW)))).as("w"))
       // materialized ONCE (r19, guide §2.4): the dup-hash agg and the
       // join back each re-ran the md5-per-window chain
-      .localCheckpoint(true)
+      .pinCorpus
     val dup = wins.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -554,7 +559,7 @@ object DedupQueries {
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("wh"))
       // materialized ONCE (r19, guide §2.4): the dup-set chain and the
       // starts join each re-ran the md5-per-window chain
-      .localCheckpoint(true)
+      .pinCorpus
     val dup = wins.select(col("doc_id"), col("wh")).distinct()
       .groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -652,7 +657,7 @@ object DedupQueries {
       .distinct() // h60-collision safety: both engines set-ify the hashes
       // materialized ONCE (r19, guide §2.4): feeds the df agg + the
       // ordered-set build — each lazily re-ran tokenize+md5 per gram
-      .localCheckpoint(true)
+      .pinCorpus
     val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val ordered = g.join(df, Seq("gh"))
       .groupBy(col("doc_id"))
@@ -665,7 +670,7 @@ object DedupQueries {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("rep", col("ids").getItem(0))
       // referenced 3× (reps build + both expansion joins) — one cut (r19)
-      .localCheckpoint(true)
+      .pinCorpus
     val reps = groups.select(col("rep"), col("hs"), col("m"))
     val pref = reps.select(col("rep"),
         expr(s"slice(hs, 1, cast(m - (($ppNum * m + $ppNum) div $ppDen) + 1 as int))").as("p"))

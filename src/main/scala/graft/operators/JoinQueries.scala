@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, dsum}
+import graft.Tables.PinOps
 
 /** SURVEY.md §2.4 Q10–Q15 — the join surface (E1–E5).
   *
@@ -109,15 +110,29 @@ object JoinQueries {
         array_union(variants, array(col("name")))))).as("sig"))
       // deletion-neighborhood signature frame (len+1 md5 hashes per name)
       // materialized once for both self-join sides (r19, guide §2.4)
-      .localCheckpoint(true)
+      .pinCorpus
     val a = sigs.select(col("name").as("a_name"), col("sig"))
     val b = sigs.select(col("name").as("b_name"), col("sig"))
+    // r20 (guide §2.3/§2.5 + skew audit): sig-bucket sizes at sf0.1 are
+    // ≤38 names (1500 hot buckets from digit-position deletions; max/median
+    // bounded) — no salting needed. Two verify fixes instead:
+    //  - BANDED levenshtein (threshold 1): the unbounded form runs the full
+    //    O(|a|·|b|) DP per candidate; with threshold 1 the DP is a 3-wide
+    //    band (returns −1 past the bound, so `>= 0` ⇔ `dist ≤ 1`; the kept
+    //    rows' dist value is identical).
+    //  - verify BEFORE distinct: the old spelling shuffled ~956k distinct
+    //    candidate string pairs, then verified; verifying first cuts the
+    //    distinct's exchange to the ~262k true pairs (3.6× fewer bytes).
+    // Same verified pair set, same dist — oracle hash unchanged.
     a.join(b, Seq("sig"))
-      .filter(col("a_name") < col("b_name"))
-      .select(col("a_name"), col("b_name")).distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
-      .select(col("a_name"), col("b_name"),
-        levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      .filter(col("a_name") < col("b_name") &&
+        levenshtein(col("a_name"), col("b_name"), 1) >= 0)
+      // dist ≡ 1 for every kept row: the frame holds DISTINCT names, so
+      // a_name < b_name ⇒ a ≠ b ⇒ lev ≥ 1, and the filter bounds it ≤ 1 —
+      // the literal replaces a second per-row levenshtein evaluation
+      // (identical value, proven by the name-distinctness invariant).
+      .select(col("a_name"), col("b_name"), lit(1L).as("dist"))
+      .distinct()
   }
 
   val x96: Q = (s, d) => {

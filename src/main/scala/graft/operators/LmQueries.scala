@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, h60, h60Sql, fround, spread}
+import graft.Tables.PinOps
 
 /** Model-based corpus filtering (E61/E62): the two scoring families a
   * pretraining curation pipeline runs AFTER the heuristic filters (x30) and
@@ -64,7 +65,7 @@ object LmQueries {
       // materialized ONCE (r19, guide §2.4): the bigram frame (2 md5
       // hashes per gram) feeds the two ref count aggs, the vocab agg AND
       // the scoring join — 4 lazy evals of the tokenize+hash chain.
-      .localCheckpoint(true)
+      .pinCorpus
     val ref = grams.filter(SamplingQueries.bucket(col("doc_id")) < refBuckets)
     val c2 = ref.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
     val c1 = ref.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))

@@ -45,6 +45,11 @@ object MiningQueries {
     * partial counts. The threshold scalar rides a 1-row broadcast cross
     * join (the benign scalar shape ExplainAudit allowlists). */
   val x144: Q = (s, d) => {
+    // r20 audit: deliberately NOT checkpoint-materialized — the before-plan
+    // already carries 6 ReusedExchange nodes (the distinct's and isup's
+    // exchanges are IDENTICAL subtrees across all consumers, so Spark's
+    // ReuseExchange computes each once); pinning was measured 0.76→1.02 s
+    // at sf0.1 (pure materialization overhead) and reverted.
     val b = t(s, d, "lineitem")
       .select(col("l_orderkey").as("bid"), col("l_partkey").as("item")).distinct()
     val tot = b.agg(countDistinct(col("bid")).as("n_baskets"))
@@ -234,10 +239,14 @@ object MiningQueries {
     * sum is well-defined given the total order, so both engines agree
     * bit-for-bit whatever the partitioning. */
   val x166: Q = (s, d) => {
-    val rev = t(s, d, "lineitem")
+    // r20 (guide §2.4): rev is consumed by BOTH the totals agg and the
+    // range repartition — lazily each re-ran the full lineitem scan + agg.
+    // Part-keyed, so it scales with the part dimension (not lineitem), but
+    // at 100 TB that is still data-scale → pinCorpus.
+    val rev = graft.Tables.pinCorpus(t(s, d, "lineitem")
       .select(col("l_partkey"),
         expr("CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)").as("r"))
-      .groupBy(col("l_partkey")).agg(sum(col("r")).as("rev"))
+      .groupBy(col("l_partkey")).agg(sum(col("r")).as("rev")))
     // decimal BEFORE the sums: the corpus-total and cumulative revenue
     // overflow longs at 100 TB, and the twins sum in HUGEINT (cast-first)
     val tot = rev.agg(sum(col("rev").cast("decimal(38,0)")).as("tot"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
+import graft.Tables.PinOps
 
 /** North-star multimodal-column operators (SURVEY §2.2): opaque binary
   * payloads + typed metadata, with decode/feature-extract as per-partition
@@ -239,7 +240,7 @@ object MultimodalQueries {
       // referenced by the variant expansion + both id-expansion joins +
       // withinPairs — materialized once (r19, guide §2.4); the dHash cell
       // agg (per-token posexplode + G conditional sums) ran per reference
-      .localCheckpoint(true)
+      .pinCorpus
     val reps = groups.select(col("rep"), col("ph"))
     val variants = reps.select(col("rep").as("ra"), col("ph").as("pa"),
       explode(typedLit(phMasks)).as("m"))

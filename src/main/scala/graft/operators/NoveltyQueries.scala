@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, h60, h60Sql, fround, spread}
+import graft.Tables.PinOps
 
 /** Corpus novelty diagnostics (E63/E64): who contributes NEW content — the
   * attribution questions a mixture designer asks after the overlap matrix
@@ -32,7 +33,7 @@ object NoveltyQueries {
       // materialized ONCE (r19, guide §2.4): both novelty keys reference
       // the frame twice (total agg + first-owner chain) — the lazy
       // spelling re-ran tokenize+md5 per reference
-      .localCheckpoint(true)
+      .pinCorpus
 
   /** x65 — source novelty curve (E63): scan sources in name order; each
     * distinct corpus 3-gram is credited to its FIRST source, giving per

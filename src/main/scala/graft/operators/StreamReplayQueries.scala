@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Tables.PinOps
 
 /** Batch-replay oracle twins for the streaming curation ops (VERDICT r10
   * #7): E84 (streaming near-dup flagging) and E85 (streaming heavy
@@ -50,14 +51,14 @@ object StreamReplayQueries {
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("bat"),
         array_distinct(DedupQueries.shingles3(col("toks"))).as("sh"))
-      .localCheckpoint(true)
+      .pinCorpus
     val bands = sh
       .select(col("doc_id"), col("bat"),
         graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
       .select(col("doc_id"), col("bat"),
         explode(DedupQueries.bandsFromSigs(col("sigs"), 8, 4)).as("b"))
       .select(col("doc_id"), col("bat"), col("b.band_id"), col("b.band_hash"))
-      .localCheckpoint(true)
+      .pinCorpus
     val parts = (1 until nReplayBatches).map { b =>
       val cand = bands.filter(col("bat") === b)
         .select(col("doc_id"), col("band_id"), col("band_hash"))
@@ -98,7 +99,7 @@ object StreamReplayQueries {
       .select(pmod(col("doc_id"), lit(nReplayBatches)).as("bat"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("bat"), col("tok"), xxhash64(col("tok")).as("gh"))
-      .localCheckpoint(true)
+      .pinCorpus
     val perTrigger = (0 until nReplayBatches).map { b =>
       val toks = toksAll.filter(col("bat") <= b).select(col("tok"), col("gh"))
       val head = toks.agg(UdfQueries.mgUdaf(col("gh")).as("cands"),

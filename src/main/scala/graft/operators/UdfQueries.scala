@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Tables.PinOps
 
 /** SURVEY §2.2 E29 (UDF / UDAF / UDTF surface) + E30 (approx distinct).
   *
@@ -462,7 +463,7 @@ object UdfQueries {
       .select(col("lang"), split(col("text"), " ").as("toks"))
       .select(col("lang"),
         explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("g"))
-      .localCheckpoint(true)
+      .pinCorpus
     val h = graft.Tables.h60(col("g"))
     def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((a, k) => a.bitwiseOR(shiftright(a, k)))
@@ -513,7 +514,7 @@ object UdfQueries {
       .select(col("source"),
         explode(array_distinct(DedupQueries.shingles3(col("toks")))).as("g"))
       .distinct()
-      .localCheckpoint(true)
+      .pinCorpus
     val h = graft.Tables.h60(col("g"))
     def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       Seq(1, 2, 4, 8, 16, 32).foldLeft(c)((a, k) => a.bitwiseOR(shiftright(a, k)))
@@ -586,7 +587,7 @@ object UdfQueries {
       // materialized ONCE (r19, guide §2.4): the grid estimate and the
       // exact inner product are two consumers — lazy lineage re-ran the
       // scan+tokenize per consumer, undoing the r16 one-shared-pass fix.
-      .localCheckpoint(true)
+      .pinCorpus
     def sideN(a: Boolean, as: String) =
       sum(when(if (a) col("isA") else !col("isA"), 1L).otherwise(0L)).as(as)
     val est = toks

@@ -9,6 +9,46 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("float_prefix_dots: per-bound parity with sliced float_dot, short arrays clamp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bounds = Seq(2, 4, 8)
+    // deterministic pseudo-random floats (no Math.random: repeatability)
+    val v = (1 to 8).map(i => (math.sin(i) * 10).toFloat)
+    val w = (1 to 8).map(i => (math.cos(i) * 10).toFloat)
+    val df = Seq((v, w)).toDF("a", "b")
+    val pre = df.select(graft.functions.VectorExprs
+      .floatPrefixDots(col("a"), col("b"), bounds)).head().getSeq[Double](0)
+    val sliced = bounds.map { m =>
+      df.select(graft.functions.VectorExprs.floatDot(
+        slice(col("a"), 1, m), slice(col("b"), 1, m))).head().getDouble(0)
+    }
+    assert(pre == sliced) // bit-identical, not approximate
+    // arrays shorter than a bound: prefix clamps to the full-array dot
+    val short = Seq((v.take(3), w.take(3))).toDF("a", "b")
+    val preS = short.select(graft.functions.VectorExprs
+      .floatPrefixDots(col("a"), col("b"), bounds)).head().getSeq[Double](0)
+    val full3 = short.select(graft.functions.VectorExprs
+      .floatDot(col("a"), col("b"))).head().getDouble(0)
+    assert(preS(0) == sliced(0) && preS(1) == full3 && preS(2) == full3)
+  }
+
+  test("pinCorpus disk mode: same rows, lineage kept, reaped by Engine") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+    val expected = base.groupBy(col("k")).count().collect().sortBy(_.getLong(0))
+    spark.conf.set("spark.graft.pin.storage", "disk")
+    try {
+      val pinned = Tables.pinCorpus(base)
+      assert(pinned.storageLevel.useDisk && !pinned.storageLevel.useMemory)
+      assert(!pinned.rdd.isCheckpointed) // lineage survives (fault tolerance)
+      val got = pinned.groupBy(col("k")).count().collect().sortBy(_.getLong(0))
+      assert(got.toSeq == expected.toSeq)
+      assert(Engine.reapLocalCheckpoints(spark) >= 1) // registry drained
+      assert(pinned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    } finally spark.conf.unset("spark.graft.pin.storage")
+  }
+
   test("float_dot / simhash64 / minhash_sigs callable from spark.sql") {
     // same builders GraftExtensions injects, registered on the shared session
     val reg = spark.sessionState.functionRegistry
