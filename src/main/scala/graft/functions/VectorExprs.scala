@@ -215,6 +215,53 @@ case class FloatDoubleDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-pass readability counters over a string column →
+  * struct<ch, w, sn> (all long):
+  *   ch = count of [A-Za-z0-9] chars   (= length(regexp_replace(text, "[^A-Za-z0-9]", "")))
+  *   w  = count(' ') + 1               (= size(split(text, " ")), Spark split keeps empties)
+  *   sn = maximal runs of [.!?]        (= size(regexp_extract_all(text, "[.!?]+", 0)))
+  * Replaces THREE java.util.regex passes (one of which materialized a
+  * stripped copy of the document) with one loop over the UTF-8 bytes —
+  * exact for these classes because every byte of a multi-byte UTF-8
+  * sequence is ≥ 0x80 and can never match the ASCII letter/digit/space/
+  * punctuation tests. CodegenFallback like MinHashSigs: one virtual call
+  * per ROW, the loop itself is compiled JVM code. */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ch", LongType, nullable = false),
+    StructField("w", LongType, nullable = false),
+    StructField("sn", LongType, nullable = false)))
+  override def inputTypes: Seq[GraftExprBridge.AbstractType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "text_stats"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numBytes
+    var ch = 0L
+    var sp = 0L
+    var sn = 0L
+    var prevPunct = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (b >= '0' && b <= '9')) ch += 1
+      else if (b == ' ') sp += 1
+      val p = b == '.' || b == '!' || b == '?'
+      if (p && !prevPunct) sn += 1
+      prevPunct = p
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ch, sp + 1, sn))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a pre-hashed token array (array<long> -> long): one
   * pass over the hashes, 64 bit-votes each, sign -> bit. Replaces 64
   * interpreted `aggregate` HOF passes. */
@@ -941,6 +988,8 @@ object VectorExprs {
   def h60(c: Column): Column = GraftExprBridge.toColumn(H60(GraftExprBridge.toExpression(c)))
   /** Element-wise h60 over an array<string> column. */
   def h60Array(c: Column): Column = GraftExprBridge.toColumn(H60Array(GraftExprBridge.toExpression(c)))
+  /** One-pass readability counters (alnum chars, words, sentence runs). */
+  def textStats(c: Column): Column = GraftExprBridge.toColumn(TextStats(GraftExprBridge.toExpression(c)))
   /** One-pass non-overlapping counts of 2-char ASCII patterns (array<long>). */
   def bigramCounts(c: Column, patterns: Seq[String]): Column =
     GraftExprBridge.toColumn(BigramCounts(GraftExprBridge.toExpression(c), patterns))

@@ -46,36 +46,71 @@ object StreamReplayQueries {
     * stream keeps rather than rebuilding it per trigger. */
   val x135: Q = (s, d) => {
     import graft.operators.DedupQueries
-    val sh = t(s, d, "documents")
+    // r20 (guide §2.4 — sf10 scale gate): the doc-level band join is
+    // quadratic in the per-set duplicate count — the 100-way verbatim dup
+    // flood of the sf10 dataset made candidates O(dup²) and the key blew
+    // its 300 s watchdog. Same fix as x41 (commit b761ebe): collapse
+    // identical shingle SETS first — minhash signatures, band hashes and
+    // jaccard are all functions of the SET — run band join + exact verify
+    // at REP level, then expand loss-free: within-set pairs are J = 1 by
+    // identity, cross-set pairs inherit the rep pair's jaccard, and the
+    // trigger structure (doc's batch > corpus doc's batch, batch_id =
+    // doc's batch) is re-applied on the members' batch columns. Output
+    // rows identical (expansion emits each ordered pair exactly once; a
+    // pair's group assignment is a function of its docs).
+    val sh0 = t(s, d, "documents")
       .select(col("doc_id"), pmod(col("doc_id"), lit(nReplayBatches)).as("bat"),
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("bat"),
         array_distinct(DedupQueries.shingles3(col("toks"))).as("sh"))
+    // canonical set key = sorted array (array_distinct is first-seen order,
+    // so permuted duplicates still collapse); set-based J/bands unchanged
+    val groups = sh0
+      .groupBy(sort_array(col("sh")).as("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("bat")))).as("mems"))
+      .withColumn("rep", col("mems").getItem(0).getField("doc_id"))
       .pinCorpus
-    val bands = sh
-      .select(col("doc_id"), col("bat"),
+    val mem = groups.select(col("rep"), explode(col("mems")).as("m"))
+      .select(col("rep"), col("m.doc_id").as("id"), col("m.bat").as("bat"))
+    val reps = groups
+      .select(col("rep"), col("sh"),
         graft.functions.VectorExprs.minHashSigs(col("sh"), 32).as("sigs"))
-      .select(col("doc_id"), col("bat"),
-        explode(DedupQueries.bandsFromSigs(col("sigs"), 8, 4)).as("b"))
-      .select(col("doc_id"), col("bat"), col("b.band_id"), col("b.band_hash"))
       .pinCorpus
-    val parts = (1 until nReplayBatches).map { b =>
-      val cand = bands.filter(col("bat") === b)
-        .select(col("doc_id"), col("band_id"), col("band_hash"))
-        .join(bands.filter(col("bat") < b)
-          .select(col("doc_id").as("c_id"), col("band_id"), col("band_hash")),
-          Seq("band_id", "band_hash"))
-        .filter(col("doc_id") =!= col("c_id"))
-        .select(col("doc_id"), col("c_id")).distinct()
-      cand.join(sh.select(col("doc_id"), col("sh")), "doc_id")
-        .join(sh.select(col("doc_id").as("c_id"), col("sh").as("c_sh")), "c_id")
-        .select(col("doc_id"), col("c_id"),
-          graft.Tables.fround(size(array_intersect(col("sh"), col("c_sh")))
-            / size(array_union(col("sh"), col("c_sh"))).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= tau)
-        .withColumn("batch_id", lit(b.toLong))
-    }
-    parts.reduce(_ unionAll _)
+    val bands = reps
+      .select(col("rep"), explode(DedupQueries.bandsFromSigs(col("sigs"), 8, 4)).as("b"))
+      .select(col("rep"), col("b.band_id"), col("b.band_hash"))
+      .pinCorpus
+    // unordered cross-set candidate rep pairs sharing ≥1 band (identical
+    // sets share ALL bands, so doc-level candidacy survives rep-level)
+    val cand = bands.select(col("rep").as("ra"), col("band_id"), col("band_hash"))
+      .join(bands.select(col("rep").as("rb"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb")).distinct()
+    val verified = cand
+      .join(reps.select(col("rep").as("ra"), col("sh").as("sh_a")), "ra")
+      .join(reps.select(col("rep").as("rb"), col("sh").as("sh_b")), "rb")
+      .select(col("ra"), col("rb"),
+        graft.Tables.fround(size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    // expand: both orientations of each verified rep pair, members joined
+    // back, trigger rule bat(doc) > bat(corpus doc)
+    val vboth = verified
+      .unionAll(verified.select(col("rb").as("ra"), col("ra").as("rb"), col("jaccard")))
+    val cross = vboth
+      .join(mem.select(col("rep").as("ra"), col("id").as("doc_id"), col("bat").as("ba")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("id").as("c_id"), col("bat").as("bc")), "rb")
+      .filter(col("ba") > col("bc"))
+      .select(col("ba").as("batch_id"), col("doc_id"), col("c_id"), col("jaccard"))
+    // within-set pairs: identical shingle sets ⇒ jaccard exactly 1.0
+    // (fround(1.0, 4) = 1.0), always ≥ τ, always banded together
+    val within = mem.select(col("rep"), col("id").as("doc_id"), col("bat").as("ba"))
+      .join(mem.select(col("rep"), col("id").as("c_id"), col("bat").as("bc")), "rep")
+      .filter(col("ba") > col("bc"))
+      .select(col("ba").as("batch_id"), col("doc_id"), col("c_id"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within)
       .select(col("batch_id"), col("doc_id"), col("c_id"), col("jaccard"))
       .orderBy(col("batch_id"), col("doc_id"), desc("jaccard"), col("c_id"))
   }

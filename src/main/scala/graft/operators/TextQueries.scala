@@ -978,10 +978,18 @@ object TextQueries {
     * 100 TB shape: ONE text scan, three regex counts per row, map-side
     * collapse to the ≤|sources| grid — nothing else moves. */
   val x172: Q = (s, d) => {
-    val counted = t(s, d, "documents").select(col("source"),
-      length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long").as("ch"),
-      size(split(col("text"), " ")).cast("long").as("w"),
-      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long").as("sn"))
+    // r20 (sf10 gate INTERP screen, guide step 4 per-task work): the three
+    // counters were THREE java.util.regex passes per document (one building
+    // a stripped copy of the text just to take its length) — ~390 µs/doc at
+    // sf10, 19.7 s for the key. TextStats computes all three in ONE pass
+    // over the UTF-8 bytes (value-identical by the ASCII-byte argument in
+    // the expression's doc; TextSpec pins parity against the regex forms).
+    // The struct is multi-referenced, so CollapseProject keeps ONE eval.
+    val counted = t(s, d, "documents")
+      .select(col("source"),
+        graft.functions.VectorExprs.textStats(col("text")).as("st"))
+      .select(col("source"), col("st.ch").as("ch"), col("st.w").as("w"),
+        col("st.sn").as("sn"))
     val agg = counted.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"), sum(col("ch")).as("chars"),
       sum(col("w")).as("words"), sum(col("sn")).as("sentences"))

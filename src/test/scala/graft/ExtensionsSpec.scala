@@ -33,6 +33,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(preS(0) == sliced(0) && preS(1) == full3 && preS(2) == full3)
   }
 
+  test("text_stats: one-pass counters match the three regex forms exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "Hello, world! This is fine... right?! Yes.",
+      "", " ", "  double  spaces  ", "no punct here",
+      "ünïcode résumé — naïve café!!! done?",   // multi-byte UTF-8
+      "a.b.c", "...", "?!?!", "tab\tand\nnewline mix.")
+    val df = texts.toDF("text")
+    val got = df.select(graft.functions.VectorExprs.textStats(col("text")).as("st"))
+      .select(col("st.ch"), col("st.w"), col("st.sn")).collect()
+    val want = df.select(
+      length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long"),
+      size(split(col("text"), " ")).cast("long"),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long")).collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
   test("pinCorpus disk mode: same rows, lineage kept, reaped by Engine") {
     import org.apache.spark.sql.functions._
     val base = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))

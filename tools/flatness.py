@@ -37,6 +37,28 @@ ATTRIBUTED_GROWTH = {
     "x25_semantic_dedup": "O(N^2/nlist) within-centroid pair eval by contract",
     "x26_knn_graph": "O(N^2/nlist) within-centroid pair eval by contract",
     "x20_cosine_neardup": "brute-force all-pairs BASELINE by contract; x21/x22 are the scale paths",
+    # r20, sf10 gate: the OUTPUT is the quadratic object under verbatim
+    # duplicate floods (scalegen copies c_name 100x): 262k verified name
+    # pairs x 100x100 id expansion = 2.6B output rows; the oracle twin
+    # states the same table. x119 (name-level, never id-expands) is the
+    # scale path.
+    "x96_fuzzy_match": "output is O(dup^2) id-pair expansion by contract under duplicate floods; x119 is the scale path",
+    "x126_phash_neardup": "rep-collapsed since r19; remaining cost is the O(dup^2) OUTPUT pair expansion + contract orderBy (r20 sf10 gate)",
+    "x42_simhash": "rep-collapsed; O(dup^2) output pair expansion by contract (r20 sf10 gate)",
+    "x21_ann_lsh": "bucket candidate density grows with verbatim-duplicate rate; per-candidate eval compiled, output includes each dup id (r20 sf10 gate)",
+    "x83_kmeans_ivf": "rows meter is blind to the sample-bounded training collect (model path); wall is flop-bound k-means by contract (r20 sf10 gate)",
+    "x135_stream_neardup_replay": "FIXED r20 (rep-collapse like x41): 286->7.4 s at sf10 (BENCH_SF10_X135.json); a flag against the pre-fix BENCH_SF10.json artifact describes the state the gate caught",
+}
+
+# Keys whose HIGH-and-FLAT per-row cost is attributed per-BYTE or per-FLOP
+# work in COMPILED pipelines (r20 sf10 gate: the fallbacks meter read 0 for
+# the whole suite, so none of these is silent interpretation; per-row cost
+# tracks text bytes / vector flops, which the rows denominator can't see).
+ATTRIBUTED_COST = {
+    "x36_normalize": "canon chain is per-BYTE regex+md5 over ~KB docs; compiled (fallbacks=0), wall_x ~ rows_x",
+    "x128_dup_weights": "per-BYTE md5+tokenize+set-jaccard; compiled, wall grew SLOWER than rows (74.9x vs 103.5x)",
+    "x172_readability": "was 3 regex passes per doc; rewritten r20 as one-pass codegen TextStats (see OPTIMIZATION_r20.md)",
+    "x22_ann_ivf": "flop-bound IVF assign kernel (nlist x dim mults/row); compiled, wall_x ~ rows_x",
 }
 
 
@@ -74,7 +96,10 @@ def main():
         rows_x = rb / rs
         flag = ""
         if rows_x >= 10 and cb > cost_floor and 0.5 <= cb / cs <= 2.0:
-            flag = "INTERP?"
+            if k in ATTRIBUTED_COST:
+                flag = f"cost-attributed: {ATTRIBUTED_COST[k]}"
+            else:
+                flag = "INTERP?"
         elif wall_x > 30 and wall_x > 3 * rows_x:
             if k in ATTRIBUTED_GROWTH:
                 flag = f"growth-attributed: {ATTRIBUTED_GROWTH[k]}"
