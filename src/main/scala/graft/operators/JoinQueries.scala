@@ -334,6 +334,7 @@ object JoinQueries {
     // node id of a name = its min custkey (unique per name, and the
     // min-label CC then emits the global min custkey as the cluster label)
     val nameIds = cust.groupBy(col("name")).agg(min(col("id")).as("nid"))
+      .localCheckpoint(true) // r20 probe: 3 consumers (node set, edge join x2, mem)
     val edges = fuzzyNamePairs(s, d)
       .join(nameIds.select(col("name").as("a_name"), col("nid").as("a")), "a_name")
       .join(nameIds.select(col("name").as("b_name"), col("nid").as("b")), "b_name")
